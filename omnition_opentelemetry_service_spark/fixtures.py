@@ -1,0 +1,251 @@
+"""Deterministic pipeline fixtures (FIXTURES.md F1-F4).
+
+One row = one pre-tokenized training sequence — the rebuild's analog of a
+span inside a ``consumerdata.TraceData`` batch (reference
+receiver/opencensusreceiver/octrace/opencensus.go:166-171). Every column is a
+pure function of the row index ``i`` (seed-free, partition-independent), so
+generation is embarrassingly parallel: at sandbox scale it is
+``spark.range(n)`` + column expressions; at 10^12-sequence scale the same
+expressions run over a partitioned ``spark.range`` or an Iceberg scan.
+
+Parity contract: each fixture has BOTH a Spark generator and a DuckDB SQL
+CTE built from the *same* arithmetic, so the driver's oracle compare is
+exact. Where Spark SQL and DuckDB SQL share syntax, the fragment is a single
+shared string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Shared deterministic constants (change = breaking the oracle; don't).
+# ---------------------------------------------------------------------------
+TOKEN_A = 2654435761  # Knuth multiplicative-hash constant
+TOKEN_B = 40503
+VOCAB = 50257  # GPT-2-ish vocab size
+N_TOK_MIN = 16
+N_TOK_MOD = 241
+SAMPLE_A = 1103515245  # glibc LCG constants — deterministic sampler hash
+SAMPLE_B = 12345
+SAMPLE_MOD = 10000
+RULE_SALT = 7919
+STREAMS = 64  # gRPC-stream analog count (node carry-forward, F2)
+NODE_EVERY = 16  # node_host set every 16th msg per stream
+MALFORMED_MOD = 20
+MALFORMED_RESIDUE = 13  # i % 20 == 13 → truncated payload (~5%)
+EPOCH0 = 1767225600  # 2026-01-01T00:00:00Z
+N_HOSTS = 8
+
+SOURCES = ["web", "books", "code", "wiki", "news", "forums"]
+PRIORITY = {"web": 1, "books": 2, "code": 3, "wiki": 4, "news": 5, "forums": 6}
+LEVELS = ["INFO", "WARN", "ERROR", "DEBUG", "TRACE"]
+
+ROUTE_RULES = [
+    # (rule_id, predicate_source, min_n_tok, sink, sample_pct)
+    (1, "*", 0, "sink_archive", 100.0),
+    (2, "web", 64, "sink_kinesis", 100.0),
+    (3, "books", 0, "sink_oc", 100.0),
+    (4, "*", 128, "sink_metrics", 100.0),
+    (5, "web", 0, "sink_logging", 25.0),
+]
+
+# --- SQL fragments valid in BOTH Spark SQL and DuckDB (keyed on column i) ---
+SOURCE_CASE_SQL = (
+    "CASE WHEN i % 10 < 6 THEN 'web' WHEN i % 10 < 8 THEN 'books' "
+    "ELSE CASE CAST(i % 4 AS INT) WHEN 0 THEN 'code' WHEN 1 THEN 'wiki' "
+    "WHEN 2 THEN 'news' ELSE 'forums' END END"
+)
+N_TOK_SQL = f"CAST({N_TOK_MIN} + i % {N_TOK_MOD} AS INT)"
+DOC_ID_SQL = "concat('doc-', lpad(CAST(i AS STRING), 12, '0'))"
+DOC_ID_SQL_DUCK = "concat('doc-', lpad(CAST(i AS VARCHAR), 12, '0'))"
+LEVEL_CASE_SQL = (
+    "CASE CAST(i % 5 AS INT) WHEN 0 THEN 'INFO' WHEN 1 THEN 'WARN' "
+    "WHEN 2 THEN 'ERROR' WHEN 3 THEN 'DEBUG' ELSE 'TRACE' END"
+)
+
+
+def n_rows_for_sf_dir(sf_dir: str, per_sf: int = 2_000_000) -> int:
+    """Fixture row count for a testdata dir: sf0.001→2k, sf0.01→20k, sf0.1→200k."""
+    name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    sf = float(name.replace("sf", "")) if name.startswith("sf") else 0.01
+    return max(int(per_sf * sf), 100)
+
+
+# ---------------------------------------------------------------------------
+# F1. sequences — primary input (BASELINE.json input_hint shape)
+# ---------------------------------------------------------------------------
+def sequences(spark: SparkSession, n: int, num_partitions: int | None = None,
+              start: int = 0) -> DataFrame:
+    """(doc_id string, tokens array<int>, n_tok int, source string, seq_no bigint).
+
+    ``seq_no`` (= row index i) rides along as the deterministic identity used
+    by the sampler hash; at 10^12 scale it is the Iceberg-supplied row id.
+    ``start`` lets two generator branches cover disjoint index ranges (the
+    multi-receiver union analog).
+    """
+    df = spark.range(start, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    df = df.withColumnRenamed("id", "i")
+    return df.select(
+        F.expr(DOC_ID_SQL).alias("doc_id"),
+        F.expr(
+            f"transform(sequence(0, {N_TOK_SQL} - 1), "
+            f"k -> CAST((i * {TOKEN_A} + k * {TOKEN_B}) % {VOCAB} AS INT))"
+        ).alias("tokens"),
+        F.expr(N_TOK_SQL).alias("n_tok"),
+        F.expr(SOURCE_CASE_SQL).alias("source"),
+        F.col("i").alias("seq_no"),
+    )
+
+
+def sequences_sql_duck(n: int) -> str:
+    """DuckDB CTE body producing the identical F1 table."""
+    return f"""
+    SELECT
+      {DOC_ID_SQL_DUCK} AS doc_id,
+      list_transform(range({N_TOK_SQL}),
+                     k -> CAST((i * {TOKEN_A} + k * {TOKEN_B}) % {VOCAB} AS INTEGER)) AS tokens,
+      {N_TOK_SQL} AS n_tok,
+      {SOURCE_CASE_SQL} AS source,
+      i AS seq_no
+    FROM (SELECT range AS i FROM range(0, {n}))
+    """
+
+
+# ---------------------------------------------------------------------------
+# F2. raw_payloads — parse-stage input (receiver analog)
+# ---------------------------------------------------------------------------
+_PAYLOAD_SPARK = (
+    "concat(date_format(timestamp_seconds({epoch} + i), \"yyyy-MM-dd'T'HH:mm:ss'Z'\"), "
+    "' host=h', CAST(i % {hosts} AS STRING), "
+    "' lvl=', {lvl}, "
+    "' src=', {src}, "
+    "' n=', CAST({ntok} AS STRING), "
+    "' trace=', lpad(lower(hex(i * {ta} + 17)), 32, '0'), "
+    "' msg=\"seq ', CAST(i AS STRING), '\"')"
+)
+_PAYLOAD_DUCK = (
+    "concat(strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(i), '%Y-%m-%dT%H:%M:%SZ'), "
+    "' host=h', CAST(i % {hosts} AS VARCHAR), "
+    "' lvl=', {lvl}, "
+    "' src=', {src}, "
+    "' n=', CAST({ntok} AS VARCHAR), "
+    "' trace=', lpad(lower(hex(i * {ta} + 17)), 32, '0'), "
+    "' msg=\"seq ', CAST(i AS VARCHAR), '\"')"
+)
+
+
+def raw_payloads(spark: SparkSession, n: int, num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, payload, stream_id, msg_seq, node_host) — grok-able log lines.
+
+    ~5% of rows are truncated (malformed) to exercise the
+    protocol-violation/quarantine path (reference
+    octrace/opencensus.go:119-121: missing Node → error + drop counters).
+    ``node_host`` is NULL except every 16th message per stream — the Node
+    carry-forward ("node multiplexing") input, octrace/opencensus.go:149-175.
+    """
+    df = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    df = df.withColumnRenamed("id", "i")
+    payload_full = _PAYLOAD_SPARK.format(
+        epoch=EPOCH0, hosts=N_HOSTS, lvl=f"({LEVEL_CASE_SQL})",
+        src=f"({SOURCE_CASE_SQL})", ntok=N_TOK_SQL, ta=TOKEN_A,
+    )
+    return df.select(
+        F.expr(DOC_ID_SQL).alias("doc_id"),
+        F.expr(
+            f"CASE WHEN i % {MALFORMED_MOD} = {MALFORMED_RESIDUE} "
+            f"THEN substring({payload_full}, 1, 25) ELSE {payload_full} END"
+        ).alias("payload"),
+        F.expr(f"CAST(i % {STREAMS} AS INT)").alias("stream_id"),
+        F.expr(f"CAST(i DIV {STREAMS} AS INT)").alias("msg_seq"),
+        F.expr(
+            f"CASE WHEN (i DIV {STREAMS}) % {NODE_EVERY} = 0 THEN "
+            f"concat('host-', CAST(i % {STREAMS} AS STRING), '-', "
+            f"CAST((i DIV {STREAMS}) DIV {NODE_EVERY} AS STRING)) END"
+        ).alias("node_host"),
+    )
+
+
+def raw_payloads_sql_duck(n: int) -> str:
+    payload_full = _PAYLOAD_DUCK.format(
+        hosts=N_HOSTS, lvl=f"({LEVEL_CASE_SQL})",
+        src=f"({SOURCE_CASE_SQL})", ntok=N_TOK_SQL, ta=TOKEN_A,
+    )
+    return f"""
+    SELECT
+      {DOC_ID_SQL_DUCK} AS doc_id,
+      CASE WHEN i % {MALFORMED_MOD} = {MALFORMED_RESIDUE}
+           THEN substring({payload_full}, 1, 25) ELSE {payload_full} END AS payload,
+      CAST(i % {STREAMS} AS INTEGER) AS stream_id,
+      CAST(i // {STREAMS} AS INTEGER) AS msg_seq,
+      CASE WHEN (i // {STREAMS}) % {NODE_EVERY} = 0 THEN
+        concat('host-', CAST(i % {STREAMS} AS VARCHAR), '-',
+               CAST((i // {STREAMS}) // {NODE_EVERY} AS VARCHAR)) END AS node_host
+    FROM (SELECT range AS i FROM range(0, {n}))
+    """
+
+
+# ---------------------------------------------------------------------------
+# F3. source_dim — broadcast enrichment lookup (attributes/resource analog)
+# ---------------------------------------------------------------------------
+def source_dim(spark: SparkSession) -> DataFrame:
+    """6-row dimension: (source, tenant, priority, attrs array<struct<key,value>>).
+
+    array<struct> instead of MapType for Arrow/pandas-UDF compatibility
+    (SURVEY.md §1.3).
+    """
+    rows = [
+        (s, f"tenant-{PRIORITY[s] % 4}", PRIORITY[s],
+         [("team", f"team-{s}"), ("tier", str(PRIORITY[s]))])
+        for s in SOURCES
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source string, tenant string, priority int, "
+        "attrs array<struct<key:string, value:string>>",
+    )
+
+
+def source_dim_sql_duck() -> str:
+    rows = ", ".join(
+        f"('{s}', 'tenant-{PRIORITY[s] % 4}', {PRIORITY[s]}, "
+        f"'team=team-{s};tier={PRIORITY[s]}')"
+        for s in SOURCES
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) "
+        "AS t(source, tenant, priority, attrs_str)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4. route_rules — tag-driven fan-out rules (exporter pipelines analog)
+# ---------------------------------------------------------------------------
+def route_rules(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        ROUTE_RULES,
+        "rule_id int, predicate_source string, min_n_tok int, "
+        "sink string, sample_pct double",
+    )
+
+
+def route_rules_sql_duck() -> str:
+    rows = ", ".join(
+        f"({rid}, '{src}', {mnt}, '{sink}', {pct})"
+        for rid, src, mnt, sink, pct in ROUTE_RULES
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) "
+        "AS t(rule_id, predicate_source, min_n_tok, sink, sample_pct)"
+    )
+
+
+# Deterministic per-(row, rule) sampler hash — valid in both dialects.
+# Mirrors the probabilistic sampler's hash-of-traceid semantics
+# (upstream registration components.go:70) without engine-specific hashes.
+def sample_hash_sql(seq_col: str = "seq_no", rule_col: str = "rule_id") -> str:
+    return (
+        f"(({seq_col} + {rule_col} * {RULE_SALT}) * {SAMPLE_A} + {SAMPLE_B}) "
+        f"% {SAMPLE_MOD}"
+    )

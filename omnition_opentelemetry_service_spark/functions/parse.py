@@ -1,0 +1,131 @@
+"""Vectorized grok/regex parse of raw payload lines — the receiver analog.
+
+The reference's receivers decode wire formats into TraceData
+(octrace/opencensus.go:100-147 for gRPC, opencensusreceiver/opencensus.go:
+261-268 for the HTTP/JSON gateway). Here, "decode" is a regex/grok parse of
+a raw log line into typed columns, with a quarantine path for malformed rows
+(the protocol-violation analog, octrace/opencensus.go:119-121: bad first
+message → error + dropped-span counters, never a crash).
+
+Two implementations with identical output schemas:
+
+- ``parse_payload_native``  — ``regexp_extract`` built-ins; stays inside
+  whole-stage codegen, zero Python. Default hot path.
+- ``parse_payload_pandas``  — Arrow-batched ``pd.Series.str.extract`` inside
+  ``mapInPandas``; the pluggable-grok path for patterns that need Python
+  regex features. No per-row Python either way (input_hint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# grok-style aliases → regex fragments (public grok idiom).
+GROK_LIB = {
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z",
+    "WORD": r"\w+",
+    "INT": r"\d+",
+    "HEX32": r"[0-9a-f]{32}",
+    "QUOTED": r'[^"]*',
+}
+
+# %{NAME:field} grok template for the fixture payload format.
+PAYLOAD_GROK = (
+    "%{TIMESTAMP_ISO8601:ts} host=%{WORD:host} lvl=%{WORD:lvl} "
+    'src=%{WORD:src} n=%{INT:n} trace=%{HEX32:trace} msg="%{QUOTED:msg}"'
+)
+
+PARSED_FIELDS = ["ts_str", "host", "lvl", "src", "n_tok", "trace_hex", "msg"]
+
+
+def grok_to_regex(grok: str) -> tuple[str, list[str]]:
+    """Compile a %{NAME:field} grok template into an anchored regex and the
+    ordered capture-field list."""
+    import re
+
+    fields: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        name, field = m.group(1), m.group(2)
+        fields.append(field)
+        return f"({GROK_LIB[name]})"
+
+    pattern = re.sub(r"%\{(\w+):(\w+)\}", sub, grok)
+    return f"^{pattern}$", fields
+
+
+PAYLOAD_REGEX, _PAYLOAD_FIELDS = grok_to_regex(PAYLOAD_GROK)
+
+PARSED_SCHEMA = (
+    "doc_id string, stream_id int, msg_seq int, node_host string, "
+    "ts_str string, host string, lvl string, src string, n_tok int, "
+    "trace_hex string, msg string, valid boolean"
+)
+
+
+def parse_payload_native(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JVM-side regexp_extract parse. Malformed rows get valid=false and NULL
+    fields (quarantine filter happens downstream so drops can be counted)."""
+    p = F.col(payload_col)
+    groups = {name: F.regexp_extract(p, PAYLOAD_REGEX, i + 1)
+              for i, name in enumerate(_PAYLOAD_FIELDS)}
+    valid = p.rlike(PAYLOAD_REGEX)
+    out = df
+    mapping = {
+        "ts_str": groups["ts"],
+        "host": groups["host"],
+        "lvl": groups["lvl"],
+        "src": groups["src"],
+        "n_tok": groups["n"].cast("int"),
+        "trace_hex": groups["trace"],
+        "msg": groups["msg"],
+    }
+    for name, col in mapping.items():
+        out = out.withColumn(name, F.when(valid, col))
+    return out.withColumn("valid", valid).drop(payload_col)
+
+
+def parse_payload_pandas(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-vectorized pandas parse (pd.Series.str.extract — one C-level
+    regex pass per batch, no per-row Python)."""
+    import pandas as pd  # noqa: F401  (imported on executors)
+
+    passthrough = [c for c in df.columns if c != payload_col]
+    regex = PAYLOAD_REGEX
+
+    def parse_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ext = pdf[payload_col].str.extract(regex)
+            out = pdf[passthrough].copy()
+            out["ts_str"] = ext[0]
+            out["host"] = ext[1]
+            out["lvl"] = ext[2]
+            out["src"] = ext[3]
+            out["n_tok"] = ext[4].astype("Int32")  # nullable int, no upcast
+            out["trace_hex"] = ext[5]
+            out["msg"] = ext[6]
+            out["valid"] = ext[0].notna()
+            yield out
+
+    return df.mapInPandas(parse_batches, schema=PARSED_SCHEMA)
+
+
+def quarantine_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined) — quarantined rows keep doc_id + raw context for
+    the dropped-spans counter path (obsreport analog, SURVEY.md §2.4)."""
+    good = parsed.filter(F.col("valid")).drop("valid")
+    bad = parsed.filter(~F.col("valid")).drop("valid")
+    return good, bad
+
+
+def with_event_time(parsed: DataFrame) -> DataFrame:
+    """ts_str → TimestampType (reference ptypes/ptime/timestamp.go:24-29
+    analog: proto Timestamp ↔ time.Time becomes string ↔ TimestampType)."""
+    return parsed.withColumn(
+        "event_time", F.to_timestamp("ts_str", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    )

@@ -1,0 +1,170 @@
+"""Text-analysis functions for the training-data pipeline (documents table):
+language-ID heuristic, quality scoring, token counting, fingerprinting,
+character shingles. All JVM-side built-ins (whole-stage codegen); each ships
+a DuckDB-parity SQL fragment for the oracle harness.
+
+Caveat encoded here once: Spark's regexp_replace replaces ALL matches;
+DuckDB's replaces the FIRST unless passed the 'g' flag — every Duck fragment
+below passes 'g'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "ein"],
+}
+
+PUNCT_CLASS = r"[.,;:!?]"
+WS = r"\s+"
+
+
+# -- token counting ---------------------------------------------------------
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count (0 for blank text)."""
+    t = F.trim(F.col(col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, WS))
+    )
+
+
+def token_count_sql_duck(col: str = "text") -> str:
+    return (
+        f"CASE WHEN len(trim({col})) = 0 THEN 0 "
+        f"ELSE len(string_split_regex(trim({col}), '\\s+')) END"
+    )
+
+
+# -- BPE-ish subword estimate ----------------------------------------------
+def bpe_token_estimate(col: str = "text") -> Column:
+    """Regex-segmented subword count (GPT-2-style pre-tokenizer shape:
+    words, numbers, punctuation runs)."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(pat), 0))
+
+
+def bpe_token_estimate_sql_duck(col: str = "text") -> str:
+    return (
+        f"len(regexp_extract_all({col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    )
+
+
+# -- quality scoring ---------------------------------------------------------
+def punct_ratio(col: str = "text") -> Column:
+    t = F.col(col)
+    removed = F.regexp_replace(t, PUNCT_CLASS, "")
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        (F.length(t) - F.length(removed)) / F.length(t)
+    )
+
+
+def punct_ratio_sql_duck(col: str = "text") -> str:
+    return (
+        f"CASE WHEN len({col}) = 0 THEN 0.0 ELSE "
+        f"(len({col}) - len(regexp_replace({col}, '[.,;:!?]', '', 'g'))) "
+        f"* 1.0 / len({col}) END"
+    )
+
+
+def stopword_count(col: str = "text", lang: str = "en") -> Column:
+    words = F.split(F.lower(F.trim(F.col(col))), WS)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+
+def stopword_count_sql_duck(col: str = "text", lang: str = "en") -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split_regex(lower(trim({col})), '\\s+'), "
+        f"w -> list_contains([{lst}], w)))"
+    )
+
+
+def quality_score(col: str = "text") -> Column:
+    """Deterministic [0,1] quality proxy: length band + low punct + stopword
+    presence. Round to 6 dp so float formatting matches across engines."""
+    n = token_count(col)
+    length_ok = F.when((n >= 5) & (n <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n == 0, F.lit(0.0)).otherwise(stopword_count(col) / n)
+    sw_ok = F.when(sw_ratio >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(length_ok + punct_ok + sw_ok, 6)
+
+
+def quality_score_sql_duck(col: str = "text") -> str:
+    # CASE over bare 0.4/0.3 literals would be DECIMAL in DuckDB (vs Spark's
+    # DOUBLE) — cast the whole thing to DOUBLE for type + hash parity.
+    n = token_count_sql_duck(col)
+    return (
+        f"CAST(round((CASE WHEN ({n}) BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END) + "
+        f"(CASE WHEN ({punct_ratio_sql_duck(col)}) <= 0.2 THEN 0.3 ELSE 0.0 END) + "
+        f"(CASE WHEN ({n}) > 0 AND "
+        f"({stopword_count_sql_duck(col)}) * 1.0 / ({n}) >= 0.05 "
+        f"THEN 0.3 ELSE 0.0 END), 6) AS DOUBLE)"
+    )
+
+
+# -- language identification --------------------------------------------------
+def lang_id(col: str = "text") -> Column:
+    """Stopword-vote n-gram-free heuristic; deterministic tie-break en>es>fr>de;
+    'und' (undetermined) when no stopwords hit."""
+    c = {lang: stopword_count(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*c.values())
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(c["en"] == best, F.lit("en"))
+        .when(c["es"] == best, F.lit("es"))
+        .when(c["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def lang_id_sql_duck(col: str = "text") -> str:
+    c = {lang: stopword_count_sql_duck(col, lang) for lang in STOPWORDS}
+    return (
+        f"CASE WHEN greatest({c['en']}, {c['es']}, {c['fr']}, {c['de']}) = 0 THEN 'und' "
+        f"WHEN ({c['en']}) = greatest({c['en']}, {c['es']}, {c['fr']}, {c['de']}) THEN 'en' "
+        f"WHEN ({c['es']}) = greatest({c['es']}, {c['fr']}, {c['de']}) THEN 'es' "
+        f"WHEN ({c['fr']}) = greatest({c['fr']}, {c['de']}) THEN 'fr' "
+        f"ELSE 'de' END"
+    )
+
+
+# -- fingerprinting ------------------------------------------------------------
+def fingerprint(col: str = "text") -> Column:
+    """Whitespace-normalized lowercase md5 — the exact-dup document key."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(F.col(col), WS, " "))))
+
+
+def fingerprint_sql_duck(col: str = "text") -> str:
+    return f"md5(lower(trim(regexp_replace({col}, '\\s+', ' ', 'g'))))"
+
+
+# -- shingling (minhash / jaccard input) ---------------------------------------
+def char_shingles(col: str = "text", k: int = 5) -> Column:
+    """Distinct k-char shingles of the normalized text; texts shorter than k
+    contribute a single whole-text shingle (so every doc gets a signature)."""
+    return F.array_distinct(_shingles_expr(col, k))
+
+
+def _shingles_expr(col: str, k: int) -> Column:
+    norm = f"lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
+    return F.expr(
+        f"CASE WHEN length({norm}) < {k} THEN array({norm}) "
+        f"ELSE transform(sequence(0, length({norm}) - {k}), "
+        f"j -> substring({norm}, j + 1, {k})) END"
+    )
+
+
+def char_shingles_sql_duck(col: str = "text", k: int = 5) -> str:
+    norm = f"lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+    return (
+        f"list_distinct(CASE WHEN len({norm}) < {k} THEN [{norm}] "
+        f"ELSE list_transform(range(len({norm}) - {k} + 1), "
+        f"j -> substr({norm}, CAST(j + 1 AS INTEGER), {k})) END)"
+    )

@@ -1,0 +1,36 @@
+"""Token-array helpers. The per-row invariant for the whole pipeline is
+token-array equality (BASELINE.json input_hint), so everything here is
+loss-free and engine-portable (DuckDB can reproduce each expression)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens_str(col: str | Column = "tokens") -> Column:
+    """Canonical string form of a token array — the cross-engine equality
+    surface (Spark array<int> vs DuckDB list<int> hash differently; their
+    comma-joined string forms compare exactly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(c.cast("array<string>"), ",")
+
+
+def tokens_checksum(col: str | Column = "tokens") -> Column:
+    """Order-sensitive polynomial checksum of the token array, JVM-side via
+    ``aggregate``: acc = (acc*31 + tok) mod 2^61-1. DuckDB parity:
+    list_reduce with the same arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        c,
+        F.lit(7).cast("long"),
+        lambda acc, t: (acc * 31 + t.cast("long")) % F.lit(2305843009213693951),
+    ).alias("tokens_checksum")
+
+
+def tokens_checksum_sql_duck(col: str = "tokens") -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        f"list_transform({col}, t -> CAST(t AS BIGINT))), "
+        f"(acc, t) -> (acc * 31 + t) % 2305843009213693951)"
+    )

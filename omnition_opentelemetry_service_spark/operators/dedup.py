@@ -1,0 +1,192 @@
+"""Deduplication operators for the training-data pipeline.
+
+Not present in the reference (its pipeline is lossless-forwarding plus
+sampling); these are the first-class training-data ops the rebuild adds:
+
+- exact dedup          — normalized-fingerprint hash groupBy
+- MinHash + LSH        — shingle → minhash signature → band bucketing →
+                         candidate pairs → exact-jaccard verify
+- n-gram Jaccard       — exact pairwise similarity on a bounded subset
+- SimHash              — 60-bit sign-sum fingerprint over word hashes
+- embedding near-dup   — cosine-threshold pairs (see similarity.py for ANN)
+
+Scale design: everything is expression-level (whole-stage codegen, no Python).
+MinHash/LSH is the 100 TB path: signatures are one scan, candidates come from
+an equi-join on band keys (shuffle on band_key, cardinality ≈ docs × bands),
+and the quadratic jaccard verify runs only on candidate pairs. The all-pairs
+operators deliberately take an ``id_limit`` and exist for verification only.
+
+Determinism/parity: shingle hashing goes through md5 (identical across
+engines); the permutation family is (a_j·x + b_j) mod P with a_j,b_j < 2^29
+and x < 2^32 so every product stays < 2^61 (no int64 overflow in either
+engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles, fingerprint
+
+# MinHash family constants (shared with the DuckDB oracle fragments).
+MH_HASHES = 16
+MH_PRIME = 4294967311  # smallest prime > 2^32
+MH_MODA = 536870909  # prime < 2^29 keeps a_j*x < 2^61
+MH_A_MUL, MH_A_ADD = 40503, 12345
+MH_B_MUL, MH_B_ADD = 104729, 104723
+LSH_BANDS = 4
+LSH_ROWS = MH_HASHES // LSH_BANDS
+
+# x(s): first 8 md5 hex chars → uint32. Spark `conv` / DuckDB '0x' cast.
+_XH_SPARK = "CAST(conv(substring(md5({s}), 1, 8), 16, 10) AS BIGINT)"
+_XH_DUCK = "CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group by normalized fingerprint; keep the smallest id per group."""
+    return (
+        docs.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+def minhash_signature_expr(shingles_col: str = "shingles") -> F.Column:
+    """array<bigint> of MH_HASHES minhash values, fully JVM-side."""
+    a = f"CAST((j * {MH_A_MUL} + {MH_A_ADD}) % {MH_MODA} AS BIGINT)"
+    b = f"CAST((j * {MH_B_MUL} + {MH_B_ADD}) % {MH_MODA} AS BIGINT)"
+    xh = _XH_SPARK.format(s="s")
+    return F.expr(
+        f"transform(sequence(0, {MH_HASHES - 1}), j -> "
+        f"array_min(transform({shingles_col}, s -> ({a} * {xh} + {b}) % {MH_PRIME})))"
+    )
+
+
+def minhash_signature_sql_duck(shingles_sql: str) -> str:
+    a = f"CAST((j * {MH_A_MUL} + {MH_A_ADD}) % {MH_MODA} AS BIGINT)"
+    b = f"CAST((j * {MH_B_MUL} + {MH_B_ADD}) % {MH_MODA} AS BIGINT)"
+    xh = _XH_DUCK.format(s="s")
+    return (
+        f"list_transform(range({MH_HASHES}), j -> "
+        f"list_min(list_transform({shingles_sql}, s -> ({a} * {xh} + {b}) % {MH_PRIME})))"
+    )
+
+
+def with_minhash(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    return (
+        docs.withColumn("shingles", char_shingles(text_col, k))
+        .withColumn("minhash", minhash_signature_expr("shingles"))
+    )
+
+
+def lsh_band_keys_expr(sig_col: str = "minhash") -> F.Column:
+    """array<string> of LSH_BANDS band keys: 'b:v,v,v,v'."""
+    return F.expr(
+        f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
+        f"concat(CAST(b AS STRING), ':', "
+        f"array_join(transform(slice({sig_col}, b * {LSH_ROWS} + 1, {LSH_ROWS}), "
+        f"v -> CAST(v AS STRING)), ',')))"
+    )
+
+
+def minhash_candidates(docs_with_sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    Shape at scale: explode to (id, band_key) then equi-join on band_key —
+    a plain shuffle hash join; no cross product ever materializes.
+    """
+    keyed = docs_with_sig.select(
+        F.col(id_col).alias("id"), F.explode(lsh_band_keys_expr()).alias("band_key")
+    )
+    left = keyed.alias("l")
+    right = keyed.alias("r")
+    return (
+        left.join(right, (F.col("l.band_key") == F.col("r.band_key"))
+                  & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(candidates: DataFrame, docs_with_shingles: DataFrame,
+                   id_col: str = "doc_id", threshold: float = 0.5) -> DataFrame:
+    """Exact jaccard on candidate pairs only (the cheap post-LSH filter)."""
+    sh = docs_with_shingles.select(F.col(id_col).alias("id"), "shingles")
+    j = (
+        candidates
+        .join(sh.withColumnRenamed("shingles", "sh_a"), F.col("id_a") == F.col("id"))
+        .drop("id")
+        .join(sh.withColumnRenamed("shingles", "sh_b"), F.col("id_b") == F.col("id"))
+        .drop("id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")), 6),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        id_limit: int = 200, threshold: float = 0.2) -> DataFrame:
+    """Exact all-pairs n-gram jaccard on a bounded id range (verification/
+    small-table op; the scale path is minhash_candidates + jaccard_verify)."""
+    sub = (docs.filter(F.col(id_col) < id_limit)
+           .select(F.col(id_col).alias("id"), char_shingles(text_col, k).alias("sh")))
+    a, b = sub.alias("a"), sub.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash -------------------------------------------------------------------
+SIMHASH_BITS = 60  # 15 md5 hex chars → < 2^60, stays positive in int64
+
+
+def simhash_expr(text_col: str = "text") -> F.Column:
+    """60-bit SimHash over whitespace words, JVM-side: per-word 60-bit hash
+    (md5-derived), per-bit ±1 vote aggregate, sign → bit, pack to bigint."""
+    words = f"filter(split(lower(trim({text_col})), '\\\\s+'), w -> length(w) > 0)"
+    wh = "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"
+    votes = (
+        f"aggregate({words}, "
+        f"transform(sequence(0, {SIMHASH_BITS - 1}), b -> CAST(0 AS BIGINT)), "
+        f"(acc, w) -> zip_with(acc, "
+        f"transform(sequence(0, {SIMHASH_BITS - 1}), b -> (shiftright({wh}, b) & 1) * 2 - 1), "
+        f"(a, v) -> a + v))"
+    )
+    pack = (
+        f"aggregate(zip_with({votes}, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(v, b) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return F.expr(pack)
+
+
+def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", max_hamming: int = 20,
+                          id_limit: int = 200) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance on a bounded subset.
+    (Scale path: split the 60 bits into 4 bands of 15 and equi-join per band
+    — pigeonhole guarantees any pair with hamming ≤ 3 shares a band.)"""
+    sub = (docs.filter(F.col(id_col) < id_limit)
+           .select(F.col(id_col).alias("id"), simhash_expr(text_col).alias("sh")))
+    a, b = sub.alias("a"), sub.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.bit_count(F.expr("a.sh ^ b.sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

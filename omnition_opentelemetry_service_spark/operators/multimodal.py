@@ -1,0 +1,68 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The decode step is STUBBED (no image/audio libs in this container): the
+Spark-side plumbing — schema, batching, UDF signature — is real and tested;
+``decode_image_batch`` raises NotImplementedError unless ``fake=True``, in
+which case it produces deterministic fake features from the bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, "
+    "width int, height int, checksum string"
+)
+
+
+def with_fake_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic binary payload column (UTF-8 text bytes stand
+    in for encoded media) + media_type metadata."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("media"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+    )
+
+
+def decode_image_batch(buf: bytes, fake: bool) -> tuple[int, int]:
+    """STUB: real impl would be e.g. PIL.Image.open(io.BytesIO(buf)).size.
+    Deterministic fake keeps the pipeline testable without the lib."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in this "
+            "container; run with fake=True for deterministic fake features"
+        )
+    return (buf[0] % 64 + 1) if buf else 1, (buf[-1] % 64 + 1) if buf else 1
+
+
+def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: per Arrow batch, vectorized byte-level
+    metadata + (stubbed) decode. Batch shape and schema are the real
+    contract; swap the stub for a real decoder on a cluster with the libs."""
+
+    def feats(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            out = pd.DataFrame()
+            out["doc_id"] = pdf["doc_id"]
+            out["media_type"] = pdf["media_type"]
+            out["n_bytes"] = pdf["media"].map(len).astype("int32")
+            dims = pdf["media"].map(lambda b: decode_image_batch(b, fake))
+            out["width"] = dims.map(lambda t: t[0]).astype("int32")
+            out["height"] = dims.map(lambda t: t[1]).astype("int32")
+            out["checksum"] = pdf["media"].map(lambda b: hashlib.md5(b).hexdigest())
+            yield out
+
+    return media.mapInPandas(feats, schema=MEDIA_SCHEMA)

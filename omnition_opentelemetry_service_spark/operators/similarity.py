@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k  — exact baseline; broadcast the (small) query
+  set against the corpus, rank per query. One scan of the corpus, no
+  corpus-side shuffle: at 100 TB this is the "small Q × huge corpus" path.
+- LSH-bucketed ANN          — random-hyperplane signatures from
+  deterministic ±1 planes; candidates restricted to the query's bucket.
+  The scale path: bucket assignment is one scan; search shuffles only on
+  bucket key.
+
+Determinism/parity: dot products fold left-to-right in DOUBLE in both
+engines (Spark `aggregate` / DuckDB `list_reduce`), so cosine scores are
+bit-identical and rank ordering is stable across engines and parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+EMB_DIM = 64
+LSH_PLANES = 8
+
+
+def _dot_expr(a: str, b: str) -> str:
+    """Sequential double-precision dot product (order-stable)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def dot_sql_duck(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range({dim}), k -> "
+        f"CAST({a}[k + 1] AS DOUBLE) * CAST({b}[k + 1] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"{_dot_expr(a, b)} / (sqrt({_dot_expr(a, a)}) * sqrt({_dot_expr(b, b)}))"
+    )
+
+
+def cosine_sql_duck(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"{dot_sql_duck(a, b, dim)} / "
+        f"(sqrt({dot_sql_duck(a, a, dim)}) * sqrt({dot_sql_duck(b, b, dim)}))"
+    )
+
+
+def brute_force_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Exact top-k neighbors for the first ``n_queries`` vectors.
+
+    Plan shape: broadcast(queries) nested-loop against the corpus (one corpus
+    scan, map-side), then a per-query window top-k (shuffle keyed on query_id
+    — tiny). Deterministic tie-break on neighbor id.
+    """
+    q = (emb.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr("q_emb", "c_emb"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cosine")
+    )
+
+
+def near_dup_pairs(emb: DataFrame, threshold: float = 0.92, id_limit: int = 300) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs on a bounded id range (exact
+    verification op; the scale path goes through lsh_bucket + within-bucket
+    pairs)."""
+    sub = emb.filter(F.col("vec_id") < id_limit).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("e"))
+    a, b = sub.alias("a"), sub.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", F.round(cosine_expr("a.e", "b.e"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )
+
+
+def lsh_planes(n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign of md5(f'{p}:{d}') parity.
+    Seed-free, reproducible in SQL text for the oracle."""
+    return [
+        [1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1
+         for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket_expr(emb_col: str = "embedding",
+                    n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> F.Column:
+    """Bucket key = sign-bit string of the embedding against each plane."""
+    planes = lsh_planes(n_planes, dim)
+    bits = []
+    for p in planes:
+        lit = "array(" + ", ".join(str(v) for v in p) + ")"
+        bits.append(f"CASE WHEN {_dot_expr(emb_col, lit)} >= 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ", ".join(bits) + ")")
+
+
+def lsh_bucket_sql_duck(emb_col: str = "embedding",
+                        n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> str:
+    planes = lsh_planes(n_planes, dim)
+    bits = []
+    for p in planes:
+        lit = "[" + ", ".join(str(v) for v in p) + "]"
+        bits.append(f"CASE WHEN {dot_sql_duck(emb_col, lit, dim)} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def lsh_ann_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
+                 n_planes: int = LSH_PLANES) -> DataFrame:
+    """ANN: exact rank restricted to the query's LSH bucket. Recall < 1 by
+    construction; the candidate set shrinks ~2^n_planes-fold, and the join
+    is an equi-join on bucket (shuffle on bucket key, no cross product)."""
+    bucketed = emb.withColumn("bucket", lsh_bucket_expr("embedding", n_planes))
+    q = (bucketed.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+                 F.col("bucket").alias("q_bucket")))
+    c = bucketed.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("c_emb"), "bucket")
+    scored = (
+        c.join(broadcast(q), (F.col("bucket") == F.col("q_bucket"))
+               & (F.col("neighbor_id") != F.col("query_id")))
+        .withColumn("cosine", F.round(cosine_expr("q_emb", "c_emb"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cosine")
+    )

@@ -1,0 +1,708 @@
+"""Query + oracle registry — the driver-facing contract.
+
+Each entry pairs a Spark DataFrame implementation (``(spark, sf_dir) →
+DataFrame``) with an equivalent DuckDB SQL string. Fixture-backed pipeline
+queries synthesize their input *inside the SQL* (deterministic CTEs over
+``range()`` — same arithmetic as the Spark generators in fixtures.py), so
+the oracle is fully independent of Spark.
+
+Parity rules applied throughout (learned the hard way, encoded once):
+- arrays cross engines as comma-joined strings (array hash ≠ list hash)
+- integer sums: DuckDB sum() → HUGEINT, so CAST(... AS BIGINT) to match
+  Spark's LongType
+- double aggregation order is nondeterministic → per-row CAST to DECIMAL,
+  exact decimal sum, CAST back to DOUBLE (+round) at the end
+- float folds (cosine) run sequentially left-to-right in DOUBLE in both
+  engines → bit-identical
+- every computed column aliased identically on both sides
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from . import fixtures as fx
+from .functions import parse as parse_fns
+from .functions import text as tx
+from .functions.tokens import tokens_str
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .operators.batcher import salted_counts
+from .operators.carryforward import carry_forward
+from .operators.enrich import attrs_add, attrs_rename, attrs_to_str, enrich_with_dim
+from .operators.memorylimiter import shed_predicate
+from .operators.multimodal import extract_media_features, with_fake_media
+from .operators.router import route, sink_counts
+from .plans import pipeline as pl
+from .sources.loader import load
+
+ORACLE_N = 20_000  # driver's oracle runs at sf0.01
+
+# ---------------------------------------------------------------------------
+# DuckDB CTE prelude shared by all fixture-backed oracle queries.
+# ---------------------------------------------------------------------------
+_PARSE_RX = parse_fns.PAYLOAD_REGEX
+
+
+def duck_prelude(n: int = ORACLE_N) -> str:
+    rx = _PARSE_RX
+    parsed = f"""
+    SELECT doc_id, stream_id, msg_seq, node_host,
+      CASE WHEN regexp_matches(payload, '{rx}') THEN regexp_extract(payload, '{rx}', 1) END AS ts_str,
+      CASE WHEN regexp_matches(payload, '{rx}') THEN regexp_extract(payload, '{rx}', 2) END AS host,
+      CASE WHEN regexp_matches(payload, '{rx}') THEN regexp_extract(payload, '{rx}', 3) END AS lvl,
+      CASE WHEN regexp_matches(payload, '{rx}') THEN regexp_extract(payload, '{rx}', 4) END AS src,
+      CASE WHEN regexp_matches(payload, '{rx}') THEN CAST(regexp_extract(payload, '{rx}', 5) AS INTEGER) END AS n_tok,
+      CASE WHEN regexp_matches(payload, '{rx}') THEN regexp_extract(payload, '{rx}', 6) END AS trace_hex,
+      CASE WHEN regexp_matches(payload, '{rx}') THEN regexp_extract(payload, '{rx}', 7) END AS msg,
+      regexp_matches(payload, '{rx}') AS valid
+    FROM pay
+    """
+    routed = f"""
+    SELECT s.doc_id, s.seq_no, s.source, s.n_tok, s.tokens,
+           d.tenant, d.priority, r.rule_id, r.sink
+    FROM parsed p
+    JOIN seq s ON p.doc_id = s.doc_id AND p.valid
+    LEFT JOIN dim d ON s.source = d.source
+    JOIN rules r ON (r.predicate_source = '*' OR r.predicate_source = s.source)
+               AND s.n_tok >= r.min_n_tok
+    WHERE {fx.sample_hash_sql('s.seq_no', 'r.rule_id')} < CAST(r.sample_pct * 100 AS BIGINT)
+    """
+    return (
+        f"WITH seq AS ({fx.sequences_sql_duck(n)}), "
+        f"pay AS ({fx.raw_payloads_sql_duck(n)}), "
+        f"dim AS ({fx.source_dim_sql_duck()}), "
+        f"rules AS ({fx.route_rules_sql_duck()}), "
+        f"parsed AS ({parsed}), "
+        f"routed AS ({routed})"
+    )
+
+
+def _n(sf_dir: str) -> int:
+    return fx.n_rows_for_sf_dir(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Spark query callables
+# ---------------------------------------------------------------------------
+def q_pipeline_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = pl.build_routed(spark, pl.PipelineConfig(n_rows=_n(sf_dir)))
+    return st["routed"].select(
+        "doc_id", "sink", "rule_id", "source", "tenant", "priority", "n_tok",
+        tokens_str().alias("tokens_str"),
+    )
+
+
+def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = pl.build_routed(spark, pl.PipelineConfig(n_rows=_n(sf_dir)))
+    return sink_counts(st["routed"])
+
+
+def q_source_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_counts(fx.sequences(spark, _n(sf_dir)), "source", 32)
+
+
+def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse_fns.parse_payload_native(fx.raw_payloads(spark, _n(sf_dir)))
+    return parsed.select("doc_id", "stream_id", "msg_seq", "ts_str", "host",
+                         "lvl", "src", "n_tok", "trace_hex", "msg", "valid")
+
+
+def q_parse_extract_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse_fns.parse_payload_pandas(fx.raw_payloads(spark, _n(sf_dir)))
+    return parsed.select("doc_id", "stream_id", "msg_seq", "ts_str", "host",
+                         "lvl", "src", "n_tok", "trace_hex", "msg", "valid")
+
+
+def q_parse_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse_fns.parse_payload_native(fx.raw_payloads(spark, _n(sf_dir)))
+    return parsed.agg(
+        F.lit("oc_trace").alias("tag"),
+        F.count(F.lit(1)).alias("received"),
+        F.sum(F.when(~F.col("valid"), 1).otherwise(0)).alias("dropped"),
+    )
+
+
+def q_quarantined_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse_fns.parse_payload_native(fx.raw_payloads(spark, _n(sf_dir)))
+    return parsed.filter(~F.col("valid")).select("doc_id", "stream_id", "msg_seq")
+
+
+def q_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filled = carry_forward(fx.raw_payloads(spark, _n(sf_dir)))
+    return filled.select("doc_id", "stream_id", "msg_seq", "node_host_filled")
+
+
+def q_sampler_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs = fx.sequences(spark, _n(sf_dir))
+    return seqs.filter(
+        F.expr(f"{fx.sample_hash_sql('seq_no', '5')} < 2500")
+    ).select("doc_id", "seq_no")
+
+
+def q_enrich_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs = fx.sequences(spark, _n(sf_dir))
+    enriched = enrich_with_dim(seqs, fx.source_dim(spark))
+    return enriched.select(
+        "doc_id", "source", "tenant", "priority",
+        attrs_to_str("attrs").alias("attrs_str"),
+    )
+
+
+def q_attrs_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fx.source_dim(spark).select(
+        "source",
+        attrs_to_str(attrs_add("attrs", {"env": "prod"}).alias("attrs")).alias("attrs_str"),
+    )
+
+
+def q_attrs_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fx.source_dim(spark).select(
+        "source",
+        attrs_to_str(attrs_rename("attrs", {"team": "owner_team"}).alias("attrs")).alias("attrs_str"),
+    )
+
+
+def q_union_two_receivers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _n(sf_dir)
+    a = fx.sequences(spark, n // 2)
+    b = fx.sequences(spark, n, start=n // 2)
+    return a.unionByName(b).groupBy("source").agg(
+        F.count("*").alias("n_rows"), F.sum("n_tok").alias("sum_n_tok")
+    )
+
+
+def q_memlimit_shed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs = fx.sequences(spark, _n(sf_dir))
+    return seqs.agg(
+        F.lit("memory_limiter").alias("stage"),
+        F.count(F.lit(1)).alias("received"),
+        F.sum(F.when(~shed_predicate(200), 1).otherwise(0)).alias("dropped"),
+    )
+
+
+# -- TPC-H-ish relational coverage on driver tables --------------------------
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+    )
+
+
+def q_tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,4)")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+# -- events: JSON gateway, sessionize, tumbling window ------------------------
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k"))
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet reads as TIMESTAMP_NTZ in Spark 4; go through LTZ (session tz
+    # is UTC) to exact epoch micros for engine-portable gap arithmetic.
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = us - F.lag(us).over(w)
+    ns = F.when(gap.isNull() | (gap > 3600 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("ns", ns)
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"))
+    )
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("win", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("win", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("sum_value"),
+        )
+    )
+
+
+# -- documents: text analysis + dedup ----------------------------------------
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_words"),
+        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
+        tx.quality_score("text").alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.lang_id("text").alias("lang_pred"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("ws_tokens"),
+        tx.bpe_token_estimate("text").alias("bpe_tokens"),
+    )
+
+
+def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = dd.with_minhash(load(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.col("minhash").cast("array<string>"), ",").alias("sig_str"),
+    )
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = dd.with_minhash(load(spark, sf_dir, "documents"))
+    return dd.minhash_candidates(docs)
+
+
+def q_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = dd.with_minhash(load(spark, sf_dir, "documents"))
+    cands = dd.minhash_candidates(docs)
+    return dd.jaccard_verify(cands, docs, threshold=0.3)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
+                                  k=3, id_limit=150, threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_hamming_pairs(load(spark, sf_dir, "documents"),
+                                    max_hamming=18, id_limit=150)
+
+
+def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", dd.simhash_expr("text").alias("simhash"))
+
+
+# -- embeddings: similarity search --------------------------------------------
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.brute_force_topk(load(spark, sf_dir, "embeddings"), n_queries=8, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.lsh_ann_topk(load(spark, sf_dir, "embeddings"), n_queries=8, k=5)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.near_dup_pairs(load(spark, sf_dir, "embeddings"),
+                              threshold=0.8, id_limit=300)
+
+
+def q_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("bucket", sim.lsh_bucket_expr("embedding"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+# -- multimodal plumbing -------------------------------------------------------
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = with_fake_media(load(spark, sf_dir, "documents"))
+    return extract_media_features(media, fake=True)
+
+
+# -- non-SQL-expressible (rows-only oracle) ------------------------------------
+def _q_lineage_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .metrics import lineage_summary, with_lineage
+
+    seqs = fx.sequences(spark, _n(sf_dir))
+    _, lineage = with_lineage(seqs, "generate")
+    return lineage_summary(lineage).select("stage", "rows_total")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+def _attrs_str(source: str, renames: dict[str, str] | None = None,
+               add: dict[str, str] | None = None) -> str:
+    entries = {"team": f"team-{source}", "tier": str(fx.PRIORITY[source])}
+    if renames:
+        entries = {renames.get(k, k): v for k, v in entries.items()}
+    if add:
+        entries.update(add)
+    return ";".join(f"{k}={v}" for k, v in sorted(entries.items()))
+
+
+def build_oracle_sql() -> dict[str, str]:
+    pre = duck_prelude(ORACLE_N)
+    n = ORACLE_N
+    o: dict[str, str] = {}
+
+    o["pipeline_routed"] = f"""{pre}
+    SELECT doc_id, sink, rule_id, source, tenant, priority, n_tok,
+           array_to_string(tokens, ',') AS tokens_str
+    FROM routed"""
+
+    o["pipeline_sink_counts"] = f"""{pre}
+    SELECT sink, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+    FROM routed GROUP BY sink"""
+
+    o["source_counts_salted"] = f"""{pre}
+    SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+    FROM seq GROUP BY source"""
+
+    o["parse_extract"] = f"""{pre}
+    SELECT doc_id, stream_id, msg_seq, ts_str, host, lvl, src, n_tok,
+           trace_hex, msg, valid
+    FROM parsed"""
+    o["parse_extract_pandas"] = o["parse_extract"]
+
+    o["parse_quarantine_counts"] = f"""{pre}
+    SELECT 'oc_trace' AS tag, CAST(count(*) AS BIGINT) AS received,
+           CAST(sum(CASE WHEN NOT valid THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+    FROM parsed"""
+
+    o["quarantined_rows"] = f"""{pre}
+    SELECT doc_id, stream_id, msg_seq FROM parsed WHERE NOT valid"""
+
+    o["carry_forward"] = f"""{pre}
+    SELECT doc_id, stream_id, msg_seq,
+           last_value(node_host IGNORE NULLS) OVER (
+             PARTITION BY stream_id ORDER BY msg_seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS node_host_filled
+    FROM pay"""
+
+    o["sampler_keep"] = f"""{pre}
+    SELECT doc_id, seq_no FROM seq
+    WHERE {fx.sample_hash_sql('seq_no', '5')} < 2500"""
+
+    o["enrich_attrs"] = f"""{pre}
+    SELECT s.doc_id, s.source, d.tenant, d.priority, d.attrs_str
+    FROM seq s LEFT JOIN dim d ON s.source = d.source"""
+
+    add_rows = ", ".join(
+        f"('{s}', '{_attrs_str(s, add={'env': 'prod'})}')" for s in fx.SOURCES)
+    o["attrs_add"] = (
+        f"SELECT * FROM (VALUES {add_rows}) AS t(source, attrs_str)")
+
+    ren_rows = ", ".join(
+        f"('{s}', '{_attrs_str(s, renames={'team': 'owner_team'})}')" for s in fx.SOURCES)
+    o["attrs_rename"] = (
+        f"SELECT * FROM (VALUES {ren_rows}) AS t(source, attrs_str)")
+
+    o["union_two_receivers"] = f"""{pre}
+    SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+    FROM seq GROUP BY source"""
+
+    o["memlimit_shed"] = f"""{pre}
+    SELECT 'memory_limiter' AS stage, CAST(count(*) AS BIGINT) AS received,
+           CAST(sum(CASE WHEN n_tok > 200 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+    FROM seq"""
+
+    o["tpch_q1"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS count_order,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus"""
+
+    o["tpch_q3_top10"] = """
+    SELECT o_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10"""
+
+    o["region_supplier_rollup"] = """
+    SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name"""
+
+    o["window_topk_orders"] = """
+    SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+      FROM orders) WHERE rnk <= 3"""
+
+    o["events_json_extract"] = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type"""
+
+    o["events_sessionize"] = """
+    SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions FROM (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > 3600000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    GROUP BY user_id"""
+
+    o["events_window_agg"] = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win,
+           event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+    FROM events GROUP BY 1, 2"""
+
+    o["text_quality"] = f"""
+    SELECT doc_id, CAST({tx.token_count_sql_duck('text')} AS INTEGER) AS n_words,
+           round({tx.punct_ratio_sql_duck('text')}, 6) AS punct_ratio,
+           {tx.quality_score_sql_duck('text')} AS quality
+    FROM documents"""
+
+    o["lang_id"] = f"""
+    SELECT doc_id, {tx.lang_id_sql_duck('text')} AS lang_pred FROM documents"""
+
+    o["token_counts"] = f"""
+    SELECT doc_id, CAST({tx.token_count_sql_duck('text')} AS INTEGER) AS ws_tokens,
+           CAST({tx.bpe_token_estimate_sql_duck('text')} AS INTEGER) AS bpe_tokens
+    FROM documents"""
+
+    o["fingerprint_docs"] = f"""
+    SELECT doc_id, {tx.fingerprint_sql_duck('text')} AS fp FROM documents"""
+
+    o["dedup_exact"] = f"""
+    SELECT {tx.fingerprint_sql_duck('text')} AS fp,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_cnt
+    FROM documents GROUP BY 1"""
+
+    sh5 = tx.char_shingles_sql_duck("text", 5)
+    sig = dd.minhash_signature_sql_duck("shingles")
+    o["minhash_signatures"] = f"""
+    WITH sh AS (SELECT doc_id, {sh5} AS shingles FROM documents)
+    SELECT doc_id, array_to_string({sig}, ',') AS sig_str FROM sh"""
+
+    minhash_bands = f"""
+    WITH sh AS (SELECT doc_id, {sh5} AS shingles FROM documents),
+    sig AS (SELECT doc_id, {sig} AS s FROM sh),
+    bands AS (
+      SELECT doc_id, concat(CAST(b AS VARCHAR), ':',
+               array_to_string(list_slice(s, b * {dd.LSH_ROWS} + 1,
+                                          b * {dd.LSH_ROWS} + {dd.LSH_ROWS}), ',')) AS band_key
+      FROM sig, (SELECT unnest(range({dd.LSH_BANDS})) AS b))"""
+    o["minhash_candidates"] = f"""{minhash_bands}
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+
+    o["minhash_dedup_verified"] = f"""{minhash_bands},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                 len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+    FROM cands c
+    JOIN sh sa ON c.id_a = sa.doc_id
+    JOIN sh sb ON c.id_b = sb.doc_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+          len(list_distinct(sa.shingles || sb.shingles)) >= 0.3"""
+
+    sh3 = tx.char_shingles_sql_duck("text", 3)
+    o["ngram_jaccard_pairs"] = f"""
+    WITH sh AS (SELECT doc_id AS id, {sh3} AS s FROM documents WHERE doc_id < 150)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 /
+                 len(list_distinct(a.s || b.s)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+          len(list_distinct(a.s || b.s)) >= 0.5"""
+
+    o["simhash_values"] = f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                        w -> len(w) > 0)) AS w
+      FROM documents),
+    wh AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM words),
+    votes AS (
+      SELECT doc_id, {", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(dd.SIMHASH_BITS))}
+      FROM wh GROUP BY doc_id)
+    SELECT doc_id, CAST({" + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(dd.SIMHASH_BITS))} AS BIGINT) AS simhash
+    FROM votes"""
+
+    cos = sim.cosine_sql_duck
+    o["ann_topk"] = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({cos('q.q_emb', 'c.embedding')}, 6) AS cosine
+      FROM q JOIN embeddings c ON c.vec_id != q.query_id)
+    SELECT query_id, rnk, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+      FROM scored) WHERE rnk <= 5"""
+
+    bucket = sim.lsh_bucket_sql_duck("embedding")
+    o["ann_lsh_topk"] = f"""
+    WITH bucketed AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+          FROM bucketed WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({cos('q.q_emb', 'c.embedding')}, 6) AS cosine
+      FROM q JOIN bucketed c ON c.bucket = q.q_bucket AND c.vec_id != q.query_id)
+    SELECT query_id, rnk, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+      FROM scored) WHERE rnk <= 5"""
+
+    o["embedding_near_dup"] = f"""
+    WITH sub AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id < 300)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round({cos('a.e', 'b.e')}, 6) AS cosine
+    FROM sub a JOIN sub b ON a.id < b.id
+    WHERE round({cos('a.e', 'b.e')}, 6) >= 0.8"""
+
+    o["lsh_bucket_sizes"] = f"""
+    SELECT {bucket} AS bucket, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM embeddings GROUP BY 1"""
+
+    o["multimodal_features"] = """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
+                WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INTEGER) AS width,
+           CAST(ascii(substr(text, strlen(text), 1)) % 64 + 1 AS INTEGER) AS height,
+           md5(text) AS checksum
+    FROM documents"""
+
+    return o
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # pipeline (parse → enrich → route → aggregate)
+        "pipeline_routed": q_pipeline_routed,
+        "pipeline_sink_counts": q_pipeline_sink_counts,
+        "source_counts_salted": q_source_counts_salted,
+        "parse_extract": q_parse_extract,
+        "parse_extract_pandas": q_parse_extract_pandas,
+        "parse_quarantine_counts": q_parse_quarantine_counts,
+        "quarantined_rows": q_quarantined_rows,
+        "carry_forward": q_carry_forward,
+        "sampler_keep": q_sampler_keep,
+        "enrich_attrs": q_enrich_attrs,
+        "attrs_add": q_attrs_add,
+        "attrs_rename": q_attrs_rename,
+        "union_two_receivers": q_union_two_receivers,
+        "memlimit_shed": q_memlimit_shed,
+        # relational coverage
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3_top10": q_tpch_q3_top10,
+        "region_supplier_rollup": q_region_supplier_rollup,
+        "window_topk_orders": q_window_topk_orders,
+        "events_json_extract": q_events_json_extract,
+        "events_sessionize": q_events_sessionize,
+        "events_window_agg": q_events_window_agg,
+        # text analysis
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "fingerprint_docs": q_fingerprint_docs,
+        # dedup
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_candidates": q_minhash_candidates,
+        "minhash_dedup_verified": q_minhash_dedup_verified,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_values": q_simhash_values,
+        "simhash_pairs": q_simhash_pairs,
+        # similarity search
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lsh_bucket_sizes": q_lsh_bucket_sizes,
+        # multimodal plumbing
+        "multimodal_features": q_multimodal_features,
+        # rows-only (non-SQL-expressible: mapInPandas lineage)
+        "lineage_totals": _q_lineage_totals,
+    }

@@ -1,0 +1,101 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB at a given sf, compare row count,
+column names, and an order-insensitive value hash. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from omnition_opentelemetry_service_spark.session import get_spark  # noqa: E402
+from omnition_opentelemetry_service_spark.sources.loader import TABLES  # noqa: E402
+
+
+def canon(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_hash(rows, cols) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(parallelism=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:160]}")
+            failures.append(name)
+            continue
+        ok_cols = sorted(s_cols) == sorted(d_cols)
+        ok_count = len(s_rows) == len(d_rows)
+        sh = table_hash(s_rows, s_cols)
+        dh = table_hash(d_rows, d_cols)
+        ok_hash = sh == dh
+        status = "OK   " if (ok_cols and ok_count and ok_hash) else "FAIL "
+        print(f"{status} {name}: rows {len(s_rows)}/{len(d_rows)} "
+              f"cols={'=' if ok_cols else f'{s_cols} vs {d_cols}'} "
+              f"hash={'=' if ok_hash else 'MISMATCH'} [{time.time()-t0:.1f}s]")
+        if not (ok_cols and ok_count and ok_hash):
+            failures.append(name)
+            if ok_cols and s_rows and d_rows:
+                order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                s_set = {"|".join(canon(r[i]) for i in order) for r in s_rows}
+                dorder = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                d_set = {"|".join(canon(r[i]) for i in dorder) for r in d_rows}
+                for x in sorted(s_set - d_set)[:3]:
+                    print(f"        spark-only: {x[:200]}")
+                for x in sorted(d_set - s_set)[:3]:
+                    print(f"        duck-only:  {x[:200]}")
+    print(f"\n{len(failures)} failures: {failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
