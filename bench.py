@@ -1,0 +1,158 @@
+"""Benchmark harness — the driver runs this per round → BENCH_r{N}.json.
+
+Measures the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], then evidences the north
+rule's N→4N scaling-efficiency criterion by running the flagship pipeline on
+a materialized token table at local[2] vs local[8] — each in a FRESH
+subprocess with JVM core-visibility pinned to the simulated cluster size
+(tools/scale_probe.py). Two things make any other comparison on this box a
+lie, both measured: (a) a second SparkContext in one JVM is ~2-3× slower
+than the first (heap pollution), so levels must not share a process; (b) the
+JVM sizes GC/JIT by HOST cores, so an unpinned local[2] borrows 32 cores'
+worth of GC threads. The host truly parallelizes ~8-16 cores (32 is SMT), so
+2→8 is the honest 4× envelope; see BASELINE.md §"Scaling-evidence plan".
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "throughput": {"routed_rows": R, "rows_per_sec": ...},
+   "scaling": {"cores_low": 2, "cores_high": 8, "rows_per_sec_low": ...,
+               "rows_per_sec_high": ..., "efficiency": ...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from omnition_opentelemetry_service_spark import registry  # noqa: E402
+from omnition_opentelemetry_service_spark import fixtures as fx  # noqa: E402
+from omnition_opentelemetry_service_spark.plans import pipeline as pl  # noqa: E402
+from omnition_opentelemetry_service_spark.session import get_spark  # noqa: E402
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_LOW = int(os.environ.get("BENCH_SCALE_LOW", "2"))
+SCALE_HIGH = int(os.environ.get("BENCH_SCALE_HIGH", "8"))
+SCALE_N = int(os.environ.get("BENCH_SCALE_ROWS", "4000000"))
+
+# Headline queries: flagship pipeline + one per capability family.
+HEADLINE = [
+    "pipeline_routed",
+    "pipeline_sink_counts",
+    "parse_extract",
+    "parse_extract_pandas",
+    "carry_forward",
+    "source_counts_salted",
+    "enrich_attrs",
+    "tpch_q1",
+    "tpch_q3_top10",
+    "events_window_agg",
+    "events_sessionize",
+    "text_quality",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_dedup_verified",
+    "simhash_values",
+    "ann_topk",
+    "ann_lsh_topk",
+    "multimodal_features",
+]
+
+
+def _run_query(spark: SparkSession, fn, sf_dir: str) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    n = df.count()  # full materialization without driver-side collect cost
+    return time.perf_counter() - t0, n
+
+
+def _scale_input_dir() -> str:
+    """Materialize (once per machine) the parquet token table the scaling
+    probes read — the sandbox stand-in for the 10^12-row Iceberg table."""
+    out = f"/tmp/spark_graft_scale_input_{SCALE_N}"
+    marker = os.path.join(out, "_MATERIALIZED")
+    if not os.path.exists(marker):
+        spark = get_spark(app_name="bench-mat", parallelism=CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        fx.materialize_input(spark, SCALE_N, out, num_partitions=64)
+        spark.stop()
+        with open(marker, "w") as f:
+            f.write(str(SCALE_N))
+    return out
+
+
+def _scale_probe(cores: int, input_dir: str, repeats: int = 3) -> dict:
+    """One parallelism level = one fresh subprocess (fresh JVM, cores
+    pinned); see module docstring for why in-process comparison lies."""
+    res = subprocess.run(
+        [sys.executable, os.path.join(HERE, "tools", "scale_probe.py"),
+         str(cores), input_dir, str(repeats)],
+        capture_output=True, text=True, timeout=900,
+    )
+    line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_name = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.1
+
+    queries = registry.build_queries()
+    per_query: dict[str, float] = {}
+
+    spark = get_spark(app_name="bench", parallelism=CPUS,
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm the JVM AND the Python worker pool so the first pandas-UDF query
+    # doesn't absorb ~30-60s of worker startup into its number.
+    spark.range(1000).count()
+    spark.range(10000).mapInPandas(
+        lambda it: it, schema="id long").count()
+
+    for name in HEADLINE:
+        dt, _ = _run_query(spark, queries[name], SF_DIR)
+        per_query[name] = round(dt, 3)
+    spark.stop()
+
+    # Scaling evidence: same job, same materialized input, fresh pinned JVMs.
+    input_dir = _scale_input_dir()
+    low = _scale_probe(SCALE_LOW, input_dir)
+    high = _scale_probe(SCALE_HIGH, input_dir)
+    rps_low, rps_high = low["rows_per_sec"], high["rows_per_sec"]
+    ratio = SCALE_HIGH / SCALE_LOW
+    efficiency = (rps_high / rps_low) / ratio if rps_low > 0 else 0.0
+
+    out = {
+        "metric": "headline query wall time (sum) + routed-seq/sec scaling",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "throughput": {
+            "routed_rows": high["routed_rows"],
+            "rows_per_sec": rps_high,
+            "input_rows": SCALE_N,
+        },
+        "scaling": {
+            "cores_low": SCALE_LOW,
+            "cores_high": SCALE_HIGH,
+            "rows_per_sec_low": rps_low,
+            "rows_per_sec_high": rps_high,
+            "speedup": round(rps_high / rps_low, 3) if rps_low else None,
+            "efficiency": round(efficiency, 3),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""spark-submit entrypoint for the parse→enrich→route→aggregate pipeline.
+
+Usage (the north rule's multi-executor packaging; on a real cluster swap
+--master local[N] for the cluster master and add executor sizing):
+
+    tools/package.sh                       # builds dist/omnition_spark.zip
+    spark-submit --py-files dist/omnition_spark.zip \
+        jobs/run_pipeline.py --config tests/testdata/pipeline_config.yaml
+
+On the sandbox, the same file also runs directly:
+    python jobs/run_pipeline.py --config ... [--parallelism 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True, help="job spec YAML")
+    ap.add_argument("--parallelism", type=int, default=None,
+                    help="local[N] cores (ignored under a real cluster master)")
+    args = ap.parse_args()
+
+    # Import AFTER spark-submit has placed the --py-files zip on sys.path.
+    from omnition_opentelemetry_service_spark.plans import jobspec, pipeline
+    from omnition_opentelemetry_service_spark.session import get_spark
+
+    spark = get_spark(app_name="omnition-pipeline",
+                      parallelism=args.parallelism)
+    try:
+        for job in jobspec.load_jobs(args.config):
+            t0 = time.perf_counter()
+            res = pipeline.run_pipeline(spark, job.config)
+            dt = time.perf_counter() - t0
+            routed = sum(r.n_rows for r in res["sink_counts"])
+            print(json.dumps({
+                "pipeline": job.name,
+                "routed_rows": routed,
+                "rows_per_sec": round(routed / dt, 1),
+                "wall_sec": round(dt, 3),
+                "sink_counts": {r.sink: r.n_rows for r in res["sink_counts"]},
+                "counters": [list(c) for c in res["counters"]],
+            }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

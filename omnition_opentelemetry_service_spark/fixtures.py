@@ -66,6 +66,18 @@ LEVEL_CASE_SQL = (
 )
 
 
+def materialize_input(spark: SparkSession, n: int, out_dir: str,
+                      num_partitions: int | None = None) -> None:
+    """Write the F1/F2 fixture tables to parquet — the sandbox stand-in for
+    the 10^12-row Iceberg token table (BASELINE.json input_hint). Benchmarks
+    read THIS, so the measured job is scan→parse→join→route, not on-the-fly
+    generation."""
+    raw_payloads(spark, n, num_partitions).write.mode("overwrite").parquet(
+        f"{out_dir}/payloads")
+    sequences(spark, n, num_partitions).write.mode("overwrite").parquet(
+        f"{out_dir}/sequences")
+
+
 def n_rows_for_sf_dir(sf_dir: str, per_sf: int = 2_000_000) -> int:
     """Fixture row count for a testdata dir: sf0.001→2k, sf0.01→20k, sf0.1→200k."""
     name = sf_dir.rstrip("/").rsplit("/", 1)[-1]

@@ -80,7 +80,11 @@ def with_lineage(df: DataFrame, stage: str):
             n += len(pdf)
         yield pd.DataFrame({"stage": [stage], "partition_id": [pid], "rows": [n]})
 
-    lineage = df.mapInPandas(count_parts, "stage string, partition_id int, rows long")
+    # Counting needs no payload: project to one tiny column so the Arrow
+    # exchange doesn't ship token arrays just to measure row counts.
+    # (select is narrow — the partition structure being measured survives.)
+    lineage = df.select(F.lit(1).alias("one")).mapInPandas(
+        count_parts, "stage string, partition_id int, rows long")
     return df, lineage
 
 

@@ -53,13 +53,24 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def minhash_signature_expr(shingles_col: str = "shingles") -> F.Column:
-    """array<bigint> of MH_HASHES minhash values, fully JVM-side."""
+    """array<bigint> of MH_HASHES minhash values, fully JVM-side.
+
+    Shape matters for cost: the md5 base hash is computed ONCE per shingle
+    (the `transform` is the aggregate's input, evaluated a single time), and
+    the MH_HASHES affine permutations fold over those precomputed hashes as a
+    running elementwise minimum. The naive `transform(seq, j ->
+    array_min(...md5...))` form re-hashes every shingle per permutation —
+    16× the md5 work. Values are identical:
+    min_j = min over shingles of (a_j·x(s) + b_j) mod P."""
     a = f"CAST((j * {MH_A_MUL} + {MH_A_ADD}) % {MH_MODA} AS BIGINT)"
     b = f"CAST((j * {MH_B_MUL} + {MH_B_ADD}) % {MH_MODA} AS BIGINT)"
     xh = _XH_SPARK.format(s="s")
+    hashes = f"transform({shingles_col}, s -> {xh})"
+    init = f"transform(sequence(0, {MH_HASHES - 1}), j -> CAST({MH_PRIME} AS BIGINT))"
+    perms = f"transform(sequence(0, {MH_HASHES - 1}), j -> ({a} * x + {b}) % {MH_PRIME})"
     return F.expr(
-        f"transform(sequence(0, {MH_HASHES - 1}), j -> "
-        f"array_min(transform({shingles_col}, s -> ({a} * {xh} + {b}) % {MH_PRIME})))"
+        f"aggregate({hashes}, {init}, "
+        f"(acc, x) -> zip_with(acc, {perms}, (m, v) -> least(m, v)))"
     )
 
 
@@ -96,8 +107,14 @@ def minhash_candidates(docs_with_sig: DataFrame, id_col: str = "doc_id") -> Data
     Shape at scale: explode to (id, band_key) then equi-join on band_key —
     a plain shuffle hash join; no cross product ever materializes.
     """
-    keyed = docs_with_sig.select(
-        F.col(id_col).alias("id"), F.explode(lsh_band_keys_expr()).alias("band_key")
+    # Persist the signatures BEFORE deriving band keys: projection collapse
+    # would otherwise inline the md5-aggregate into the per-band transform
+    # (4× the hashing) and again into each side of the self-join. The cache
+    # is a hard barrier; at 100 TB this materialization is the signatures
+    # table every LSH pipeline writes before bucketing anyway.
+    sigs = docs_with_sig.select(F.col(id_col).alias("id"), "minhash").persist()
+    keyed = sigs.select(
+        "id", F.explode(lsh_band_keys_expr()).alias("band_key")
     )
     left = keyed.alias("l")
     right = keyed.alias("r")
@@ -111,8 +128,11 @@ def minhash_candidates(docs_with_sig: DataFrame, id_col: str = "doc_id") -> Data
 
 def jaccard_verify(candidates: DataFrame, docs_with_shingles: DataFrame,
                    id_col: str = "doc_id", threshold: float = 0.5) -> DataFrame:
-    """Exact jaccard on candidate pairs only (the cheap post-LSH filter)."""
-    sh = docs_with_shingles.select(F.col(id_col).alias("id"), "shingles")
+    """Exact jaccard on candidate pairs only (the cheap post-LSH filter).
+
+    The shingle table joins twice (id_a side, id_b side) — persist it so the
+    shingling expression runs once, not once per side."""
+    sh = docs_with_shingles.select(F.col(id_col).alias("id"), "shingles").persist()
     j = (
         candidates
         .join(sh.withColumnRenamed("shingles", "sh_a"), F.col("id_a") == F.col("id"))
@@ -155,14 +175,19 @@ SIMHASH_BITS = 60  # 15 md5 hex chars → < 2^60, stays positive in int64
 
 def simhash_expr(text_col: str = "text") -> F.Column:
     """60-bit SimHash over whitespace words, JVM-side: per-word 60-bit hash
-    (md5-derived), per-bit ±1 vote aggregate, sign → bit, pack to bigint."""
+    (md5-derived), per-bit ±1 vote aggregate, sign → bit, pack to bigint.
+
+    The word→hash map runs ONCE per word (transform as the aggregate input);
+    the 60 per-bit votes then shift the precomputed hash — not re-md5 it
+    (hashing inside the per-bit transform would cost 60× the md5 work)."""
     words = f"filter(split(lower(trim({text_col})), '\\\\s+'), w -> length(w) > 0)"
-    wh = "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"
+    whs = (f"transform({words}, "
+           f"w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))")
     votes = (
-        f"aggregate({words}, "
+        f"aggregate({whs}, "
         f"transform(sequence(0, {SIMHASH_BITS - 1}), b -> CAST(0 AS BIGINT)), "
-        f"(acc, w) -> zip_with(acc, "
-        f"transform(sequence(0, {SIMHASH_BITS - 1}), b -> (shiftright({wh}, b) & 1) * 2 - 1), "
+        f"(acc, h) -> zip_with(acc, "
+        f"transform(sequence(0, {SIMHASH_BITS - 1}), b -> (shiftright(h, b) & 1) * 2 - 1), "
         f"(a, v) -> a + v))"
     )
     pack = (

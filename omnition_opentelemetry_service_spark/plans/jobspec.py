@@ -1,0 +1,109 @@
+"""YAML job spec → pipeline wiring — the EP0 startup analog.
+
+Reference: main.go:32-37 builds factory registries and the upstream service
+loads a YAML with shape receivers/processors/exporters/pipelines (e.g.
+receiver/opencensusreceiver/testdata/config.yaml:1-28), instantiates each
+factory, and wires the consumer chain back-to-front. Here the YAML declares
+the same four sections and compiles into a ``PipelineConfig`` + sink list;
+the "consumer chain" is the declarative DataFrame DAG in plans/pipeline.py.
+
+Validation mirrors the reference's config-load error style: exact sentinel
+messages for unknown component references and missing sections (pattern:
+config golden tests, SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import yaml
+
+from .pipeline import PipelineConfig
+
+ERR_NO_PIPELINES = "config must define at least one pipeline"
+ERR_UNKNOWN_RECEIVER = "pipeline references unknown receiver: {name}"
+ERR_UNKNOWN_PROCESSOR = "pipeline references unknown processor: {name}"
+ERR_UNKNOWN_EXPORTER = "pipeline references unknown exporter: {name}"
+ERR_BAD_RECEIVER_TYPE = "receiver type must be one of: fixture_payloads, parquet"
+ERR_NO_EXPORTERS = "pipeline must list at least one exporter"
+
+KNOWN_RECEIVER_TYPES = ("fixture_payloads", "parquet")
+
+
+@dataclass
+class JobSpec:
+    """Compiled job: one PipelineConfig per declared pipeline."""
+
+    name: str
+    config: PipelineConfig
+    receivers: list[str]
+    exporters: list[str] = field(default_factory=list)
+
+
+def load_yaml(path: str) -> dict:
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def compile_spec(raw: dict) -> list[JobSpec]:
+    """Validate + compile the four-section YAML into JobSpecs.
+
+    Fan-out semantics follow the reference exactly: every routed batch goes
+    to ALL exporters listed by the pipeline (exporter/kinesis/testdata/
+    config.yaml:35-39); multiple receivers union into one pipeline."""
+    receivers = raw.get("receivers") or {}
+    processors = raw.get("processors") or {}
+    exporters = raw.get("exporters") or {}
+    pipelines = raw.get("pipelines") or {}
+    if not pipelines:
+        raise ValueError(ERR_NO_PIPELINES)
+
+    for rname, rcfg in receivers.items():
+        rtype = (rcfg or {}).get("type", "fixture_payloads")
+        if rtype not in KNOWN_RECEIVER_TYPES:
+            raise ValueError(ERR_BAD_RECEIVER_TYPE)
+
+    specs: list[JobSpec] = []
+    for pname, pcfg in pipelines.items():
+        pcfg = pcfg or {}
+        p_receivers = pcfg.get("receivers") or []
+        p_processors = pcfg.get("processors") or []
+        p_exporters = pcfg.get("exporters") or []
+        for r in p_receivers:
+            if r not in receivers:
+                raise ValueError(ERR_UNKNOWN_RECEIVER.format(name=r))
+        for p in p_processors:
+            if p not in processors:
+                raise ValueError(ERR_UNKNOWN_PROCESSOR.format(name=p))
+        for e in p_exporters:
+            if e not in exporters:
+                raise ValueError(ERR_UNKNOWN_EXPORTER.format(name=e))
+        if not p_exporters:
+            raise ValueError(ERR_NO_EXPORTERS)
+
+        # merge processor settings into one PipelineConfig
+        cfg = PipelineConfig()
+        first_recv = receivers[p_receivers[0]] or {} if p_receivers else {}
+        cfg.n_rows = first_recv.get("n_rows")
+        cfg.sf_dir = first_recv.get("sf_dir")
+        for p in p_processors:
+            pc = processors[p] or {}
+            if "impl" in pc:
+                cfg.parse_impl = pc["impl"]
+            if "salt_buckets" in pc:
+                cfg.salt_buckets = pc["salt_buckets"]
+            if "num_partitions" in pc:
+                cfg.num_partitions = pc["num_partitions"]
+        first_exp = exporters[p_exporters[0]] or {}
+        cfg.write_sinks_dir = first_exp.get("path")
+        cfg.checkpoint_dir = pcfg.get("checkpoint_dir")
+        cfg.sinks = list(p_exporters)
+        cfg.validate()
+        specs.append(JobSpec(name=pname, config=cfg,
+                             receivers=list(p_receivers),
+                             exporters=list(p_exporters)))
+    return specs
+
+
+def load_jobs(path: str) -> list[JobSpec]:
+    return compile_spec(load_yaml(path))

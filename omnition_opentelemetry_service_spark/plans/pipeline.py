@@ -43,6 +43,7 @@ ERR_BAD_SALT = "salt_buckets must be >= 0"
 class PipelineConfig:
     n_rows: int | None = None
     sf_dir: str | None = None
+    input_dir: str | None = None  # materialized payloads/ + sequences/ parquet
     parse_impl: str = "native"
     salt_buckets: int = 32
     checkpoint_dir: str | None = None
@@ -53,7 +54,7 @@ class PipelineConfig:
     def validate(self) -> None:
         if self.parse_impl not in ("native", "pandas"):
             raise ValueError(ERR_BAD_PARSE_IMPL)
-        if self.n_rows is None and self.sf_dir is None:
+        if self.n_rows is None and self.sf_dir is None and self.input_dir is None:
             raise ValueError(ERR_NO_INPUT)
         if self.salt_buckets < 0:
             raise ValueError(ERR_BAD_SALT)
@@ -68,10 +69,16 @@ class PipelineConfig:
 def build_routed(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFrame]:
     """Compose the full DAG lazily; returns named stage DataFrames."""
     cfg.validate()
-    n = cfg.n
 
-    payloads = fixtures.raw_payloads(spark, n, cfg.num_partitions)
-    seqs = fixtures.sequences(spark, n, cfg.num_partitions)
+    if cfg.input_dir:
+        # The scale path: scan the materialized token table (Iceberg/parquet
+        # at 10^12 rows) — filters and column pruning push into the scan.
+        payloads = spark.read.parquet(f"{cfg.input_dir}/payloads")
+        seqs = spark.read.parquet(f"{cfg.input_dir}/sequences")
+    else:
+        n = cfg.n
+        payloads = fixtures.raw_payloads(spark, n, cfg.num_partitions)
+        seqs = fixtures.sequences(spark, n, cfg.num_partitions)
     dim = fixtures.source_dim(spark)
     rules = fixtures.route_rules(spark)
 

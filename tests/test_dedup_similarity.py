@@ -1,0 +1,90 @@
+"""Dedup + similarity operators on small constructed corpora: known
+duplicates must be found; non-duplicates must not be."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omnition_opentelemetry_service_spark.operators import dedup as dd
+from omnition_opentelemetry_service_spark.operators import similarity as sim
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),      # exact dup of 0
+        (2, "The  quick  BROWN fox jumps over the lazy dog "),   # normalized dup
+        (3, "the quick brown fox jumps over the lazy cat"),      # near dup
+        (4, "completely different text about spark pipelines"),
+        (5, "entirely unrelated content regarding token arrays"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_normalized(spark):
+    out = {r.keep_id: r.dup_cnt for r in dd.exact_dedup(_docs(spark)).collect()}
+    # 0,1 identical; whether 2 normalizes into the same group depends on the
+    # fingerprint normalization — it lowercases + collapses whitespace.
+    assert out[0] >= 2
+    assert sum(out.values()) == 6
+
+
+def test_minhash_finds_near_dup_pair(spark):
+    docs = dd.with_minhash(_docs(spark))
+    cands = {(r.id_a, r.id_b) for r in dd.minhash_candidates(docs).collect()}
+    assert (0, 1) in cands  # identical docs always collide in every band
+    verified = dd.jaccard_verify(dd.minhash_candidates(docs), docs, threshold=0.9)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert pairs[(0, 1)] == 1.0
+
+
+def test_minhash_signature_identical_for_identical_text(spark):
+    docs = dd.with_minhash(_docs(spark))
+    sigs = {r.doc_id: tuple(r.minhash) for r in
+            docs.select("doc_id", "minhash").collect()}
+    assert sigs[0] == sigs[1]
+    assert len(sigs[0]) == dd.MH_HASHES
+    assert sigs[0] != sigs[4]
+
+
+def test_ngram_jaccard_symmetric_bounds(spark):
+    pairs = dd.ngram_jaccard_pairs(_docs(spark), id_limit=10, threshold=0.0)
+    for r in pairs.collect():
+        assert r.id_a < r.id_b
+        assert 0.0 <= r.jaccard <= 1.0
+    byid = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert byid[(0, 1)] == 1.0
+    assert byid[(0, 3)] > byid[(0, 4)]
+
+
+def test_simhash_close_for_near_dup(spark):
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dd.simhash_hamming_pairs(
+                 _docs(spark), max_hamming=60, id_limit=10).collect()}
+    assert pairs[(0, 1)] == 0  # identical text → identical simhash
+    assert pairs[(0, 3)] < pairs[(0, 4)]  # near-dup closer than unrelated
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.7071, 0.7071, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_ranks_by_cosine(spark):
+    out = sim.brute_force_topk(_vecs(spark), n_queries=1, k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rnk)
+    assert [r.query_id for r in rows] == [0, 0]
+    assert rows[0].neighbor_id == 1  # closest
+    assert rows[0].cosine > rows[1].cosine
+
+
+def test_near_dup_pairs_threshold(spark):
+    pairs = {(r.id_a, r.id_b) for r in
+             sim.near_dup_pairs(_vecs(spark), threshold=0.99, id_limit=10).collect()}
+    assert pairs == {(0, 1)}

@@ -1,0 +1,81 @@
+"""Config golden + validation tests for the YAML job spec — the reference's
+config_test.go pattern (load fixture YAML, assert fully-decoded config;
+table-driven sentinel errors)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from omnition_opentelemetry_service_spark.plans import jobspec as js
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDEN = os.path.join(HERE, "testdata", "pipeline_config.yaml")
+
+
+def test_golden_config_decodes_fully():
+    jobs = js.load_jobs(GOLDEN)
+    assert len(jobs) == 1
+    job = jobs[0]
+    assert job.name == "traces"
+    assert job.receivers == ["payloads"]
+    assert job.exporters == ["sinks"]
+    cfg = job.config
+    assert cfg.n_rows == 400
+    assert cfg.parse_impl == "native"
+    assert cfg.salt_buckets == 16
+    assert cfg.write_sinks_dir == "/tmp/spark-graft-sinks"
+
+
+@pytest.mark.parametrize(
+    "raw,err",
+    [
+        ({}, js.ERR_NO_PIPELINES),
+        (
+            {"pipelines": {"p": {"receivers": ["nope"], "exporters": ["e"]}},
+             "exporters": {"e": {}}},
+            js.ERR_UNKNOWN_RECEIVER.format(name="nope"),
+        ),
+        (
+            {"receivers": {"r": {"n_rows": 10}},
+             "exporters": {"e": {}},
+             "pipelines": {"p": {"receivers": ["r"], "processors": ["nope"],
+                                 "exporters": ["e"]}}},
+            js.ERR_UNKNOWN_PROCESSOR.format(name="nope"),
+        ),
+        (
+            {"receivers": {"r": {"n_rows": 10}},
+             "pipelines": {"p": {"receivers": ["r"], "exporters": ["nope"]}}},
+            js.ERR_UNKNOWN_EXPORTER.format(name="nope"),
+        ),
+        (
+            {"receivers": {"r": {"type": "grpc"}},
+             "pipelines": {"p": {"receivers": ["r"], "exporters": []}}},
+            js.ERR_BAD_RECEIVER_TYPE,
+        ),
+        (
+            {"receivers": {"r": {"n_rows": 10}},
+             "pipelines": {"p": {"receivers": ["r"], "exporters": []}}},
+            js.ERR_NO_EXPORTERS,
+        ),
+    ],
+)
+def test_config_validation_sentinels(raw, err):
+    with pytest.raises(ValueError) as ei:
+        js.compile_spec(raw)
+    assert str(ei.value) == err
+
+
+def test_compiled_config_runs_pipeline(spark, tmp_path):
+    """The compiled config actually drives the pipeline end-to-end."""
+    import yaml
+
+    from omnition_opentelemetry_service_spark.plans import pipeline as pl
+
+    raw = js.load_yaml(GOLDEN)
+    raw["exporters"]["sinks"]["path"] = str(tmp_path / "sinks")
+    job = js.compile_spec(raw)[0]
+    res = pl.run_pipeline(spark, job.config)
+    assert sum(r.n_rows for r in res["sink_counts"]) > 0
+    assert os.path.isdir(raw["exporters"]["sinks"]["path"])

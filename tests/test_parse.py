@@ -1,0 +1,63 @@
+"""Parse stage: grok compilation, native vs pandas parity, quarantine
+counting (protocol-violation analog, octrace/opencensus.go:119-121)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omnition_opentelemetry_service_spark import fixtures as fx
+from omnition_opentelemetry_service_spark.functions import parse as p
+
+N = 400
+EXPECTED_MALFORMED = sum(
+    1 for i in range(N) if i % fx.MALFORMED_MOD == fx.MALFORMED_RESIDUE
+)
+
+
+def test_grok_to_regex_compiles_fields():
+    rx, fields = p.grok_to_regex("%{WORD:a} n=%{INT:b}")
+    assert rx == r"^(\w+) n=(\d+)$"
+    assert fields == ["a", "b"]
+
+
+def test_native_parse_extracts_typed_fields(spark):
+    rows = p.parse_payload_native(fx.raw_payloads(spark, N)).orderBy("doc_id").collect()
+    assert len(rows) == N
+    r0 = rows[0]  # i=0
+    assert r0.valid
+    assert r0.ts_str == "2026-01-01T00:00:00Z"
+    assert r0.host == "h0"
+    assert r0.lvl == "INFO"
+    assert r0.src == "web"
+    assert r0.n_tok == fx.N_TOK_MIN
+    assert r0.msg == "seq 0"
+    bad = [r for r in rows if not r.valid]
+    assert len(bad) == EXPECTED_MALFORMED
+    assert all(r.n_tok is None and r.ts_str is None for r in bad)
+
+
+def test_pandas_parse_matches_native(spark):
+    """Two implementations, one contract — identical output frames."""
+    payloads = fx.raw_payloads(spark, N)
+    a = p.parse_payload_native(payloads)
+    b = p.parse_payload_pandas(payloads)
+    assert a.columns == b.columns
+    cols = a.columns
+    ra = sorted(tuple(r) for r in a.select(cols).collect())
+    rb = sorted(tuple(r) for r in b.select(cols).collect())
+    assert ra == rb
+
+
+def test_quarantine_split_counts(spark):
+    parsed = p.parse_payload_native(fx.raw_payloads(spark, N))
+    good, bad = p.quarantine_split(parsed)
+    assert good.count() == N - EXPECTED_MALFORMED
+    assert bad.count() == EXPECTED_MALFORMED
+    assert "valid" not in good.columns
+
+
+def test_with_event_time_roundtrip(spark):
+    parsed = p.parse_payload_native(fx.raw_payloads(spark, 50))
+    et = p.with_event_time(parsed).filter(F.col("valid"))
+    row = et.filter(F.col("doc_id") == "doc-000000000001").collect()[0]
+    assert row.event_time.isoformat().startswith("2026-01-01T00:00:01")

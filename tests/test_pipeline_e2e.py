@@ -1,0 +1,99 @@
+"""End-to-end pipeline: counters equality (obsreport analog), parallelism
+invariance (the N vs 4N correctness half of the scaling criterion), and
+checkpoint/resume (queued-retry replay analog)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omnition_opentelemetry_service_spark import fixtures as fx
+from omnition_opentelemetry_service_spark.plans import pipeline as pl
+
+N = 400
+N_MALFORMED = sum(
+    1 for i in range(N) if i % fx.MALFORMED_MOD == fx.MALFORMED_RESIDUE
+)
+
+
+def _routed_rows(spark, **cfg_kwargs):
+    st = pl.build_routed(spark, pl.PipelineConfig(n_rows=N, **cfg_kwargs))
+    return sorted(
+        (r.doc_id, r.rule_id, r.sink, r.n_tok, tuple(r.tokens))
+        for r in st["routed"].select(
+            "doc_id", "rule_id", "sink", "n_tok", "tokens").collect()
+    )
+
+
+def test_run_pipeline_counters_exact(spark):
+    """received/dropped counters measured via observe() — the obsreport
+    metrics-equality pattern (octrace/observability_test.go:41-96)."""
+    res = pl.run_pipeline(spark, pl.PipelineConfig(n_rows=N))
+    counters = {(s, t): (rec, dr) for s, t, rec, dr in res["counters"]}
+    assert counters[("parse", "oc_trace")] == (N, N_MALFORMED)
+
+
+def test_parallelism_invariance(spark):
+    """Identical routed rows at different partition counts — same-result-at-
+    two-parallelism-levels, the correctness half of the scaling criterion."""
+    assert _routed_rows(spark, num_partitions=2) == _routed_rows(
+        spark, num_partitions=16)
+
+
+def test_parse_impl_invariance(spark):
+    assert _routed_rows(spark, parse_impl="native") == _routed_rows(
+        spark, parse_impl="pandas")
+
+
+def test_lineage_totals_match_rowcount(spark):
+    res = pl.run_pipeline(spark, pl.PipelineConfig(n_rows=N))
+    lineage = {r.stage: r.rows_total for r in res["lineage"].collect()}
+    total_routed = sum(r.n_rows for r in res["sink_counts"])
+    assert lineage["route"] == total_routed
+
+
+def test_checkpoint_resume_byte_identical(spark, tmp_path):
+    """Kill-and-rerun semantics: second run with the same checkpoint dir
+    reads the committed snapshot instead of recomputing, rows identical."""
+    ckpt = str(tmp_path / "ckpt")
+    cfg1 = pl.PipelineConfig(n_rows=N, checkpoint_dir=ckpt)
+    res1 = pl.run_pipeline(spark, cfg1)
+    rows1 = sorted(
+        (r.doc_id, r.rule_id, r.sink, tuple(r.tokens))
+        for r in res1["routed"].select("doc_id", "rule_id", "sink", "tokens").collect()
+    )
+
+    cfg2 = pl.PipelineConfig(n_rows=N, checkpoint_dir=ckpt)
+    res2 = pl.run_pipeline(spark, cfg2)
+    rows2 = sorted(
+        (r.doc_id, r.rule_id, r.sink, tuple(r.tokens))
+        for r in res2["routed"].select("doc_id", "rule_id", "sink", "tokens").collect()
+    )
+    assert rows1 == rows2
+    # tokens survive the parquet round-trip as int32 exactly
+    assert res2["routed"].schema["tokens"].dataType.simpleString() == "array<int>"
+
+
+def test_sink_writes_partitioned_by_sink(spark, tmp_path):
+    out = str(tmp_path / "sinks")
+    pl.run_pipeline(spark, pl.PipelineConfig(n_rows=N, write_sinks_dir=out))
+    import os
+
+    parts = {d for d in os.listdir(out) if d.startswith("sink=")}
+    assert {"sink=sink_archive", "sink=sink_kinesis", "sink=sink_oc",
+            "sink=sink_metrics", "sink=sink_logging"} <= parts
+    back = spark.read.parquet(out)
+    st = pl.build_routed(spark, pl.PipelineConfig(n_rows=N))
+    assert back.count() == st["routed"].count()
+
+
+def test_salted_counts_equal_plain_groupby(spark):
+    seqs = fx.sequences(spark, N)
+    from omnition_opentelemetry_service_spark.operators.batcher import salted_counts
+
+    salted = {r.source: (r.n_rows, r.sum_n_tok)
+              for r in salted_counts(seqs, "source", 32).collect()}
+    plain = {r.source: (r.n_rows, r.sum_n_tok)
+             for r in seqs.groupBy("source").agg(
+                 F.count("*").alias("n_rows"),
+                 F.sum("n_tok").alias("sum_n_tok")).collect()}
+    assert salted == plain

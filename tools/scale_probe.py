@@ -1,0 +1,60 @@
+"""Run the flagship pipeline once at a given parallelism in THIS process and
+print rows/sec. Invoked as a subprocess per level by bench.py so every
+measurement gets a fresh JVM (successive SparkContexts in one JVM measurably
+degrade — GC/heap pollution skews any in-process comparison).
+
+Usage: python tools/scale_probe.py <cores> <input_dir> [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    input_dir = sys.argv[2]
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    from omnition_opentelemetry_service_spark.plans import pipeline as pl
+    from omnition_opentelemetry_service_spark.session import get_spark
+
+    # Pin GC threads to the simulated cluster size: the JVM otherwise sizes
+    # GC by HOST cores (32), silently gifting the small "cluster" 16× its
+    # fair CPU share during collections and skewing the comparison.
+    gc_threads = max(cores, 1)
+    spark = get_spark(
+        app_name=f"scale-{cores}", parallelism=cores,
+        shuffle_partitions=cores,
+        extra_conf={
+            "spark.driver.extraJavaOptions":
+                f"-XX:ParallelGCThreads={gc_threads} "
+                f"-XX:ConcGCThreads={max(1, gc_threads // 4)} "
+                f"-XX:ActiveProcessorCount={cores}",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()  # warmup
+
+    best = float("inf")
+    routed = 0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        st = pl.build_routed(spark, pl.PipelineConfig(input_dir=input_dir))
+        counts = st["routed"].groupBy("sink").count().collect()
+        best = min(best, time.perf_counter() - t0)
+        routed = sum(r["count"] for r in counts)
+    spark.stop()
+    print(json.dumps({"cores": cores, "routed_rows": routed,
+                      "wall_sec": round(best, 3),
+                      "rows_per_sec": round(routed / best, 1)}))
+
+
+if __name__ == "__main__":
+    main()
