@@ -66,6 +66,40 @@ LEVEL_CASE_SQL = (
 )
 
 
+def raw_json_payloads(spark: SparkSession, n: int,
+                      num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, payload) — JSON-encoded rows, the HTTP/JSON gateway analog
+    (reference POST /v1/trace JSON bodies, opencensusreceiver/opencensus.go:
+    261-268; field shapes opencensus_test.go:75-92). Built by string concat
+    (not to_json) so both engines produce byte-identical payloads."""
+    df = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    df = df.withColumnRenamed("id", "i")
+    ts = (f"date_format(timestamp_seconds({EPOCH0} + i), "
+          "\"yyyy-MM-dd'T'HH:mm:ss'Z'\")")
+    payload = (
+        "concat('{\"ts\":\"', " + ts + ", '\",\"src\":\"', "
+        f"({SOURCE_CASE_SQL}), '\",\"n\":', CAST({N_TOK_SQL} AS STRING), "
+        "',\"msg\":\"seq ', CAST(i AS STRING), '\"}')"
+    )
+    return df.select(
+        F.expr(DOC_ID_SQL).alias("doc_id"),
+        F.expr(payload).alias("payload"),
+    )
+
+
+def raw_json_payloads_sql_duck(n: int) -> str:
+    ts = ("strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(i), "
+          "'%Y-%m-%dT%H:%M:%SZ')")
+    return f"""
+    SELECT
+      {DOC_ID_SQL_DUCK} AS doc_id,
+      concat('{{"ts":"', {ts}, '","src":"', ({SOURCE_CASE_SQL}),
+             '","n":', CAST({N_TOK_SQL} AS VARCHAR),
+             ',"msg":"seq ', CAST(i AS VARCHAR), '"}}') AS payload
+    FROM (SELECT range AS i FROM range(0, {n}))
+    """
+
+
 def materialize_input(spark: SparkSession, n: int, out_dir: str,
                       num_partitions: int | None = None) -> None:
     """Write the F1/F2 fixture tables to parquet — the sandbox stand-in for

@@ -115,6 +115,29 @@ def parse_payload_pandas(df: DataFrame, payload_col: str = "payload") -> DataFra
     return df.mapInPandas(parse_batches, schema=PARSED_SCHEMA)
 
 
+JSON_GATEWAY_SCHEMA = "ts string, src string, n int, msg string"
+
+
+def parse_json_gateway(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JSON parse branch — the HTTP/JSON gateway + jaeger/zipkin receiver
+    analog (alternate per-format decode, components.go:47-48): `from_json`
+    is JVM-side (Jackson under codegen), one parse per row, no Python.
+    Output columns align with the grok branch so `unionByName` fuses
+    multi-format receivers into one pipeline."""
+    parsed = F.from_json(F.col(payload_col), JSON_GATEWAY_SCHEMA)
+    return (
+        df.withColumn("_p", parsed)
+        .select(
+            *[c for c in df.columns if c != payload_col],
+            F.col("_p.ts").alias("ts_str"),
+            F.col("_p.src").alias("src"),
+            F.col("_p.n").alias("n_tok"),
+            F.col("_p.msg").alias("msg"),
+            F.col("_p.ts").isNotNull().alias("valid"),
+        )
+    )
+
+
 def quarantine_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, quarantined) — quarantined rows keep doc_id + raw context for
     the dropped-spans counter path (obsreport analog, SURVEY.md §2.4)."""

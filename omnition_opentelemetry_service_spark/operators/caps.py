@@ -1,0 +1,35 @@
+"""Size-cap guards — TruncatableString + oversized-span rejection analogs.
+
+Reference: span names/messages are TruncatableString{value, truncated_byte_
+count} (opencensus_test.go:136); the kinesis exporter enforces
+MaxBytesPerSpan / MaxBytesPerBatch caps (kinesis/config.go:52-53,
+factory.go:58-59) — oversized spans are rejected, not sorted (SURVEY.md §2.5
+"truncation caps … length() guards, not sorts").
+
+Both are pure row-local expressions: no shuffle, fully codegen'd, pushdown-
+friendly — exactly what a 100 TB scan wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def truncatable(col: str, max_len: int, out_value: str = None,
+                out_dropped: str = None) -> list[Column]:
+    """TruncatableString projection: (value truncated to max_len,
+    truncated_byte_count). Names default to <col>_value / <col>_truncated."""
+    c = F.col(col)
+    return [
+        F.substring(c, 1, max_len).alias(out_value or f"{col}_value"),
+        F.greatest(F.length(c) - max_len, F.lit(0))
+        .cast("int").alias(out_dropped or f"{col}_truncated"),
+    ]
+
+
+def reject_oversized(df: DataFrame, size_col: str, max_size: int) -> tuple[DataFrame, DataFrame]:
+    """(kept, rejected) split on a size cap — MaxBytesPerSpan semantics:
+    the oversized row is dropped whole and counted, never truncated."""
+    keep = F.col(size_col) <= F.lit(max_size)
+    return df.filter(keep), df.filter(~keep)

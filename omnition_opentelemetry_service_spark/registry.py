@@ -30,7 +30,9 @@ from . import fixtures as fx
 from .functions import parse as parse_fns
 from .functions import text as tx
 from .functions.tokens import tokens_str
+from .operators import caps
 from .operators import dedup as dd
+from .operators import packing as pk
 from .operators import similarity as sim
 from .operators.batcher import salted_counts
 from .operators.carryforward import carry_forward
@@ -184,6 +186,49 @@ def q_memlimit_shed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("received"),
         F.sum(F.when(~shed_predicate(200), 1).otherwise(0)).alias("dropped"),
     )
+
+
+def q_parse_json_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse_fns.parse_json_gateway(fx.raw_json_payloads(spark, _n(sf_dir)))
+    return parsed.select("doc_id", "ts_str", "src", "n_tok", "msg", "valid")
+
+
+def q_union_multi_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two receiver formats → one pipeline (unionByName of parse branches,
+    the multi-receiver pipeline YAML analog): per-source counts over the
+    union of the grok branch and the JSON branch."""
+    n = _n(sf_dir)
+    grok = parse_fns.parse_payload_native(fx.raw_payloads(spark, n)) \
+        .filter(F.col("valid")).select("doc_id", "src", "n_tok")
+    js = parse_fns.parse_json_gateway(fx.raw_json_payloads(spark, n)) \
+        .filter(F.col("valid")).select("doc_id", "src", "n_tok")
+    return grok.unionByName(js).groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("n_tok").alias("sum_n_tok"))
+
+
+def q_truncate_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse_fns.parse_payload_native(fx.raw_payloads(spark, _n(sf_dir)))
+    good = parsed.filter(F.col("valid"))
+    return good.select(
+        "doc_id", *caps.truncatable("msg", 8))
+
+
+def q_oversized_reject_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs = fx.sequences(spark, _n(sf_dir))
+    kept, rejected = caps.reject_oversized(seqs, "n_tok", 200)
+    return kept.select(F.lit("kept").alias("side"), "doc_id").unionByName(
+        rejected.select(F.lit("rejected").alias("side"), "doc_id")
+    ).groupBy("side").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = pk.with_pack_id(fx.sequences(spark, _n(sf_dir)), budget=2048)
+    return packed.select("doc_id", "source", "pack_id")
+
+
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = pk.with_pack_id(fx.sequences(spark, _n(sf_dir)), budget=2048)
+    return pk.pack_stats(packed)
 
 
 # -- TPC-H-ish relational coverage on driver tables --------------------------
@@ -469,6 +514,57 @@ def build_oracle_sql() -> dict[str, str]:
            CAST(sum(CASE WHEN n_tok > 200 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
     FROM seq"""
 
+    jpay = fx.raw_json_payloads_sql_duck(n)
+    o["parse_json_gateway"] = f"""
+    WITH jpay AS ({jpay})
+    SELECT doc_id,
+           json_extract_string(payload, '$.ts') AS ts_str,
+           json_extract_string(payload, '$.src') AS src,
+           CAST(json_extract(payload, '$.n') AS INTEGER) AS n_tok,
+           json_extract_string(payload, '$.msg') AS msg,
+           json_extract_string(payload, '$.ts') IS NOT NULL AS valid
+    FROM jpay"""
+
+    o["union_multi_format"] = f"""{pre},
+    jpay AS ({jpay}),
+    jparsed AS (
+      SELECT doc_id, json_extract_string(payload, '$.src') AS src,
+             CAST(json_extract(payload, '$.n') AS INTEGER) AS n_tok
+      FROM jpay)
+    SELECT src, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+    FROM (SELECT src, n_tok FROM parsed WHERE valid
+          UNION ALL SELECT src, n_tok FROM jparsed)
+    GROUP BY src"""
+
+    o["truncate_caps"] = f"""{pre}
+    SELECT doc_id, substring(msg, 1, 8) AS msg_value,
+           CAST(greatest(len(msg) - 8, 0) AS INTEGER) AS msg_truncated
+    FROM parsed WHERE valid"""
+
+    o["oversized_reject_counts"] = f"""{pre}
+    SELECT CASE WHEN n_tok <= 200 THEN 'kept' ELSE 'rejected' END AS side,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM seq GROUP BY 1"""
+
+    o["pack_sequences"] = f"""{pre}
+    SELECT doc_id, source,
+           CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY seq_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+             / 2048) AS BIGINT) AS pack_id
+    FROM seq"""
+
+    o["pack_stats"] = f"""{pre},
+    packed AS (
+      SELECT source, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY seq_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+               / 2048) AS BIGINT) AS pack_id
+      FROM seq)
+    SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY source, pack_id"""
+
     o["tpch_q1"] = """
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -675,6 +771,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attrs_rename": q_attrs_rename,
         "union_two_receivers": q_union_two_receivers,
         "memlimit_shed": q_memlimit_shed,
+        "parse_json_gateway": q_parse_json_gateway,
+        "union_multi_format": q_union_multi_format,
+        "truncate_caps": q_truncate_caps,
+        "oversized_reject_counts": q_oversized_reject_counts,
+        "pack_sequences": q_pack_sequences,
+        "pack_stats": q_pack_stats,
         # relational coverage
         "tpch_q1": q_tpch_q1,
         "tpch_q3_top10": q_tpch_q3_top10,

@@ -1,0 +1,106 @@
+"""Structured Streaming variant of the parse→enrich→route pipeline.
+
+The reference IS a streaming service: gRPC stream receivers push TraceData
+batches through the consumer chain continuously (octrace/opencensus.go:
+100-147), the node-batcher re-buckets by size/timeout (components.go:69) and
+exporters flush on an interval (kinesis/factory.go:51). The batch rebuild is
+the north-rule target, but this module re-expresses the same stage chain as
+a streaming DAG so the engine covers both execution modes with ONE set of
+stage definitions:
+
+    readStream (file source over the token table)
+      → parse (same parse_payload_native expression)
+      → enrich (same broadcast dim join — stream-static joins are supported)
+      → route  (same broadcast rules theta-join + deterministic sampler)
+      → windowed per-sink counts with watermark (batch-interval analog)
+      → sink (memory/parquet via foreachBatch, checkpointed)
+
+Design notes for scale:
+- stream-static broadcast joins keep the stream side shuffle-free; only the
+  windowed aggregate shuffles (keyed on sink × window).
+- the watermark bounds state exactly like the reference's batch timeout
+  bounds buffering (at-most-once drop of very-late data ≈ the collector's
+  counted at-most-once loss model, memorylimiter.go:119-127).
+- checkpointLocation gives resume-from-offset — the streaming twin of the
+  batch snapshot/resume (sinks/snapshot.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fixtures
+from ..functions import parse as parse_fns
+from ..operators.enrich import enrich_with_dim
+from ..operators.router import route
+
+PAYLOAD_SCHEMA = ("doc_id string, payload string, stream_id int, "
+                  "msg_seq int, node_host string")
+SEQ_SCHEMA = ("doc_id string, tokens array<int>, n_tok int, source string, "
+              "seq_no bigint")
+
+
+def read_payload_stream(spark: SparkSession, input_dir: str,
+                        max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream over the materialized payload table (each parquet
+    file = one micro-batch quantum; the gRPC-stream analog)."""
+    return (
+        spark.readStream.schema(PAYLOAD_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{input_dir}/payloads")
+    )
+
+
+def build_routed_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """The same parse→enrich→route stages, applied to a stream.
+
+    Carry-forward is the one stage that cannot run on an unbounded stream as
+    a plain window (needs per-stream ordering); the streaming form drops it —
+    the fixture sets node_host on batch heads, matching the reference's
+    'first message carries Node' contract per quantum.
+    """
+    payloads = read_payload_stream(spark, input_dir)
+    seqs = spark.read.parquet(f"{input_dir}/sequences")  # static side
+    parsed = parse_fns.parse_payload_native(payloads)
+    good = parsed.filter(F.col("valid"))
+    spans = good.select("doc_id", "stream_id", "msg_seq", "ts_str").join(
+        seqs, "doc_id")  # stream-static equi-join
+    enriched = enrich_with_dim(spans, fixtures.source_dim(spark))
+    return route(enriched, fixtures.route_rules(spark))
+
+
+def windowed_sink_counts(routed: DataFrame,
+                         window: str = "1 minute",
+                         watermark: str = "2 minutes") -> DataFrame:
+    """Per-sink tumbling-window counts with a watermark bounding state —
+    the batch-timeout/flush-interval analog."""
+    with_time = routed.withColumn(
+        "event_time", F.to_timestamp("ts_str", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "sink")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("n_tok").alias("sum_n_tok"))
+        .select(F.col("window.start").alias("win_start"), "sink",
+                "n_rows", "sum_n_tok")
+    )
+
+
+def run_stream_once(spark: SparkSession, input_dir: str,
+                    checkpoint_dir: str, out_table: str = "stream_counts",
+                    window: str = "1 minute") -> DataFrame:
+    """Process all available input as micro-batches (availableNow), then
+    return the aggregated counts. availableNow + checkpoint = the batch-like
+    'drain the backlog, exactly-once per sink commit' mode."""
+    counts = windowed_sink_counts(build_routed_stream(spark, input_dir),
+                                  window=window)
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory").queryName(out_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(out_table)
