@@ -112,6 +112,22 @@ def materialize_input(spark: SparkSession, n: int, out_dir: str,
         f"{out_dir}/sequences")
 
 
+def materialize_input_bucketed(spark: SparkSession, n: int, db: str = "bench",
+                               buckets: int = 16,
+                               num_partitions: int | None = None) -> None:
+    """Write the token tables BUCKETED by the join key (doc_id) — the 100 TB
+    layout: payloads ⨝ sequences becomes a co-located join with NO exchange
+    on either (huge) side. This is the Iceberg `bucket(N, doc_id)` partition
+    transform expressed through the session catalog; the shuffle the plain
+    parquet layout pays (2 exchanges + sort of 10^12 rows) disappears."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for name, df in (("payloads", raw_payloads(spark, n, num_partitions)),
+                     ("sequences", sequences(spark, n, num_partitions))):
+        (df.write.mode("overwrite")
+         .bucketBy(buckets, "doc_id").sortBy("doc_id")
+         .format("parquet").saveAsTable(f"{db}.{name}"))
+
+
 def n_rows_for_sf_dir(sf_dir: str, per_sf: int = 2_000_000) -> int:
     """Fixture row count for a testdata dir: sf0.001→2k, sf0.01→20k, sf0.1→200k."""
     name = sf_dir.rstrip("/").rsplit("/", 1)[-1]

@@ -44,6 +44,7 @@ class PipelineConfig:
     n_rows: int | None = None
     sf_dir: str | None = None
     input_dir: str | None = None  # materialized payloads/ + sequences/ parquet
+    input_db: str | None = None  # bucketed catalog tables (<db>.payloads/...)
     parse_impl: str = "native"
     salt_buckets: int = 32
     checkpoint_dir: str | None = None
@@ -54,7 +55,8 @@ class PipelineConfig:
     def validate(self) -> None:
         if self.parse_impl not in ("native", "pandas"):
             raise ValueError(ERR_BAD_PARSE_IMPL)
-        if self.n_rows is None and self.sf_dir is None and self.input_dir is None:
+        if (self.n_rows is None and self.sf_dir is None
+                and self.input_dir is None and self.input_db is None):
             raise ValueError(ERR_NO_INPUT)
         if self.salt_buckets < 0:
             raise ValueError(ERR_BAD_SALT)
@@ -70,7 +72,12 @@ def build_routed(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
     """Compose the full DAG lazily; returns named stage DataFrames."""
     cfg.validate()
 
-    if cfg.input_dir:
+    if cfg.input_db:
+        # Bucketed-by-doc_id catalog tables: the payload ⨝ sequences join
+        # runs exchange-free on both sides (fixtures.materialize_input_bucketed).
+        payloads = spark.table(f"{cfg.input_db}.payloads")
+        seqs = spark.table(f"{cfg.input_db}.sequences")
+    elif cfg.input_dir:
         # The scale path: scan the materialized token table (Iceberg/parquet
         # at 10^12 rows) — filters and column pruning push into the scan.
         payloads = spark.read.parquet(f"{cfg.input_dir}/payloads")
