@@ -124,6 +124,80 @@ def lsh_bucket_sql_duck(emb_col: str = "embedding",
     return "concat(" + ", ".join(bits) + ")"
 
 
+# -- IVF (inverted-file) ANN ---------------------------------------------------
+# Deterministic IVF-flat: coarse "centroids" are a fixed arithmetic sample of
+# the corpus (vec_id ≡ RESIDUE mod MOD — the deterministic stand-in for
+# k-means training; the index structure and query path are the real thing).
+IVF_CENTROID_MOD = 97
+IVF_CENTROID_RESIDUE = 3
+
+
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    return emb.filter(
+        F.col("vec_id") % IVF_CENTROID_MOD == IVF_CENTROID_RESIDUE
+    ).select(F.col("vec_id").alias("centroid_id"),
+             F.col("embedding").alias("c_emb"))
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               nprobe: int = 1) -> DataFrame:
+    """Rank cells per vector by cosine (tie → smaller centroid_id); keep the
+    top ``nprobe``. nprobe=1 = index assignment; >1 = query-side probes.
+
+    Scale shape: ONE corpus scan × K dot products map-side (centroids are
+    broadcast); the only shuffle is the per-vector ranking window, keyed on
+    the high-cardinality vec_id."""
+    scored = emb.crossJoin(broadcast(centroids)).withColumn(
+        "c_score", cosine_expr("embedding", "c_emb"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_score"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("c_rnk", F.row_number().over(w))
+        .filter(F.col("c_rnk") <= nprobe)
+        .select("vec_id", "embedding",
+                F.col("centroid_id").alias("cell"), "c_rnk")
+    )
+
+
+def ivf_cell_sizes(emb: DataFrame) -> DataFrame:
+    """Cell-occupancy histogram — the index-balance diagnostic."""
+    assigned = ivf_assign(emb, ivf_centroids(emb), nprobe=1)
+    return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def ivf_ann_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
+                 nprobe: int = 2) -> DataFrame:
+    """IVF search: queries probe their ``nprobe`` nearest cells and rank
+    exactly within those cells only. The candidate join is an equi-join on
+    cell — candidates shrink ~|cells|/nprobe-fold and no cross product ever
+    forms."""
+    cents = ivf_centroids(emb)
+    assigned = ivf_assign(emb, cents, nprobe=1).persist()
+    probes = (
+        ivf_assign(emb.filter(F.col("vec_id") < n_queries), cents,
+                   nprobe=nprobe)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"), "cell")
+    )
+    cands = assigned.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("embedding").alias("c_emb"), "cell")
+    scored = (
+        cands.join(broadcast(probes),
+                   ["cell"]).filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr("q_emb", "c_emb"), 6))
+        # a neighbor reachable via 2 probed cells must count once — dedupe
+        # BEFORE ranking or it would consume two ranks
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cosine")
+    )
+
+
 def lsh_ann_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
                  n_planes: int = LSH_PLANES) -> DataFrame:
     """ANN: exact rank restricted to the query's LSH bucket. Recall < 1 by

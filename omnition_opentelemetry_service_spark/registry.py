@@ -409,6 +409,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                               threshold=0.8, id_limit=300)
 
 
+def q_ivf_cell_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_cell_sizes(load(spark, sf_dir, "embeddings"))
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_ann_topk(load(spark, sf_dir, "embeddings"),
+                            n_queries=8, k=5, nprobe=2)
+
+
 def q_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return (
@@ -730,6 +739,42 @@ def build_oracle_sql() -> dict[str, str]:
                ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
       FROM scored) WHERE rnk <= 5"""
 
+    ivf_pre = f"""
+    WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+                   FROM embeddings
+                   WHERE vec_id % {sim.IVF_CENTROID_MOD} = {sim.IVF_CENTROID_RESIDUE}),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos('e.embedding', 'c.c_emb')} DESC, c.centroid_id) AS c_rnk
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE c_rnk = 1)"""
+
+    o["ivf_cell_sizes"] = f"""{ivf_pre}
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM assigned GROUP BY cell"""
+
+    o["ivf_ann_topk"] = f"""{ivf_pre},
+    probes AS (
+      SELECT query_id, q_emb, cell FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+               c.centroid_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos('e.embedding', 'c.c_emb')} DESC, c.centroid_id) AS c_rnk
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 8)
+      WHERE c_rnk <= 2),
+    scored AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+             round({cos('p.q_emb', 'a.embedding')}, 6) AS cosine
+      FROM probes p JOIN assigned a
+        ON a.cell = p.cell AND a.vec_id != p.query_id)
+    SELECT query_id, rnk, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+      FROM scored) WHERE rnk <= 5"""
+
     o["embedding_near_dup"] = f"""
     WITH sub AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id < 300)
     SELECT a.id AS id_a, b.id AS id_b,
@@ -801,6 +846,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_cell_sizes": q_ivf_cell_sizes,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_bucket_sizes": q_lsh_bucket_sizes,
         # multimodal plumbing

@@ -88,3 +88,33 @@ def test_near_dup_pairs_threshold(spark):
     pairs = {(r.id_a, r.id_b) for r in
              sim.near_dup_pairs(_vecs(spark), threshold=0.99, id_limit=10).collect()}
     assert pairs == {(0, 1)}
+
+
+def _ivf_corpus(spark):
+    # two tight clusters around orthogonal axes; centroid sample picks
+    # vec_id 3 and 100 (mod 97 residue 3)
+    rows = []
+    for i in range(0, 98):  # cluster A near x-axis
+        rows.append((i, [1.0, 0.001 * (i % 7), 0.0, 0.0]))
+    for i in range(98, 196):  # cluster B near y-axis
+        rows.append((i, [0.001 * (i % 7), 1.0, 0.0, 0.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_assignment_clusters(spark):
+    emb = _ivf_corpus(spark)
+    cents = sim.ivf_centroids(emb)
+    assert {r.centroid_id for r in cents.collect()} == {3, 100}
+    assigned = sim.ivf_assign(emb, cents, nprobe=1)
+    cells = {r.vec_id: r.cell for r in assigned.collect()}
+    assert all(cells[i] == 3 for i in range(0, 98))
+    assert all(cells[i] == 100 for i in range(98, 196))
+
+
+def test_ivf_topk_stays_in_cluster(spark):
+    out = sim.ivf_ann_topk(_ivf_corpus(spark), n_queries=2, k=3, nprobe=1)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    for r in rows:
+        assert r.neighbor_id < 98  # queries are cluster-A → neighbors too
+        assert r.cosine > 0.99
