@@ -221,6 +221,22 @@ def q_oversized_reject_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("side").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def q_trace_id_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary id handling (SURVEY.md §2.5 scalar functions): the JSON
+    gateway carries base64 ids, the wire carries 16-byte binary
+    (opencensus_test.go:80-81,134). Round-trip hex → binary → base64 and
+    back — all JVM-side codecs."""
+    parsed = parse_fns.parse_payload_native(fx.raw_payloads(spark, _n(sf_dir)))
+    good = parsed.filter(F.col("valid"))
+    b = F.unhex(F.col("trace_hex"))
+    return good.select(
+        "doc_id",
+        F.base64(b).alias("trace_b64"),
+        F.lower(F.hex(F.unbase64(F.base64(b)))).alias("trace_roundtrip"),
+        F.length(b).cast("int").alias("id_bytes"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pk.with_pack_id(fx.sequences(spark, _n(sf_dir)), budget=2048)
     return packed.select("doc_id", "source", "pack_id")
@@ -556,6 +572,13 @@ def build_oracle_sql() -> dict[str, str]:
            CAST(count(*) AS BIGINT) AS n_rows
     FROM seq GROUP BY 1"""
 
+    o["trace_id_codec"] = f"""{pre}
+    SELECT doc_id,
+           to_base64(from_hex(trace_hex)) AS trace_b64,
+           lower(hex(from_base64(to_base64(from_hex(trace_hex))))) AS trace_roundtrip,
+           CAST(octet_length(from_hex(trace_hex)) AS INTEGER) AS id_bytes
+    FROM parsed WHERE valid"""
+
     o["pack_sequences"] = f"""{pre}
     SELECT doc_id, source,
            CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY seq_no
@@ -695,6 +718,28 @@ def build_oracle_sql() -> dict[str, str]:
     WHERE len(list_intersect(a.s, b.s)) * 1.0 /
           len(list_distinct(a.s || b.s)) >= 0.5"""
 
+    simhash_cte = f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                        w -> len(w) > 0)) AS w
+      FROM documents WHERE doc_id < 150),
+    wh AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM words),
+    votes AS (
+      SELECT doc_id, {", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(dd.SIMHASH_BITS))}
+      FROM wh GROUP BY doc_id),
+    sh AS (
+      SELECT doc_id, CAST({" + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(dd.SIMHASH_BITS))} AS BIGINT) AS simhash
+      FROM votes)"""
+    o["simhash_pairs"] = f"""{simhash_cte}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 18"""
+
     o["simhash_values"] = f"""
     WITH words AS (
       SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
@@ -822,6 +867,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oversized_reject_counts": q_oversized_reject_counts,
         "pack_sequences": q_pack_sequences,
         "pack_stats": q_pack_stats,
+        "trace_id_codec": q_trace_id_codec,
         # relational coverage
         "tpch_q1": q_tpch_q1,
         "tpch_q3_top10": q_tpch_q3_top10,

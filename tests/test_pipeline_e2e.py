@@ -86,6 +86,28 @@ def test_sink_writes_partitioned_by_sink(spark, tmp_path):
     assert back.count() == st["routed"].count()
 
 
+def test_batch_by_key_colocates_and_salts(spark):
+    """Node-batcher analog: repartition(key) makes each key partition-local;
+    salted form spreads the hot key over multiple partitions without losing
+    any rows."""
+    from omnition_opentelemetry_service_spark.operators.batcher import batch_by_key
+
+    seqs = fx.sequences(spark, N)
+    plain = batch_by_key(seqs, "source", num_partitions=6)
+    # each partition holds at most... every row of a key lands in ONE partition
+    per_part = plain.withColumn(
+        "pid", F.spark_partition_id()).groupBy("source").agg(
+        F.countDistinct("pid").alias("nparts")).collect()
+    assert all(r.nparts == 1 for r in per_part)
+
+    salted = batch_by_key(seqs, "source", num_partitions=6, salt_buckets=8)
+    assert salted.count() == N  # lossless
+    hot = salted.withColumn("pid", F.spark_partition_id()) \
+        .filter(F.col("source") == "web") \
+        .select("pid").distinct().count()
+    assert hot > 1  # hot key no longer owned by a single task
+
+
 def test_salted_counts_equal_plain_groupby(spark):
     seqs = fx.sequences(spark, N)
     from omnition_opentelemetry_service_spark.operators.batcher import salted_counts
