@@ -449,6 +449,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- non-SQL-expressible (rows-only oracle) ------------------------------------
+def _q_counters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """obsreport counters surface: run the pipeline with observe()-based
+    counters and return the (stage, tag, received, dropped) table — the
+    received/dropped-per-receiver-tag assertion target
+    (octrace/observability_test.go:41-96). Counter values come from
+    Observations (driver-side after an action), hence rows-only."""
+    res = pl.run_pipeline(spark, pl.PipelineConfig(n_rows=_n(sf_dir)))
+    rows = [(s, t, int(r), int(d)) for s, t, r, d in res["counters"]]
+    return spark.createDataFrame(
+        rows, "stage string, tag string, received long, dropped long")
+
+
 def _q_lineage_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .metrics import lineage_summary, with_lineage
 
@@ -498,6 +510,14 @@ def build_oracle_sql() -> dict[str, str]:
 
     o["parse_quarantine_counts"] = f"""{pre}
     SELECT 'oc_trace' AS tag, CAST(count(*) AS BIGINT) AS received,
+           CAST(sum(CASE WHEN NOT valid THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+    FROM parsed"""
+
+    # counters come from Observations on the Spark side; the oracle states
+    # what those counters MUST equal (the observability_test.go pattern).
+    o["counters_table"] = f"""{pre}
+    SELECT 'parse' AS stage, 'oc_trace' AS tag,
+           CAST(count(*) AS BIGINT) AS received,
            CAST(sum(CASE WHEN NOT valid THEN 1 ELSE 0 END) AS BIGINT) AS dropped
     FROM parsed"""
 
@@ -898,6 +918,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_sizes": q_lsh_bucket_sizes,
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
-        # rows-only (non-SQL-expressible: mapInPandas lineage)
+        # rows-only (non-SQL-expressible: mapInPandas lineage / Observations)
         "lineage_totals": _q_lineage_totals,
+        "counters_table": _q_counters_table,
     }

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis): each property generates a BATCH of
+cases and runs ONE Spark job against an independent Python model — Spark
+semantics must match the model on arbitrary inputs, not just fixtures.
+Few examples per property (Spark job ≈ 1s); hypothesis still explores edge
+cases (empty strings, unicode, zero-length arrays) via its shrinker."""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from pyspark.sql import functions as F
+
+from omnition_opentelemetry_service_spark.functions import parse as pf
+from omnition_opentelemetry_service_spark.operators import packing as pk
+from omnition_opentelemetry_service_spark.operators.caps import truncatable
+
+SET = settings(max_examples=5, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=1,
+               max_size=12)
+msg_text = st.text(alphabet=st.characters(blacklist_characters='"\n\r',
+                                          codec="utf-8"), max_size=30)
+
+
+@SET
+@given(st.lists(st.tuples(word, word, st.integers(0, 10**6), msg_text),
+                min_size=1, max_size=20))
+def test_grok_roundtrip(spark, cases):
+    """A payload assembled from arbitrary components parses back exactly."""
+    rows = [
+        (i, f"2026-01-01T00:00:{i % 60:02d}Z host={h} lvl={l} "
+            f"src=websrc n={n} trace={'0' * 32} msg=\"{m}\"")
+        for i, (h, l, n, m) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, "i long, payload string")
+    got = {r.i: (r.host, r.lvl, r.n_tok, r.msg, r.valid)
+           for r in pf.parse_payload_native(df).collect()}
+    for i, (h, l, n, m) in enumerate(cases):
+        assert got[i] == (h, l, n, m, True)
+
+
+@SET
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=20),
+       st.integers(1, 20))
+def test_truncatable_matches_python(spark, texts, max_len):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, s string")
+    got = {r.i: (r.s_value, r.s_truncated)
+           for r in df.select("i", *truncatable("s", max_len)).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == (t[:max_len], max(len(t) - max_len, 0))
+
+
+@SET
+@given(st.lists(st.integers(1, 4096), min_size=1, max_size=40),
+       st.integers(128, 4096))
+def test_packing_matches_python(spark, n_toks, budget):
+    rows = [(f"d{i:04d}", "k", i, n) for i, n in enumerate(n_toks)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, "
+                                     "seq_no long, n_tok int")
+    got = {r.seq_no: r.pack_id
+           for r in pk.with_pack_id(df, budget=budget).collect()}
+    off = 0
+    for i, n in enumerate(n_toks):
+        assert got[i] == off // budget
+        off += n
+
+
+@SET
+@given(st.lists(st.lists(st.integers(0, 50256), max_size=30),
+                min_size=1, max_size=15))
+def test_token_checksum_matches_python(spark, arrays):
+    from omnition_opentelemetry_service_spark.functions.tokens import (
+        tokens_checksum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)],
+        "i long, tokens array<int>")
+    got = {r.i: r.cs for r in
+           df.select("i", tokens_checksum().alias("cs")).collect()}
+    M = 144115188075855859
+    for i, a in enumerate(arrays):
+        acc = 7
+        for t in a:
+            acc = (acc * 31 + t) % M
+        assert got[i] == acc
+
+
+@SET
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=30),
+       st.floats(0.0, 100.0))
+def test_sampler_deterministic_and_bounded(spark, seqs, pct):
+    """Sampler keeps iff LCG-hash < pct*100 — matches the Python model and
+    never depends on partitioning."""
+    from omnition_opentelemetry_service_spark import fixtures as fx
+    from omnition_opentelemetry_service_spark.operators.router import (
+        sampler_pass,
+    )
+
+    df = spark.createDataFrame(
+        [(s, 1, float(pct)) for s in set(seqs)],
+        "seq_no long, rule_id int, sample_pct double")
+    kept = {r.seq_no for r in df.filter(sampler_pass()).collect()}
+    for s in set(seqs):
+        h = ((s + 1 * fx.RULE_SALT) * fx.SAMPLE_A + fx.SAMPLE_B) % fx.SAMPLE_MOD
+        assert (s in kept) == (h < int(pct * 100))
