@@ -128,6 +128,30 @@ def materialize_input_bucketed(spark: SparkSession, n: int, db: str = "bench",
          .format("parquet").saveAsTable(f"{db}.{name}"))
 
 
+BUCKETED_SCHEMAS = {
+    "payloads": ("doc_id string, payload string, stream_id int, "
+                 "msg_seq int, node_host string"),
+    "sequences": ("doc_id string, tokens array<int>, n_tok int, "
+                  "source string, seq_no bigint"),
+}
+
+
+def register_bucketed_input(spark: SparkSession, db: str = "bench",
+                            buckets: int = 16) -> None:
+    """Re-register the bucketed tables written by materialize_input_bucketed
+    in a NEW session's catalog (the default in-memory catalog does not
+    persist table metadata across processes; the files + bucket layout do).
+    No-op if the tables already exist in this session."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for name, schema in BUCKETED_SCHEMAS.items():
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {db}.{name} ({schema}) "
+            f"USING parquet CLUSTERED BY (doc_id) SORTED BY (doc_id) "
+            f"INTO {buckets} BUCKETS LOCATION '{wh}/{db}.db/{name}'"
+        )
+
+
 def n_rows_for_sf_dir(sf_dir: str, per_sf: int = 2_000_000) -> int:
     """Fixture row count for a testdata dir: sf0.001→2k, sf0.01→20k, sf0.1→200k."""
     name = sf_dir.rstrip("/").rsplit("/", 1)[-1]

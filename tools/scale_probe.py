@@ -4,6 +4,8 @@ measurement gets a fresh JVM (successive SparkContexts in one JVM measurably
 degrade — GC/heap pollution skews any in-process comparison).
 
 Usage: python tools/scale_probe.py <cores> <input_dir> [repeats]
+       input_dir may be "db:<database>" to read bucketed catalog tables
+       (fixtures.materialize_input_bucketed) instead of plain parquet.
 """
 
 from __future__ import annotations
@@ -42,11 +44,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).count()  # warmup
 
+    if input_dir.startswith("db:"):
+        from omnition_opentelemetry_service_spark import fixtures as fx
+
+        fx.register_bucketed_input(spark, db=input_dir[3:])
+        cfg_kwargs = {"input_db": input_dir[3:]}
+    else:
+        cfg_kwargs = {"input_dir": input_dir}
+
     best = float("inf")
     routed = 0
     for _ in range(repeats):
         t0 = time.perf_counter()
-        st = pl.build_routed(spark, pl.PipelineConfig(input_dir=input_dir))
+        st = pl.build_routed(spark, pl.PipelineConfig(**cfg_kwargs))
         counts = st["routed"].groupBy("sink").count().collect()
         best = min(best, time.perf_counter() - t0)
         routed = sum(r["count"] for r in counts)
