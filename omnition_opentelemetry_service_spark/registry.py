@@ -411,6 +411,41 @@ def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", dd.simhash_expr("text").alias("simhash"))
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data cleaning pass, composed from the text +
+    dedup operators: keep documents that (a) pass the quality gate, (b) are
+    identified as a known language, and (c) are the keeper of their exact-
+    duplicate group. One scan + one agg-join; the anti-join is on the tiny
+    duplicate-group table (broadcast)."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text",
+        tx.quality_score("text").alias("quality"),
+        tx.lang_id("text").alias("lang"),
+        tx.fingerprint("text").alias("fp"),
+    )
+    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        scored.join(broadcast(keepers),
+                    (scored["fp"] == keepers["fp"])
+                    & (scored["doc_id"] == keepers["keep_id"]))
+        .filter((F.col("quality") >= 0.5) & (F.col("lang") != "und"))
+        .select("doc_id", "lang", "quality")
+    )
+
+
+def q_sequence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-array dedup over the token table itself (doc-level
+    fingerprints don't see token-level duplication): group by the canonical
+    token string's md5. Map-side partial agg keeps the shuffle tiny."""
+    seqs = fx.sequences(spark, _n(sf_dir))
+    return (
+        seqs.withColumn("tok_fp", F.md5(tokens_str()))
+        .groupBy("tok_fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
 # -- embeddings: similarity search --------------------------------------------
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(load(spark, sf_dir, "embeddings"), n_queries=8, k=5)
@@ -776,6 +811,24 @@ def build_oracle_sql() -> dict[str, str]:
         for b in range(dd.SIMHASH_BITS))} AS BIGINT) AS simhash
     FROM votes"""
 
+    o["corpus_filter"] = f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {tx.quality_score_sql_duck('text')} AS quality,
+             {tx.lang_id_sql_duck('text')} AS lang,
+             {tx.fingerprint_sql_duck('text')} AS fp
+      FROM documents),
+    keepers AS (SELECT fp, min(doc_id) AS keep_id FROM scored GROUP BY fp)
+    SELECT s.doc_id, s.lang, s.quality
+    FROM scored s JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keep_id
+    WHERE s.quality >= 0.5 AND s.lang != 'und'"""
+
+    o["sequence_dedup"] = f"""{pre}
+    SELECT md5(array_to_string(tokens, ',')) AS tok_fp,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_cnt
+    FROM seq GROUP BY 1"""
+
     cos = sim.cosine_sql_duck
     o["ann_topk"] = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
@@ -909,6 +962,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_values": q_simhash_values,
         "simhash_pairs": q_simhash_pairs,
+        "corpus_filter": q_corpus_filter,
+        "sequence_dedup": q_sequence_dedup,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
