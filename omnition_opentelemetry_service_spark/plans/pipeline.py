@@ -92,6 +92,16 @@ def build_routed(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
     parse = (parse_fns.parse_payload_native if cfg.parse_impl == "native"
              else parse_fns.parse_payload_pandas)
     parsed = parse(payloads)
+    stages = build_from_parsed(spark, parsed, seqs, dim, rules)
+    stages["payloads"] = payloads
+    return stages
+
+
+def build_from_parsed(spark: SparkSession, parsed: DataFrame,
+                      seqs: DataFrame, dim: DataFrame,
+                      rules: DataFrame) -> dict[str, DataFrame]:
+    """Stages downstream of parse — split out so resume can rebuild from a
+    committed parsed snapshot instead of re-parsing."""
     good, quarantined = parse_fns.quarantine_split(parsed)
     good = carry_forward(good)
 
@@ -106,7 +116,6 @@ def build_routed(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
     enriched = enrich_with_dim(spans, dim, key="source", how="left")
     routed = route(enriched, rules)
     return {
-        "payloads": payloads,
         "parsed": parsed,
         "quarantined": quarantined,
         "spans": spans,
@@ -115,15 +124,45 @@ def build_routed(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
     }
 
 
-def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
-    """Execute with counters, lineage, optional snapshot checkpoints.
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
+                 fail_after: str | None = None) -> dict:
+    """Execute with counters, lineage, optional per-stage snapshot commits.
+
+    With ``checkpoint_dir`` set, EVERY major stage (parsed, routed) commits a
+    snapshot; a re-run skips any stage whose snapshot is committed and
+    rebuilds downstream from it — kill-anywhere resumability (the
+    queued-retry replay analog). ``fail_after`` injects a crash right after
+    the named stage's commit (test seam for the kill-mid-pipeline test;
+    pattern: injected state, memorylimiter_test.go:104-157).
 
     Returns dict with 'routed' (DataFrame), 'sink_counts' (list of Rows),
     'counters' (list of tuples), 'lineage' (DataFrame of per-stage totals).
     """
     cfg.validate()
     counters = StageCounters()
-    stages = build_routed(spark, cfg)
+
+    resumed_parse = False
+    if cfg.checkpoint_dir:
+        t_parsed = SnapshotTable(os.path.join(cfg.checkpoint_dir, "parsed"))
+        if t_parsed.has_stage("parsed"):
+            parsed = t_parsed.read(spark)  # resume: skip the parse stage
+            resumed_parse = True
+        else:
+            stages0 = build_routed(spark, cfg)
+            t_parsed.write(stages0["parsed"], stage="parsed")
+            parsed = t_parsed.read(spark)
+        if fail_after == "parsed":
+            raise RuntimeError("injected failure after stage: parsed")
+        n_parts = cfg.num_partitions
+        seqs = (spark.table(f"{cfg.input_db}.sequences") if cfg.input_db
+                else spark.read.parquet(f"{cfg.input_dir}/sequences")
+                if cfg.input_dir
+                else fixtures.sequences(spark, cfg.n, n_parts))
+        stages = build_from_parsed(spark, parsed, seqs,
+                                   fixtures.source_dim(spark),
+                                   fixtures.route_rules(spark))
+    else:
+        stages = build_routed(spark, cfg)
 
     # Counters measured in the same pass as the aggregate action (observe).
     parsed_obs = counters.observe_stage(
@@ -139,6 +178,8 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         else:
             table.write(routed, stage="routed", partition_by=["sink"])
             routed = table.read(spark)
+        if fail_after == "routed":
+            raise RuntimeError("injected failure after stage: routed")
 
     routed, lineage = with_lineage(routed, "route")
 

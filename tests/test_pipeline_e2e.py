@@ -73,6 +73,39 @@ def test_checkpoint_resume_byte_identical(spark, tmp_path):
     assert res2["routed"].schema["tokens"].dataType.simpleString() == "array<int>"
 
 
+def test_kill_after_parse_resumes_from_snapshot(spark, tmp_path):
+    """Kill mid-pipeline (injected crash after the parsed commit), re-run,
+    byte-identical outputs — and the parsed stage is NOT recomputed (its
+    snapshot version must not advance on resume)."""
+    import pytest as _pytest
+
+    from omnition_opentelemetry_service_spark.sinks.snapshot import (
+        SnapshotTable,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    with _pytest.raises(RuntimeError, match="injected failure after stage: parsed"):
+        pl.run_pipeline(spark, pl.PipelineConfig(n_rows=N, checkpoint_dir=ckpt),
+                        fail_after="parsed")
+    t_parsed = SnapshotTable(str(tmp_path / "ckpt" / "parsed"))
+    assert t_parsed.current_version() == 1
+
+    res = pl.run_pipeline(spark, pl.PipelineConfig(n_rows=N, checkpoint_dir=ckpt))
+    assert t_parsed.current_version() == 1  # resumed, not recomputed
+    resumed = sorted(
+        (r.doc_id, r.rule_id, r.sink, tuple(r.tokens))
+        for r in res["routed"].select("doc_id", "rule_id", "sink", "tokens").collect())
+
+    clean = pl.run_pipeline(spark, pl.PipelineConfig(n_rows=N))
+    expect = sorted(
+        (r.doc_id, r.rule_id, r.sink, tuple(r.tokens))
+        for r in clean["routed"].select("doc_id", "rule_id", "sink", "tokens").collect())
+    assert resumed == expect
+    # counters still exact when parse came from the snapshot
+    counters = {(s, t): (rec, dr) for s, t, rec, dr in res["counters"]}
+    assert counters[("parse", "oc_trace")] == (N, N_MALFORMED)
+
+
 def test_sink_writes_partitioned_by_sink(spark, tmp_path):
     out = str(tmp_path / "sinks")
     pl.run_pipeline(spark, pl.PipelineConfig(n_rows=N, write_sinks_dir=out))
