@@ -64,7 +64,12 @@ HEADLINE = [
     "simhash_values",
     "ann_topk",
     "ann_lsh_topk",
+    "ivf_ann_topk",
     "multimodal_features",
+    "parse_json_gateway",
+    "pack_sequences",
+    "corpus_filter",
+    "sequence_dedup",
 ]
 
 
