@@ -391,7 +391,9 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = dd.with_minhash(load(spark, sf_dir, "documents"))
+    # persist once: candidates reads (minhash), verify reads (shingles) —
+    # without the cache the shingling scan runs twice
+    docs = dd.with_minhash(load(spark, sf_dir, "documents")).persist()
     cands = dd.minhash_candidates(docs)
     return dd.jaccard_verify(cands, docs, threshold=0.3)
 

@@ -1,0 +1,54 @@
+"""Vectorization audit (BASELINE.json input_hint: 'vectorized pandas/Arrow
+UDFs, no per-row Python'): the package must never register a row-at-a-time
+Python UDF, and driver-side loops over collect() must not appear in operator
+code. Enforced as a source lint so a refactor can't silently regress the
+execution model."""
+
+from __future__ import annotations
+
+import os
+import re
+
+PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "omnition_opentelemetry_service_spark")
+
+ROW_UDF = re.compile(r"(?<![\w.])udf\s*\(|F\.udf\b|@udf\b|\.rdd\b|spark_partition_id\(\).*collect")
+COLLECT_LOOP = re.compile(r"for\s+\w+\s+in\s+\w+\.collect\(\)")
+
+
+def _sources():
+    for root, dirs, files in os.walk(PKG):
+        dirs[:] = [d for d in dirs if d != "__pycache__"]
+        for f in files:
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                yield p, open(p).read()
+
+
+def test_no_row_at_a_time_udfs():
+    hits = [f"{p}: {m.group(0)}" for p, src in _sources()
+            for m in [ROW_UDF.search(src)] if m]
+    assert not hits, hits
+
+
+def test_no_driver_side_collect_loops_in_operators():
+    hits = []
+    for p, src in _sources():
+        if "/operators/" in p or "/functions/" in p:
+            m = COLLECT_LOOP.search(src)
+            if m:
+                hits.append(f"{p}: {m.group(0)}")
+    assert not hits, hits
+
+
+def test_pandas_udfs_only_where_declared():
+    """mapInPandas/pandas_udf may appear only in the modules designed around
+    Arrow batches."""
+    allowed = {"parse.py", "multimodal.py", "metrics.py",
+               "registry.py"}  # registry mentions mapInPandas in comments only
+    hits = []
+    for p, src in _sources():
+        if ("mapInPandas" in src or "pandas_udf" in src) and \
+                os.path.basename(p) not in allowed:
+            hits.append(p)
+    assert not hits, hits
