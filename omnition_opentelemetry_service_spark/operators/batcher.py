@@ -28,6 +28,27 @@ def batch_by_key(df: DataFrame, key: str = "source", num_partitions: int | None 
     return df.repartition(num_partitions, key) if num_partitions else df.repartition(key)
 
 
+def node_batches(df: DataFrame, batch_size: int = 100,
+                 key: str = "stream_id", order: str = "msg_seq") -> DataFrame:
+    """The node-batcher's literal semantics (components.go:69): re-bucket
+    rows per Node/stream into size-bounded batches, implemented as a grouped
+    applyInPandas — the engine's custom grouped-operator extension surface
+    (Arrow batch per group; sort + integer-divide, all vectorized numpy).
+    Equivalent SQL (the oracle): (row_number() per stream − 1) div size."""
+    import numpy as np  # noqa: F401  (executors)
+
+    def assign(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(order)
+        pdf["batch_no"] = (np.arange(len(pdf)) // batch_size).astype("int32")
+        return pdf[["doc_id", key, order, "batch_no"]]
+
+    return df.groupBy(key).applyInPandas(
+        assign,
+        schema=f"doc_id string, {key} int, {order} int, batch_no int")
+
+
 def salted_counts(df: DataFrame, key: str = "source", salt_buckets: int = 32) -> DataFrame:
     """Two-phase aggregate for hot keys: partial per (key, salt) → final per
     key. Results are identical to a plain groupBy (validated by oracle); the

@@ -66,3 +66,39 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
             yield out
 
     return media.mapInPandas(feats, schema=MEDIA_SCHEMA)
+
+
+CHUNK_SCHEMA = "doc_id bigint, chunk_id int, chunk_len int, chunk_md5 string"
+
+
+def media_chunks(media: DataFrame, chunk_chars: int = 64) -> DataFrame:
+    """Frame-sampling plumbing: explode each media buffer into fixed-size
+    chunks (the video frame / audio window analog) — a mapInPandas stage
+    whose OUTPUT has more rows than its input (the UDTF shape). Chunking is
+    vectorized (pandas str.findall + explode per Arrow batch); a real
+    decoder would replace the UTF-8 decode with frame extraction."""
+    import re as _re
+
+    pat = _re.compile(f".{{1,{chunk_chars}}}", _re.DOTALL)
+
+    def chunks(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            text = pdf["media"].map(lambda b: bytes(b).decode("utf-8"))
+            exploded = pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "ch": text.str.findall(pat),
+            }).explode("ch")
+            exploded = exploded[exploded["ch"].notna()]
+            out = pd.DataFrame()
+            out["doc_id"] = exploded["doc_id"].astype("int64")
+            out["chunk_id"] = exploded.groupby("doc_id").cumcount().astype("int32")
+            out["chunk_len"] = exploded["ch"].str.len().astype("int32")
+            out["chunk_md5"] = exploded["ch"].map(
+                lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+            yield out
+
+    return media.mapInPandas(chunks, schema=CHUNK_SCHEMA)

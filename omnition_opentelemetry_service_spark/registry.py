@@ -109,6 +109,31 @@ def q_source_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_counts(fx.sequences(spark, _n(sf_dir)), "source", 32)
 
 
+def q_node_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.batcher import node_batches
+
+    return node_batches(fx.raw_payloads(spark, _n(sf_dir)), batch_size=100)
+
+
+def q_token_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-aggregate surface: exact interpolated percentiles of sequence
+    length per source (Spark `percentile` ≡ DuckDB `quantile_cont`)."""
+    seqs = fx.sequences(spark, _n(sf_dir))
+    return seqs.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.expr("percentile(n_tok, array(0.25D, 0.5D, 0.75D))"),
+                lambda x: F.round(x, 6).cast("string")),
+            ",").alias("quartiles"))
+
+
+def q_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import media_chunks
+
+    media = with_fake_media(load(spark, sf_dir, "documents"))
+    return media_chunks(media, chunk_chars=64)
+
+
 def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_fns.parse_payload_native(fx.raw_payloads(spark, _n(sf_dir)))
     return parsed.select("doc_id", "stream_id", "msg_seq", "ts_str", "host",
@@ -539,6 +564,30 @@ def build_oracle_sql() -> dict[str, str]:
            CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
     FROM seq GROUP BY source"""
 
+    o["node_batches"] = f"""{pre}
+    SELECT doc_id, stream_id, msg_seq,
+           CAST((row_number() OVER (PARTITION BY stream_id ORDER BY msg_seq)
+                 - 1) // 100 AS INTEGER) AS batch_no
+    FROM pay"""
+
+    o["token_length_quantiles"] = f"""{pre}
+    SELECT source,
+           array_to_string(list_transform(
+             quantile_cont(n_tok, [0.25, 0.5, 0.75]),
+             x -> CAST(round(x, 6) AS VARCHAR)), ',') AS quartiles
+    FROM seq GROUP BY source"""
+
+    o["media_chunks"] = """
+    WITH c AS (
+      SELECT doc_id, text,
+             CAST(ceil(len(text) / 64.0) AS INTEGER) AS nch
+      FROM documents WHERE len(text) > 0),
+    ex AS (SELECT doc_id, text, unnest(range(nch)) AS j FROM c)
+    SELECT doc_id, CAST(j AS INTEGER) AS chunk_id,
+           CAST(len(substr(text, CAST(j AS INTEGER) * 64 + 1, 64)) AS INTEGER) AS chunk_len,
+           md5(substr(text, CAST(j AS INTEGER) * 64 + 1, 64)) AS chunk_md5
+    FROM ex"""
+
     o["parse_extract"] = f"""{pre}
     SELECT doc_id, stream_id, msg_seq, ts_str, host, lvl, src, n_tok,
            trace_hex, msg, valid
@@ -925,6 +974,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_routed": q_pipeline_routed,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "source_counts_salted": q_source_counts_salted,
+        "node_batches": q_node_batches,
+        "token_length_quantiles": q_token_length_quantiles,
+        "media_chunks": q_media_chunks,
         "parse_extract": q_parse_extract,
         "parse_extract_pandas": q_parse_extract_pandas,
         "parse_quarantine_counts": q_parse_quarantine_counts,

@@ -44,7 +44,7 @@ def test_no_driver_side_collect_loops_in_operators():
 def test_pandas_udfs_only_where_declared():
     """mapInPandas/pandas_udf may appear only in the modules designed around
     Arrow batches."""
-    allowed = {"parse.py", "multimodal.py", "metrics.py",
+    allowed = {"parse.py", "multimodal.py", "metrics.py", "batcher.py",
                "registry.py"}  # registry mentions mapInPandas in comments only
     hits = []
     for p, src in _sources():
