@@ -30,3 +30,65 @@ def carry_forward(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_col, F.last(value_col, ignorenulls=True).over(w))
+
+
+def carry_forward_scalable(
+    df: DataFrame,
+    value_col: str = "node_host",
+    stream_col: str = "stream_id",
+    order_col: str = "msg_seq",
+    out_col: str = "node_host_filled",
+    slice_rows: int = 1 << 16,
+) -> DataFrame:
+    """Fill-forward whose parallelism is bounded by DATA SIZE, not by stream
+    count — the 10^12-row path when streams are few and huge (the plain
+    window puts one entire stream on one task).
+
+    The stream is cut into bounded SLICES keyed by the data itself
+    (``slice = order_col div slice_rows`` — deterministic; a physical
+    `spark_partition_id` would differ between AQE re-executions of the
+    reused subtree and corrupt the carry). Then:
+      1. local fill: window over (stream, slice) — a huge stream spans
+         many slices, so many tasks;
+      2. per-(stream, slice) boundary value: tiny `max_by` aggregate;
+      3. carry-in per slice = last boundary of any earlier slice (window
+         over the tiny boundary table), broadcast-joined back and coalesced
+         under the local fill.
+
+    Identical output to carry_forward (pinned by tests across slice sizes,
+    leading-null and all-null slices included).
+    """
+    sliced = df.withColumn(
+        "_slice", (F.col(order_col) / F.lit(slice_rows)).cast("long"))
+    w_local = (
+        Window.partitionBy(stream_col, "_slice")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sliced.withColumn(
+        "_local_fill", F.last(value_col, ignorenulls=True).over(w_local))
+
+    bounds = (
+        sliced.filter(F.col(value_col).isNotNull())
+        .groupBy(stream_col, "_slice")
+        .agg(F.max_by(value_col, F.col(order_col)).alias("_last_val"))
+    )
+    # slices with no non-null value still need a carry-in: full grid of
+    # slices present in the data, boundary filled forward over slice order.
+    grid = sliced.select(stream_col, "_slice").distinct()
+    w_grid = (
+        Window.partitionBy(stream_col).orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        grid.join(bounds, [stream_col, "_slice"], "left")
+        .select(stream_col, "_slice",
+                F.last("_last_val", ignorenulls=True).over(w_grid)
+                .alias("_carry"))
+    )
+
+    return (
+        local.join(F.broadcast(carry), [stream_col, "_slice"], "left")
+        .withColumn(out_col, F.coalesce("_local_fill", "_carry"))
+        .drop("_slice", "_local_fill", "_carry")
+    )

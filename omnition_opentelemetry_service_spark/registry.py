@@ -165,6 +165,14 @@ def q_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select("doc_id", "stream_id", "msg_seq", "node_host_filled")
 
 
+def q_carry_forward_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.carryforward import carry_forward_scalable
+
+    filled = carry_forward_scalable(fx.raw_payloads(spark, _n(sf_dir)),
+                                    slice_rows=64)
+    return filled.select("doc_id", "stream_id", "msg_seq", "node_host_filled")
+
+
 def q_sampler_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = fx.sequences(spark, _n(sf_dir))
     return seqs.filter(
@@ -617,6 +625,9 @@ def build_oracle_sql() -> dict[str, str]:
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS node_host_filled
     FROM pay"""
 
+    # the scalable fill must produce the identical table
+    o["carry_forward_scalable"] = o["carry_forward"]
+
     o["sampler_keep"] = f"""{pre}
     SELECT doc_id, seq_no FROM seq
     WHERE {fx.sample_hash_sql('seq_no', '5')} < 2500"""
@@ -982,6 +993,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_quarantine_counts": q_parse_quarantine_counts,
         "quarantined_rows": q_quarantined_rows,
         "carry_forward": q_carry_forward,
+        "carry_forward_scalable": q_carry_forward_scalable,
         "sampler_keep": q_sampler_keep,
         "enrich_attrs": q_enrich_attrs,
         "attrs_add": q_attrs_add,

@@ -42,3 +42,44 @@ def test_fill_is_per_stream(spark):
     rows = carry_forward(fx.raw_payloads(spark, n)).collect()
     for r in rows:
         assert r.node_host_filled.startswith(f"host-{r.stream_id}-")
+
+
+def _fills(df_out):
+    return sorted(
+        (r.stream_id, r.msg_seq, r.node_host_filled) for r in df_out.collect())
+
+
+def test_scalable_equals_window_fill(spark):
+    """carry_forward_scalable must be value-identical to the plain window
+    fill — including when partition boundaries split streams (many more
+    partitions than streams forces intra-stream splits)."""
+    from omnition_opentelemetry_service_spark.operators.carryforward import (
+        carry_forward_scalable,
+    )
+
+    n = fx.STREAMS * fx.NODE_EVERY * 3
+    pay = fx.raw_payloads(spark, n)
+    expect = _fills(carry_forward(pay))
+    # slice sizes below NODE_EVERY force slices with no non-null value and
+    # intra-stream splits everywhere
+    for slice_rows in (4, 16, 1 << 16):
+        got = _fills(carry_forward_scalable(pay, slice_rows=slice_rows))
+        assert got == expect, f"mismatch at slice_rows={slice_rows}"
+
+
+def test_scalable_handles_leading_and_allnull_slices(spark):
+    """Streams that start null and partitions whose slice is entirely null
+    must still carry values across partition boundaries."""
+    from omnition_opentelemetry_service_spark.operators.carryforward import (
+        carry_forward_scalable,
+    )
+
+    rows = [(0, i, "A" if i == 3 else None) for i in range(200)] + \
+           [(1, i, None) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "stream_id int, msg_seq int, node_host string")
+    got = {(r.stream_id, r.msg_seq): r.node_host_filled
+           for r in carry_forward_scalable(df, slice_rows=16).collect()}
+    for i in range(200):
+        assert got[(0, i)] == (None if i < 3 else "A")
+        assert got[(1, i)] is None

@@ -15,7 +15,7 @@ from omnition_opentelemetry_service_spark.functions import parse as pf
 from omnition_opentelemetry_service_spark.operators import packing as pk
 from omnition_opentelemetry_service_spark.operators.caps import truncatable
 
-SET = settings(max_examples=5, deadline=None,
+SET = settings(max_examples=5, deadline=None, derandomize=True,
                suppress_health_check=[HealthCheck.function_scoped_fixture])
 
 word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=1,
