@@ -60,6 +60,27 @@ def test_stream_resume_is_idempotent(spark, input_dir, tmp_path):
         assert v <= f.get(k, 0) or f == {}
 
 
+def test_stateful_running_counts_equal_batch(spark, input_dir, tmp_path):
+    """applyInPandasWithState counters, drained over multiple micro-batches,
+    must converge to exactly the batch groupBy totals (the streaming
+    obsreport-equality check)."""
+    from omnition_opentelemetry_service_spark.streaming import stateful
+
+    got = {
+        r.source: (r.received, r.sum_n_tok)
+        for r in stateful.run_counts_once(
+            spark, input_dir, str(tmp_path / "ckpt_state"),
+            out_table="rc1", max_files_per_trigger=1).collect()
+    }
+    batch = {
+        r.source: (r.cnt, r.s)
+        for r in spark.read.parquet(f"{input_dir}/sequences")
+        .groupBy("source").agg(F.count(F.lit(1)).alias("cnt"),
+                               F.sum("n_tok").alias("s")).collect()
+    }
+    assert got == batch
+
+
 def test_windowed_counts_respect_window(spark, input_dir, tmp_path):
     got = sp.run_stream_once(spark, input_dir, str(tmp_path / "ckpt3"),
                              out_table="sc4", window="1 minute")
