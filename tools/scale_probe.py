@@ -52,14 +52,33 @@ def main() -> None:
     else:
         cfg_kwargs = {"input_dir": input_dir}
 
+    from pyspark.sql import functions as F
+
+    from omnition_opentelemetry_service_spark.functions.tokens import (
+        tokens_checksum,
+    )
+
     best = float("inf")
     routed = 0
     for _ in range(repeats):
         t0 = time.perf_counter()
         st = pl.build_routed(spark, pl.PipelineConfig(**cfg_kwargs))
-        counts = st["routed"].groupBy("sink").count().collect()
+        # Fold every routed token array into a per-sink checksum aggregate:
+        # the TOKENS must actually flow through the pipeline and be touched
+        # per element (the north-star invariant is token-array equality) —
+        # a bare count() lets Catalyst prune the token column and the probe
+        # degenerates to a pure-bandwidth measurement that a single shared
+        # memory bus caps regardless of cores (a multi-node cluster scales
+        # bandwidth per node; one box cannot — see BASELINE.md).
+        counts = (st["routed"]
+                  .withColumn("_cs", tokens_checksum())
+                  .groupBy("sink")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(F.col("_cs") % F.lit(1_000_000_007))
+                       .alias("cs_sum"))
+                  .collect())
         best = min(best, time.perf_counter() - t0)
-        routed = sum(r["count"] for r in counts)
+        routed = sum(r["n"] for r in counts)
     spark.stop()
     print(json.dumps({"cores": cores, "routed_rows": routed,
                       "wall_sec": round(best, 3),
