@@ -158,7 +158,7 @@ def main() -> None:
     # level is the fairest single-machine protocol.
     input_dir = _scale_input_dir()
     lows, highs = [], []
-    for _ in range(int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))):
+    for _ in range(int(os.environ.get("BENCH_SCALE_ROUNDS", "2"))):
         lows.append(_scale_probe(SCALE_LOW, input_dir))
         highs.append(_scale_probe(SCALE_HIGH, input_dir))
     low = max(lows, key=lambda r: r["rows_per_sec"])
