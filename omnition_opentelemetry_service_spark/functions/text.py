@@ -158,10 +158,14 @@ def _shingles_expr(col: str, k: int) -> Column:
     # ...)) formulation re-evaluates `norm` (a regexp_replace) once PER
     # SHINGLE — O(len²) regex work per document; at ~200 shingles/doc that
     # was ~25s for 5k docs vs <2s for this form. Same output values.
+    # (?s) DOTALL: Java '.' excludes U+0085/U+2028/U+2029 which the '\s+'
+    # normalization does NOT remove — without DOTALL, shingles spanning those
+    # characters are silently dropped, diverging from the oracle's substring
+    # semantics (which has no such exclusion).
     norm = f"lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
     return F.expr(
         f"CASE WHEN length({norm}) < {k} THEN array({norm}) "
-        f"ELSE regexp_extract_all({norm}, '(?=(.{{{k}}}))', 1) END"
+        f"ELSE regexp_extract_all({norm}, '(?s)(?=(.{{{k}}}))', 1) END"
     )
 
 

@@ -26,6 +26,7 @@ ERR_UNKNOWN_PROCESSOR = "pipeline references unknown processor: {name}"
 ERR_UNKNOWN_EXPORTER = "pipeline references unknown exporter: {name}"
 ERR_BAD_RECEIVER_TYPE = "receiver type must be one of: fixture_payloads, parquet"
 ERR_NO_EXPORTERS = "pipeline must list at least one exporter"
+ERR_PARQUET_NO_PATH = "parquet receiver requires a path"
 
 KNOWN_RECEIVER_TYPES = ("fixture_payloads", "parquet")
 
@@ -84,6 +85,13 @@ def compile_spec(raw: dict) -> list[JobSpec]:
         # merge processor settings into one PipelineConfig
         cfg = PipelineConfig()
         first_recv = receivers[p_receivers[0]] or {} if p_receivers else {}
+        rtype = first_recv.get("type", "fixture_payloads")
+        if rtype == "parquet":
+            # the parquet receiver reads a materialized payloads/+sequences/
+            # directory — its path IS the pipeline input
+            if not first_recv.get("path"):
+                raise ValueError(ERR_PARQUET_NO_PATH)
+            cfg.input_dir = first_recv["path"]
         cfg.n_rows = first_recv.get("n_rows")
         cfg.sf_dir = first_recv.get("sf_dir")
         for p in p_processors:

@@ -68,8 +68,26 @@ class PipelineConfig:
         return fixtures.n_rows_for_sf_dir(self.sf_dir)
 
 
-def build_routed(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFrame]:
-    """Compose the full DAG lazily; returns named stage DataFrames."""
+def config_fingerprint(cfg: PipelineConfig) -> str:
+    """Identity of a pipeline's INPUT + parse semantics. A committed snapshot
+    is only resumable under the same fingerprint — re-running with the same
+    checkpoint_dir but different n_rows/input/parse_impl must rebuild, not
+    silently join stale snapshot data against fresh inputs."""
+    import hashlib
+
+    key = "|".join(str(x) for x in (
+        cfg.n_rows, cfg.sf_dir, cfg.input_dir, cfg.input_db, cfg.parse_impl))
+    return hashlib.md5(key.encode()).hexdigest()
+
+
+def build_routed(spark: SparkSession, cfg: PipelineConfig,
+                 counters: "StageCounters | None" = None) -> dict[str, DataFrame]:
+    """Compose the full DAG lazily; returns named stage DataFrames.
+
+    With ``counters``, the parse-stage Observation is attached INSIDE the DAG
+    that downstream stages consume, so whichever single action executes
+    ``routed`` also fills the received/dropped counters — no second pass over
+    the input (the obsreport design intent, metrics.py:8-10)."""
     cfg.validate()
 
     if cfg.input_db:
@@ -92,6 +110,9 @@ def build_routed(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
     parse = (parse_fns.parse_payload_native if cfg.parse_impl == "native"
              else parse_fns.parse_payload_pandas)
     parsed = parse(payloads)
+    if counters is not None:
+        parsed = counters.observe_stage(
+            parsed, "parse", "oc_trace", drop_predicate=~F.col("valid"))
     stages = build_from_parsed(spark, parsed, seqs, dim, rules)
     stages["payloads"] = payloads
     return stages
@@ -125,31 +146,59 @@ def build_from_parsed(spark: SparkSession, parsed: DataFrame,
 
 
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
-                 fail_after: str | None = None) -> dict:
+                 fail_after: str | None = None,
+                 backpressure: bool = True,
+                 write_fn=None) -> dict:
     """Execute with counters, lineage, optional per-stage snapshot commits.
 
+    Counters ride the real actions: the parse Observation is attached inside
+    the DAG that ``routed`` consumes (build_routed), so the single
+    sink_counts action (or the parsed-snapshot write) fills them — the input
+    is scanned ONCE, never re-parsed just to count (at 10^12 rows a second
+    counting pass is a second full scan).
+
     With ``checkpoint_dir`` set, EVERY major stage (parsed, routed) commits a
-    snapshot; a re-run skips any stage whose snapshot is committed and
-    rebuilds downstream from it — kill-anywhere resumability (the
-    queued-retry replay analog). ``fail_after`` injects a crash right after
-    the named stage's commit (test seam for the kill-mid-pipeline test;
-    pattern: injected state, memorylimiter_test.go:104-157).
+    snapshot keyed by the config fingerprint; a re-run under the SAME
+    fingerprint skips committed stages and rebuilds downstream (kill-anywhere
+    resumability, the queued-retry replay analog) — a changed config makes
+    old snapshots invisible instead of producing a stale hybrid. Harvested
+    counters ride the parsed manifest so a resumed run still reports exact
+    obsreport counters without recomputing parse. ``fail_after`` injects a
+    crash right after the named stage's commit (test seam for the
+    kill-mid-pipeline test; pattern: injected state,
+    memorylimiter_test.go:104-157).
+
+    ``backpressure`` is the reference's error-propagation toggle
+    (octrace/opencensus.go:127-135): with it ON a failing downstream export
+    raises to the caller; OFF, the failure is swallowed but counted
+    (received==dropped on the export stage). ``write_fn(routed, dir)``
+    overrides the sink write (error-injection seam for the backpressure test
+    matrix, opencensus_test.go:414-594).
 
     Returns dict with 'routed' (DataFrame), 'sink_counts' (list of Rows),
-    'counters' (list of tuples), 'lineage' (DataFrame of per-stage totals).
+    'counters' (list of tuples), 'lineage' (DataFrame of per-stage totals),
+    'export_error' (the swallowed exception, or None).
     """
     cfg.validate()
     counters = StageCounters()
+    fp = config_fingerprint(cfg)
 
-    resumed_parse = False
     if cfg.checkpoint_dir:
         t_parsed = SnapshotTable(os.path.join(cfg.checkpoint_dir, "parsed"))
-        if t_parsed.has_stage("parsed"):
+        m_parsed = t_parsed.stage_manifest("parsed", fp)
+        if m_parsed:
             parsed = t_parsed.read(spark)  # resume: skip the parse stage
-            resumed_parse = True
+            for row in m_parsed.get("counters", []):
+                counters.record(*row)  # counters restored, not recomputed
         else:
-            stages0 = build_routed(spark, cfg)
-            t_parsed.write(stages0["parsed"], stage="parsed")
+            stages0 = build_routed(spark, cfg, counters)
+            # The snapshot write IS the action — it fills the parse
+            # Observation, and the harvested counters commit with the
+            # manifest (meta evaluated post-write).
+            t_parsed.write(
+                stages0["parsed"], stage="parsed",
+                meta=lambda: {"fingerprint": fp,
+                              "counters": counters.harvest()})
             parsed = t_parsed.read(spark)
         if fail_after == "parsed":
             raise RuntimeError("injected failure after stage: parsed")
@@ -162,41 +211,51 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
                                    fixtures.source_dim(spark),
                                    fixtures.route_rules(spark))
     else:
-        stages = build_routed(spark, cfg)
-
-    # Counters measured in the same pass as the aggregate action (observe).
-    parsed_obs = counters.observe_stage(
-        stages["parsed"], "parse", "oc_trace", drop_predicate=~F.col("valid")
-    )
-    good = parsed_obs.filter(F.col("valid"))
+        stages = build_routed(spark, cfg, counters)
 
     routed = stages["routed"]
     if cfg.checkpoint_dir:
         table = SnapshotTable(os.path.join(cfg.checkpoint_dir, "routed"))
-        if table.has_stage("routed"):
+        if table.has_stage("routed", fp):
             routed = table.read(spark)  # resume: skip recompute
         else:
-            table.write(routed, stage="routed", partition_by=["sink"])
+            table.write(routed, stage="routed", partition_by=["sink"],
+                        meta={"fingerprint": fp})
             routed = table.read(spark)
         if fail_after == "routed":
             raise RuntimeError("injected failure after stage: routed")
 
     routed, lineage = with_lineage(routed, "route")
 
+    # THE action: aggregates per-sink counts AND fills the in-DAG parse
+    # Observation in the same pass.
     counts = sink_counts(routed).collect()
-    # Trigger the observed parse branch with a cheap count so counters fill.
-    good.count()
-    harvested = counters.harvest()
+    counters.harvest()
 
-    if cfg.write_sinks_dir:
-        (routed.repartition("sink").write.mode("overwrite")
-         .partitionBy("sink").parquet(cfg.write_sinks_dir))
+    export_error = None
+    if cfg.write_sinks_dir or write_fn is not None:
+        from ..operators.translate import write_sinks_translated
+
+        total_routed = sum(r.n_rows for r in counts)
+        try:
+            if write_fn is not None:
+                write_fn(routed, cfg.write_sinks_dir)
+            else:
+                write_sinks_translated(routed, cfg.write_sinks_dir)
+        except Exception as e:  # noqa: BLE001 — exporter error matrix
+            if backpressure:
+                raise  # propagate downstream failure to the caller
+            export_error = e  # swallow but COUNT (opencensus.go:131-134)
+            counters.record("export", "sinks", total_routed, total_routed)
+        else:
+            counters.record("export", "sinks", total_routed, 0)
 
     return {
         "routed": routed,
         "sink_counts": counts,
-        "counters": harvested,
+        "counters": counters.rows,
         "lineage": lineage_summary(lineage),
+        "export_error": export_error,
         "salted_source_counts": salted_counts(
             stages["enriched"], "source", cfg.salt_buckets or 1),
     }

@@ -53,10 +53,18 @@ class SnapshotTable:
             return json.load(f)
 
     def write(self, df: DataFrame, stage: str, partition_by: list[str] | None = None,
-              fmt: str = "parquet") -> dict:
+              fmt: str = "parquet", meta=None) -> dict:
         """Write a new snapshot and commit it. The data write is to a
-        version-private dir; the commit is two atomic renames (manifest then
-        CURRENT), so readers never observe a half-written snapshot."""
+        version-private dir; the commit publishes the manifest with an
+        EXCLUSIVE create (O_EXCL — two concurrent writers racing on the same
+        version: exactly one commit wins, the loser gets FileExistsError and
+        must retry at a fresh version — Iceberg's optimistic-concurrency
+        contract), then atomically advances CURRENT.
+
+        ``meta`` (dict, or a zero-arg callable evaluated AFTER the data write
+        — e.g. to harvest Observation counters the write action just filled)
+        rides in the manifest, so resume can validate the config fingerprint
+        and restore driver-side state without re-running the stage."""
         version = (self.current_version() or 0) + 1
         data_dir = os.path.join(self.root, f"v_{version}")
         writer = df.write.mode("overwrite").format(fmt)
@@ -64,19 +72,25 @@ class SnapshotTable:
             writer = writer.partitionBy(*partition_by)
         writer.save(data_dir)
 
+        if callable(meta):
+            meta = meta()
         manifest = {
             "version": version,
             "stage": stage,
             "committed_at": time.time(),
             "partition_by": partition_by or [],
             "format": fmt,
+            **(meta or {}),
         }
-        tmp = os.path.join(self.root, f".v_{version}.manifest.tmp")
-        with open(tmp, "w") as f:
+        # O_EXCL commit: the manifest path is the commit token. A concurrent
+        # writer that already committed this version makes this raise —
+        # optimistic concurrency, never a silent overwrite.
+        manifest_path = os.path.join(self.root, f"v_{version}.manifest.json")
+        fd = os.open(manifest_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.root, f"v_{version}.manifest.json"))
 
-        tmp_cur = os.path.join(self.root, ".CURRENT.tmp")
+        tmp_cur = os.path.join(self.root, f".CURRENT.{version}.tmp")
         with open(tmp_cur, "w") as f:
             f.write(str(version))
         os.replace(tmp_cur, self._current_path())
@@ -88,13 +102,23 @@ class SnapshotTable:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
         return spark.read.parquet(os.path.join(self.root, f"v_{v}"))
 
-    def has_stage(self, stage: str) -> bool:
-        """True if any committed snapshot was produced by ``stage`` (the
-        resume-skip check)."""
+    def stage_manifest(self, stage: str,
+                       fingerprint: str | None = None) -> dict | None:
+        """Latest committed manifest for ``stage`` — or None. When a
+        ``fingerprint`` is given, a snapshot committed under a DIFFERENT
+        config/input fingerprint does not count: resuming it against a
+        changed config would silently join stale data with fresh inputs."""
         v = self.current_version()
         while v:
             m = self.manifest(v)
             if m and m.get("stage") == stage:
-                return True
+                if fingerprint is not None and m.get("fingerprint") != fingerprint:
+                    return None
+                return m
             v -= 1
-        return False
+        return None
+
+    def has_stage(self, stage: str, fingerprint: str | None = None) -> bool:
+        """True if a committed snapshot for ``stage`` exists (and matches the
+        config fingerprint, when given) — the resume-skip check."""
+        return self.stage_manifest(stage, fingerprint) is not None

@@ -70,16 +70,15 @@ def run_counts_once(spark, input_dir: str, checkpoint_dir: str,
         .start()
     )
     q.awaitTermination()
-    # update-mode memory sink appends every emitted update; the LAST row per
-    # source is the final counter value.
-    from pyspark.sql import Window
+    # update-mode memory sink appends every emitted update. The counters the
+    # stateful function emits are monotone non-decreasing per source, so the
+    # FINAL value per source is simply the max — no reliance on cross-batch
+    # scan order (which is an implementation detail, not a contract).
     from pyspark.sql import functions as F
 
-    all_updates = spark.table(out_table).withColumn(
-        "_ord", F.monotonically_increasing_id())
-    w = Window.partitionBy("source").orderBy(F.desc("_ord"))
     return (
-        all_updates.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("source", "received", "sum_n_tok")
+        spark.table(out_table)
+        .groupBy("source")
+        .agg(F.max("received").alias("received"),
+             F.max("sum_n_tok").alias("sum_n_tok"))
     )

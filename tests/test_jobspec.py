@@ -59,12 +59,38 @@ def test_golden_config_decodes_fully():
              "pipelines": {"p": {"receivers": ["r"], "exporters": []}}},
             js.ERR_NO_EXPORTERS,
         ),
+        (
+            {"receivers": {"r": {"type": "parquet"}},
+             "exporters": {"e": {}},
+             "pipelines": {"p": {"receivers": ["r"], "exporters": ["e"]}}},
+            js.ERR_PARQUET_NO_PATH,
+        ),
     ],
 )
 def test_config_validation_sentinels(raw, err):
     with pytest.raises(ValueError) as ei:
         js.compile_spec(raw)
     assert str(ei.value) == err
+
+
+def test_parquet_receiver_maps_path_to_input_dir(spark, tmp_path):
+    """`type: parquet` receivers must compile to a runnable config: the
+    receiver's path becomes PipelineConfig.input_dir (not the misleading
+    'either n_rows or sf_dir must be set' error)."""
+    from omnition_opentelemetry_service_spark import fixtures as fx
+    from omnition_opentelemetry_service_spark.plans import pipeline as pl
+
+    input_dir = str(tmp_path / "input")
+    fx.materialize_input(spark, 200, input_dir, num_partitions=2)
+    raw = {
+        "receivers": {"r": {"type": "parquet", "path": input_dir}},
+        "exporters": {"e": {}},
+        "pipelines": {"p": {"receivers": ["r"], "exporters": ["e"]}},
+    }
+    job = js.compile_spec(raw)[0]
+    assert job.config.input_dir == input_dir
+    res = pl.run_pipeline(spark, job.config)
+    assert sum(r.n_rows for r in res["sink_counts"]) > 0
 
 
 def test_compiled_config_runs_pipeline(spark, tmp_path):

@@ -117,6 +117,74 @@ def test_sink_writes_partitioned_by_sink(spark, tmp_path):
     back = spark.read.parquet(out)
     st = pl.build_routed(spark, pl.PipelineConfig(n_rows=N))
     assert back.count() == st["routed"].count()
+    # the write is the TRANSLATED envelope: (sink, doc_id, payload) with the
+    # payload in each sink's wire format — kinesis rows are Jaeger-shaped
+    assert set(back.columns) == {"sink", "doc_id", "payload"}
+    kin = back.filter(F.col("sink") == "sink_kinesis").select(
+        F.get_json_object("payload", "$.trace_id").alias("trace_id"),
+        F.get_json_object("payload", "$.span_id").alias("span_id"),
+        F.get_json_object("payload", "$.process").alias("process"),
+    ).limit(5).collect()
+    assert kin and all(r.trace_id and r.span_id and r.process for r in kin)
+
+
+# -- backpressure matrix (octrace/opencensus.go:127-135; test pattern
+#    opencensus_test.go:414-594: on/off × downstream-error injection) --------
+def _boom(routed, out_dir):
+    raise RuntimeError("downstream exporter unavailable")
+
+
+def test_backpressure_on_propagates_export_error(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="downstream exporter unavailable"):
+        pl.run_pipeline(spark, pl.PipelineConfig(n_rows=N),
+                        backpressure=True, write_fn=_boom)
+
+
+def test_backpressure_off_swallows_but_counts(spark):
+    res = pl.run_pipeline(spark, pl.PipelineConfig(n_rows=N),
+                          backpressure=False, write_fn=_boom)
+    assert res["export_error"] is not None
+    counters = {(s, t): (rec, dr) for s, t, rec, dr in res["counters"]}
+    total = sum(r.n_rows for r in res["sink_counts"])
+    # everything offered to the export stage was dropped — and counted
+    assert counters[("export", "sinks")] == (total, total)
+    # upstream counters unaffected by the swallowed failure
+    assert counters[("parse", "oc_trace")] == (N, N_MALFORMED)
+
+
+def test_no_error_counts_zero_dropped(spark, tmp_path):
+    res = pl.run_pipeline(
+        spark, pl.PipelineConfig(n_rows=N,
+                                 write_sinks_dir=str(tmp_path / "s")),
+        backpressure=False)
+    counters = {(s, t): (rec, dr) for s, t, rec, dr in res["counters"]}
+    total = sum(r.n_rows for r in res["sink_counts"])
+    assert counters[("export", "sinks")] == (total, 0)
+
+
+def test_changed_config_invalidates_snapshot(spark, tmp_path):
+    """ADVICE: same checkpoint_dir + different config must NOT reuse the
+    stale parsed snapshot (silent hybrid result). The fingerprint makes the
+    old snapshot invisible; the run rebuilds and commits a new version."""
+    from omnition_opentelemetry_service_spark.sinks.snapshot import (
+        SnapshotTable,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    pl.run_pipeline(spark, pl.PipelineConfig(n_rows=N, checkpoint_dir=ckpt))
+    t_parsed = SnapshotTable(str(tmp_path / "ckpt" / "parsed"))
+    assert t_parsed.current_version() == 1
+
+    res = pl.run_pipeline(
+        spark, pl.PipelineConfig(n_rows=2 * N, checkpoint_dir=ckpt))
+    assert t_parsed.current_version() == 2  # rebuilt, not reused
+    counters = {(s, t): (rec, dr) for s, t, rec, dr in res["counters"]}
+    n2_malformed = sum(
+        1 for i in range(2 * N)
+        if i % fx.MALFORMED_MOD == fx.MALFORMED_RESIDUE)
+    assert counters[("parse", "oc_trace")] == (2 * N, n2_malformed)
 
 
 def test_batch_by_key_colocates_and_salts(spark):
