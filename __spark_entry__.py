@@ -31,9 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query. Fixture-backed pipeline queries
-    synthesize their input in deterministic CTEs (same arithmetic as the
-    Spark generators). The only key absent here is lineage_totals
-    (mapInPandas partition introspection — non-SQL-expressible → rows-only
-    check)."""
+    """DuckDB-runnable ANSI SQL per query — every queries() key has one.
+    Fixture-backed pipeline queries synthesize their input in deterministic
+    CTEs (same arithmetic as the Spark generators)."""
     return registry.build_oracle_sql()

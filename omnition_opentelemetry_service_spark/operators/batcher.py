@@ -10,7 +10,7 @@ skews; the salted two-phase aggregate is the scale-path fix (SURVEY.md §4
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -30,13 +30,62 @@ def batch_by_key(df: DataFrame, key: str = "source", num_partitions: int | None 
 
 def node_batches(df: DataFrame, batch_size: int = 100,
                  key: str = "stream_id", order: str = "msg_seq") -> DataFrame:
-    """The node-batcher's literal semantics (components.go:69): re-bucket
-    rows per Node/stream into size-bounded batches, implemented as a grouped
-    applyInPandas — the engine's custom grouped-operator extension surface
-    (Arrow batch per group; sort + integer-divide, all vectorized numpy).
-    Equivalent SQL (the oracle): (row_number() per stream − 1) div size."""
-    import numpy as np  # noqa: F401  (executors)
+    """The node-batcher's semantics (components.go:69): re-bucket rows per
+    Node/stream into size-bounded batches. Native window form — exactly its
+    own oracle SQL: (row_number() per stream ORDER BY order − 1) div size.
+    All JVM-side (whole-stage codegen + window exec), no Arrow/Python.
 
+    Caveat shared with any per-key window: one stream = one task. Fine for
+    the reference's workload (streams are gRPC connections, ~thousands of
+    modest streams); for a single giant stream use node_batches_scalable."""
+    w = Window.partitionBy(key).orderBy(order)
+    return df.select("doc_id", key, order).withColumn(
+        "batch_no",
+        ((F.row_number().over(w) - 1) / batch_size).cast("int"))
+
+
+def node_batches_scalable(df: DataFrame, batch_size: int = 100,
+                          key: str = "stream_id", order: str = "msg_seq",
+                          slice_rows: int = 100_000) -> DataFrame:
+    """node_batches for the degenerate-key case: a stream too large for one
+    task. Same output, bounded parallelism:
+
+    1. slice the order domain: _slice = order div slice_rows — derived from
+       DATA, not spark_partition_id() (which is unstable under AQE re-use);
+    2. rank within (key, _slice) — each window partition holds ≤ slice_rows;
+    3. per-slice counts roll up through a tiny window over the slice table
+       (rows ≈ n/slice_rows) into cumulative offsets;
+    4. global row number = offset + in-slice rank → batch id.
+
+    Two exchanges on (key, _slice) — both bounded — instead of one unbounded
+    exchange on key (the carry_forward_scalable pattern)."""
+    sliced = df.select("doc_id", key, order).withColumn(
+        "_slice", (F.col(order) / F.lit(slice_rows)).cast("bigint"))
+    w_in = Window.partitionBy(key, "_slice").orderBy(order)
+    ranked = sliced.withColumn("_rk", F.row_number().over(w_in))
+
+    counts = sliced.groupBy(key, "_slice").agg(F.count("*").alias("_c"))
+    w_cum = (Window.partitionBy(key).orderBy("_slice")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_cum), F.lit(0))).drop("_c")
+
+    return (
+        ranked.join(offsets, [key, "_slice"])
+        .withColumn("batch_no",
+                    ((F.col("_off") + F.col("_rk") - 1) / batch_size)
+                    .cast("int"))
+        .drop("_slice", "_rk", "_off")
+    )
+
+
+def node_batches_grouped(df: DataFrame, batch_size: int = 100,
+                         key: str = "stream_id", order: str = "msg_seq") -> DataFrame:
+    """Grouped-applyInPandas form of node_batches — kept as the engine's
+    custom grouped-operator EXTENSION-SURFACE demo (Arrow batch per group;
+    sort + integer-divide, vectorized numpy). Same output as node_batches;
+    not the default because it pays Arrow+Python for window-expressible
+    semantics and serializes each stream onto one task."""
     def assign(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 

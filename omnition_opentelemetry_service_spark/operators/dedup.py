@@ -198,12 +198,58 @@ def simhash_expr(text_col: str = "text") -> F.Column:
     return F.expr(pack)
 
 
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+
+
+def simhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_hamming: int = SIMHASH_BANDS - 1) -> DataFrame:
+    """SimHash near-dup pairs, the 100 TB path: split the 60-bit fingerprint
+    into 4 bands of 15 bits, explode to (id, band_idx, band_value), equi-join
+    on the band key, then verify exact hamming on the candidates.
+
+    Recall contract (pigeonhole): any pair with hamming ≤ BANDS−1 (= 3)
+    differs in at most 3 bands, so at least one band matches exactly — those
+    pairs are found with CERTAINTY. Pairs at larger hamming are found iff
+    they happen to share a band; for a wider radius, raise the band count.
+    No cross product ever forms: the join is a plain shuffle hash join on
+    (band_idx, band_value), candidate cardinality ≈ docs × bands.
+
+    The signature table is persisted before banding — without the barrier,
+    projection collapse inlines the 60-vote md5 aggregate into the explode
+    AND into each join side (≫4× the hashing); it is also the signatures
+    table any production simhash pipeline materializes before bucketing.
+    Caller owns cache lifecycle (registry.release_caches / clearCache)."""
+    sh = docs.select(F.col(id_col).alias("id"),
+                     simhash_expr(text_col).alias("sh")).persist()
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    banded = sh.select(
+        "id", "sh",
+        F.explode(F.expr(
+            f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
+            f"b -> named_struct("
+            f"'band', b, 'val', shiftright(sh, b * {SIMHASH_BAND_BITS}) & {mask}))"
+        )).alias("bv"),
+    ).select("id", "sh", F.col("bv.band").alias("band"),
+             F.col("bv.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.bit_count(F.expr("a.sh ^ b.sh")).alias("hamming"))
+        .distinct()  # a pair sharing 2 bands must count once
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", max_hamming: int = 20,
                           id_limit: int = 200) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance on a bounded subset.
-    (Scale path: split the 60 bits into 4 bands of 15 and equi-join per band
-    — pigeonhole guarantees any pair with hamming ≤ 3 shares a band.)"""
+    """Near-dup pairs by SimHash hamming distance on a bounded subset (the
+    exact verification op; simhash_band_pairs is the banded scale path)."""
     sub = (docs.filter(F.col(id_col) < id_limit)
            .select(F.col(id_col).alias("id"), simhash_expr(text_col).alias("sh")))
     a, b = sub.alias("a"), sub.alias("b")

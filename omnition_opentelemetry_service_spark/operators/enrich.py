@@ -34,23 +34,26 @@ def fill_process(facts: DataFrame, span_col: str, batch_col: str, out: str) -> D
     return facts.withColumn(out, F.coalesce(F.col(span_col), F.col(batch_col)))
 
 
-def attrs_add(attrs_col: str, kv: dict[str, str]) -> Column:
+def attrs_add(attrs_col: str | Column, kv: dict[str, str]) -> Column:
     """Append static key/values to an array<struct<key,value>> attributes
     column, overwriting existing keys (add-attributes processor semantics:
-    adds/overwrites on every span). Overwrite = drop old key then concat."""
+    adds/overwrites on every span). Overwrite = drop old key then concat.
+    Accepts a Column so processors chain (rename → add), like the
+    reference's processor chain."""
+    c = F.col(attrs_col) if isinstance(attrs_col, str) else attrs_col
     added = F.array(*[
         F.struct(F.lit(k).alias("key"), F.lit(v).alias("value"))
         for k, v in kv.items()
     ])
     keys = F.array(*[F.lit(k) for k in kv])
-    kept = F.filter(F.col(attrs_col), lambda e: ~F.array_contains(keys, e["key"]))
+    kept = F.filter(c, lambda e: ~F.array_contains(keys, e["key"]))
     return F.concat(kept, added)
 
 
-def attrs_rename(attrs_col: str, renames: dict[str, str]) -> Column:
+def attrs_rename(attrs_col: str | Column, renames: dict[str, str]) -> Column:
     """Rename attribute keys (attribute-key processor analog,
     components.go:67) via a transform over the entries array."""
-    col = F.col(attrs_col)
+    col = F.col(attrs_col) if isinstance(attrs_col, str) else attrs_col
     mapping = F.create_map(*[F.lit(x) for kv in renames.items() for x in kv])
     return F.transform(
         col,

@@ -65,11 +65,22 @@ def duck_prelude(n: int = ORACLE_N) -> str:
       regexp_matches(payload, '{rx}') AS valid
     FROM pay
     """
+    # carry-forward over the GOOD rows only: the Spark pipeline quarantines
+    # malformed rows BEFORE the node fill, so a dropped row's node_host must
+    # not leak into the fill (mirror of carry_forward(good), pipeline.py).
+    parsedf = """
+    SELECT *, last_value(node_host IGNORE NULLS) OVER (
+      PARTITION BY stream_id ORDER BY msg_seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS node_host_filled
+    FROM parsed WHERE valid
+    """
     routed = f"""
     SELECT s.doc_id, s.seq_no, s.source, s.n_tok, s.tokens,
-           d.tenant, d.priority, r.rule_id, r.sink
-    FROM parsed p
-    JOIN seq s ON p.doc_id = s.doc_id AND p.valid
+           d.tenant, d.priority, r.rule_id, r.sink,
+           p.stream_id, p.msg_seq, p.node_host_filled, p.ts_str, p.host,
+           p.lvl, p.trace_hex
+    FROM parsedf p
+    JOIN seq s ON p.doc_id = s.doc_id
     LEFT JOIN dim d ON s.source = d.source
     JOIN rules r ON (r.predicate_source = '*' OR r.predicate_source = s.source)
                AND s.n_tok >= r.min_n_tok
@@ -81,6 +92,7 @@ def duck_prelude(n: int = ORACLE_N) -> str:
         f"dim AS ({fx.source_dim_sql_duck()}), "
         f"rules AS ({fx.route_rules_sql_duck()}), "
         f"parsed AS ({parsed}), "
+        f"parsedf AS ({parsedf}), "
         f"routed AS ({routed})"
     )
 
@@ -156,6 +168,8 @@ def q_parse_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quarantined_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine view (driver slot goes to the aggregate form,
+    parse_quarantine_counts; this one is pytest-covered)."""
     parsed = parse_fns.parse_payload_native(fx.raw_payloads(spark, _n(sf_dir)))
     return parsed.filter(~F.col("valid")).select("doc_id", "stream_id", "msg_seq")
 
@@ -189,27 +203,14 @@ def q_enrich_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_attrs_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_attrs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained attribute processors (the reference wires processors in
+    sequence, components.go:66-67): rename team→owner_team, then add
+    env=prod — one pass over the entries array."""
+    chained = attrs_add(attrs_rename("attrs", {"team": "owner_team"}),
+                        {"env": "prod"})
     return fx.source_dim(spark).select(
-        "source",
-        attrs_to_str(attrs_add("attrs", {"env": "prod"}).alias("attrs")).alias("attrs_str"),
-    )
-
-
-def q_attrs_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fx.source_dim(spark).select(
-        "source",
-        attrs_to_str(attrs_rename("attrs", {"team": "owner_team"}).alias("attrs")).alias("attrs_str"),
-    )
-
-
-def q_union_two_receivers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = _n(sf_dir)
-    a = fx.sequences(spark, n // 2)
-    b = fx.sequences(spark, n, start=n // 2)
-    return a.unionByName(b).groupBy("source").agg(
-        F.count("*").alias("n_rows"), F.sum("n_tok").alias("sum_n_tok")
-    )
+        "source", attrs_to_str(chained).alias("attrs_str"))
 
 
 def q_memlimit_shed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,12 +247,23 @@ def q_truncate_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", *caps.truncatable("msg", 8))
 
 
-def q_oversized_reject_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seqs = fx.sequences(spark, _n(sf_dir))
-    kept, rejected = caps.reject_oversized(seqs, "n_tok", 200)
-    return kept.select(F.lit("kept").alias("side"), "doc_id").unionByName(
-        rejected.select(F.lit("rejected").alias("side"), "doc_id")
-    ).groupBy("side").agg(F.count(F.lit(1)).alias("n_rows"))
+def q_sink_translated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink format translation (exporter/kinesis/exporter.go:33-52): the
+    kinesis sink's rows in their Jaeger-analog wire schema, per-span process
+    filled from the batch-level host when the span carries none (:42-44)."""
+    from .operators.translate import translate_for_sink
+
+    st = pl.build_routed(spark, pl.PipelineConfig(n_rows=_n(sf_dir)))
+    return translate_for_sink(st["routed"], "sink_kinesis")
+
+
+def q_logging_sink_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logging-exporter analog (components.go:58): deterministic debug
+    sample of the logging sink — stable order, first k rows."""
+    from .operators.translate import logging_sample
+
+    st = pl.build_routed(spark, pl.PipelineConfig(n_rows=_n(sf_dir)))
+    return logging_sample(st["routed"], k=100)
 
 
 def q_trace_id_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,9 +287,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "source", "pack_id")
 
 
-def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    packed = pk.with_pack_id(fx.sequences(spark, _n(sf_dir)), budget=2048)
-    return pk.pack_stats(packed)
+# (pack_stats / oversized_reject_counts / ivf_cell_sizes / token_counts /
+#  quarantined_rows / union_two_receivers remain implemented + pytest-covered;
+#  their driver slots were consolidated — the driver checks the FIRST 50
+#  queries() entries only, so every registered entry must earn its slot.)
 
 
 # -- TPC-H-ish relational coverage on driver tables --------------------------
@@ -378,10 +391,13 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- documents: text analysis + dedup ----------------------------------------
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis surface in one pass: whitespace tokens, BPE-ish subword
+    estimate, punctuation ratio, composite quality score."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         tx.token_count("text").alias("n_words"),
+        tx.bpe_token_estimate("text").alias("bpe_tokens"),
         F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
         tx.quality_score("text").alias("quality"),
     )
@@ -390,15 +406,6 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", tx.lang_id("text").alias("lang_pred"))
-
-
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        tx.token_count("text").alias("ws_tokens"),
-        tx.bpe_token_estimate("text").alias("bpe_tokens"),
-    )
 
 
 def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,8 +444,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded all-pairs form — the banded query's verification twin."""
     return dd.simhash_hamming_pairs(load(spark, sf_dir, "documents"),
                                     max_hamming=18, id_limit=150)
+
+
+def q_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash 100 TB path: 4×15-bit banded equi-join, exact-hamming
+    verify — complete for hamming ≤ 3 by pigeonhole (dedup.py)."""
+    return dd.simhash_band_pairs(load(spark, sf_dir, "documents"),
+                                 max_hamming=3)
 
 
 def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,12 +506,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.4: the fixture's cosine distribution tops out ≈0.46, so
+    # 0.8 made the check VACUOUS (0 rows == 0 rows proves nothing); 0.4
+    # yields ~59 verified pairs at sf0.01.
     return sim.near_dup_pairs(load(spark, sf_dir, "embeddings"),
-                              threshold=0.8, id_limit=300)
-
-
-def q_ivf_cell_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.ivf_cell_sizes(load(spark, sf_dir, "embeddings"))
+                              threshold=0.4, id_limit=500)
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,6 +546,10 @@ def _q_counters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lineage_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage side-channel (self-trace analog). The rows come
+    from mapInPandas partition introspection, but the ROLL-UP contract is
+    oracle-checkable: totals must equal the input row count regardless of
+    parallelism (the parallelism-invariance half of the scaling rule)."""
     from .metrics import lineage_summary, with_lineage
 
     seqs = fx.sequences(spark, _n(sf_dir))
@@ -615,9 +633,6 @@ def build_oracle_sql() -> dict[str, str]:
            CAST(sum(CASE WHEN NOT valid THEN 1 ELSE 0 END) AS BIGINT) AS dropped
     FROM parsed"""
 
-    o["quarantined_rows"] = f"""{pre}
-    SELECT doc_id, stream_id, msg_seq FROM parsed WHERE NOT valid"""
-
     o["carry_forward"] = f"""{pre}
     SELECT doc_id, stream_id, msg_seq,
            last_value(node_host IGNORE NULLS) OVER (
@@ -636,20 +651,11 @@ def build_oracle_sql() -> dict[str, str]:
     SELECT s.doc_id, s.source, d.tenant, d.priority, d.attrs_str
     FROM seq s LEFT JOIN dim d ON s.source = d.source"""
 
-    add_rows = ", ".join(
-        f"('{s}', '{_attrs_str(s, add={'env': 'prod'})}')" for s in fx.SOURCES)
-    o["attrs_add"] = (
-        f"SELECT * FROM (VALUES {add_rows}) AS t(source, attrs_str)")
-
-    ren_rows = ", ".join(
-        f"('{s}', '{_attrs_str(s, renames={'team': 'owner_team'})}')" for s in fx.SOURCES)
-    o["attrs_rename"] = (
-        f"SELECT * FROM (VALUES {ren_rows}) AS t(source, attrs_str)")
-
-    o["union_two_receivers"] = f"""{pre}
-    SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
-    FROM seq GROUP BY source"""
+    xform_rows = ", ".join(
+        f"('{s}', '{_attrs_str(s, renames={'team': 'owner_team'}, add={'env': 'prod'})}')"
+        for s in fx.SOURCES)
+    o["attrs_transform"] = (
+        f"SELECT * FROM (VALUES {xform_rows}) AS t(source, attrs_str)")
 
     o["memlimit_shed"] = f"""{pre}
     SELECT 'memory_limiter' AS stage, CAST(count(*) AS BIGINT) AS received,
@@ -684,10 +690,18 @@ def build_oracle_sql() -> dict[str, str]:
            CAST(greatest(len(msg) - 8, 0) AS INTEGER) AS msg_truncated
     FROM parsed WHERE valid"""
 
-    o["oversized_reject_counts"] = f"""{pre}
-    SELECT CASE WHEN n_tok <= 200 THEN 'kept' ELSE 'rejected' END AS side,
-           CAST(count(*) AS BIGINT) AS n_rows
-    FROM seq GROUP BY 1"""
+    o["sink_translated"] = f"""{pre}
+    SELECT doc_id, trace_hex AS trace_id,
+           lpad(lower(hex(seq_no)), 16, '0') AS span_id,
+           concat(source, '/', lvl) AS operation,
+           coalesce(node_host_filled, host) AS process,
+           ts_str AS start_ts, n_tok, tenant
+    FROM routed WHERE sink = 'sink_kinesis'"""
+
+    o["logging_sink_sample"] = f"""{pre}
+    SELECT doc_id, rule_id, source, lvl, n_tok
+    FROM routed WHERE sink = 'sink_logging'
+    ORDER BY doc_id, rule_id LIMIT 100"""
 
     o["trace_id_codec"] = f"""{pre}
     SELECT doc_id,
@@ -702,17 +716,6 @@ def build_oracle_sql() -> dict[str, str]:
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
              / 2048) AS BIGINT) AS pack_id
     FROM seq"""
-
-    o["pack_stats"] = f"""{pre},
-    packed AS (
-      SELECT source, n_tok,
-             CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY seq_no
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
-               / 2048) AS BIGINT) AS pack_id
-      FROM seq)
-    SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_seqs,
-           CAST(sum(n_tok) AS BIGINT) AS pack_tokens
-    FROM packed GROUP BY source, pack_id"""
 
     o["tpch_q1"] = """
     SELECT l_returnflag, l_linestatus,
@@ -773,17 +776,13 @@ def build_oracle_sql() -> dict[str, str]:
 
     o["text_quality"] = f"""
     SELECT doc_id, CAST({tx.token_count_sql_duck('text')} AS INTEGER) AS n_words,
+           CAST({tx.bpe_token_estimate_sql_duck('text')} AS INTEGER) AS bpe_tokens,
            round({tx.punct_ratio_sql_duck('text')}, 6) AS punct_ratio,
            {tx.quality_score_sql_duck('text')} AS quality
     FROM documents"""
 
     o["lang_id"] = f"""
     SELECT doc_id, {tx.lang_id_sql_duck('text')} AS lang_pred FROM documents"""
-
-    o["token_counts"] = f"""
-    SELECT doc_id, CAST({tx.token_count_sql_duck('text')} AS INTEGER) AS ws_tokens,
-           CAST({tx.bpe_token_estimate_sql_duck('text')} AS INTEGER) AS bpe_tokens
-    FROM documents"""
 
     o["fingerprint_docs"] = f"""
     SELECT doc_id, {tx.fingerprint_sql_duck('text')} AS fp FROM documents"""
@@ -856,6 +855,22 @@ def build_oracle_sql() -> dict[str, str]:
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 18"""
+
+    # banded form: same simhash CTE over ALL docs (no id bound — banding IS
+    # the scale device), bands exploded, equi-join, exact-hamming verify.
+    simhash_all_cte = simhash_cte.replace(" WHERE doc_id < 150", "")
+    o["simhash_band_pairs"] = f"""{simhash_all_cte},
+    bands AS (
+      SELECT doc_id, simhash, b,
+             (simhash >> CAST(b * {dd.SIMHASH_BAND_BITS} AS INTEGER))
+               & {(1 << dd.SIMHASH_BAND_BITS) - 1} AS val
+      FROM sh, (SELECT unnest(range({dd.SIMHASH_BANDS})) AS b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b2.simhash)) AS INTEGER) AS hamming
+      FROM bands a JOIN bands b2
+        ON a.b = b2.b AND a.val = b2.val AND a.doc_id < b2.doc_id)
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3"""
 
     o["simhash_values"] = f"""
     WITH words AS (
@@ -931,10 +946,6 @@ def build_oracle_sql() -> dict[str, str]:
         FROM embeddings e CROSS JOIN cents c)
       WHERE c_rnk = 1)"""
 
-    o["ivf_cell_sizes"] = f"""{ivf_pre}
-    SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
-    FROM assigned GROUP BY cell"""
-
     o["ivf_ann_topk"] = f"""{ivf_pre},
     probes AS (
       SELECT query_id, q_emb, cell FROM (
@@ -956,15 +967,21 @@ def build_oracle_sql() -> dict[str, str]:
       FROM scored) WHERE rnk <= 5"""
 
     o["embedding_near_dup"] = f"""
-    WITH sub AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id < 300)
+    WITH sub AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id < 500)
     SELECT a.id AS id_a, b.id AS id_b,
            round({cos('a.e', 'b.e')}, 6) AS cosine
     FROM sub a JOIN sub b ON a.id < b.id
-    WHERE round({cos('a.e', 'b.e')}, 6) >= 0.8"""
+    WHERE round({cos('a.e', 'b.e')}, 6) >= 0.4"""
 
     o["lsh_bucket_sizes"] = f"""
     SELECT {bucket} AS bucket, CAST(count(*) AS BIGINT) AS n_vecs
     FROM embeddings GROUP BY 1"""
+
+    # lineage rows come from mapInPandas partition introspection, but their
+    # ROLL-UP is contract-bound: totals must equal the input row count at
+    # any parallelism — which IS SQL-expressible, so the oracle states it.
+    o["lineage_totals"] = (
+        f"SELECT 'generate' AS stage, CAST({n} AS BIGINT) AS rows_total")
 
     o["multimodal_features"] = """
     SELECT doc_id,
@@ -979,11 +996,32 @@ def build_oracle_sql() -> dict[str, str]:
     return o
 
 
+def release_caches(spark: SparkSession) -> None:
+    """Drop every cached table/RDD this session holds. Several operators
+    persist intermediate tables (minhash signatures, simhash signatures, IVF
+    assignments) because the DF they return consumes the cached table more
+    than once and the caller — not the operator — knows when the action has
+    run. Long-lived sessions (bench, the driver's correctness sweep) call
+    this between queries so signature caches don't accumulate and squeeze
+    executor storage memory."""
+    spark.catalog.clearCache()
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries, by design: the driver's correctness gate checks
+    the FIRST 50 queries() entries (round 1 shipped 54 and positions 50-53
+    silently got no verification row). Every entry here gets a driver row;
+    consolidated variants (pack_stats, ivf_cell_sizes, token_counts,
+    quarantined_rows, union_two_receivers, oversized_reject_counts,
+    node_batches_grouped/scalable) remain implemented and pytest-covered."""
     return {
-        # pipeline (parse → enrich → route → aggregate)
+        # pipeline (parse → enrich → route → aggregate) + its contracts
         "pipeline_routed": q_pipeline_routed,
         "pipeline_sink_counts": q_pipeline_sink_counts,
+        "counters_table": _q_counters_table,
+        "lineage_totals": _q_lineage_totals,
+        "sink_translated": q_sink_translated,
+        "logging_sink_sample": q_logging_sink_sample,
         "source_counts_salted": q_source_counts_salted,
         "node_batches": q_node_batches,
         "token_length_quantiles": q_token_length_quantiles,
@@ -991,21 +1029,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_extract": q_parse_extract,
         "parse_extract_pandas": q_parse_extract_pandas,
         "parse_quarantine_counts": q_parse_quarantine_counts,
-        "quarantined_rows": q_quarantined_rows,
         "carry_forward": q_carry_forward,
         "carry_forward_scalable": q_carry_forward_scalable,
         "sampler_keep": q_sampler_keep,
         "enrich_attrs": q_enrich_attrs,
-        "attrs_add": q_attrs_add,
-        "attrs_rename": q_attrs_rename,
-        "union_two_receivers": q_union_two_receivers,
+        "attrs_transform": q_attrs_transform,
         "memlimit_shed": q_memlimit_shed,
         "parse_json_gateway": q_parse_json_gateway,
         "union_multi_format": q_union_multi_format,
         "truncate_caps": q_truncate_caps,
-        "oversized_reject_counts": q_oversized_reject_counts,
         "pack_sequences": q_pack_sequences,
-        "pack_stats": q_pack_stats,
         "trace_id_codec": q_trace_id_codec,
         # relational coverage
         "tpch_q1": q_tpch_q1,
@@ -1018,28 +1051,25 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
-        "token_counts": q_token_counts,
         "fingerprint_docs": q_fingerprint_docs,
         # dedup
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_candidates": q_minhash_candidates,
         "minhash_dedup_verified": q_minhash_dedup_verified,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_values": q_simhash_values,
-        "simhash_pairs": q_simhash_pairs,
+        "simhash_band_pairs": q_simhash_band_pairs,
         "corpus_filter": q_corpus_filter,
         "sequence_dedup": q_sequence_dedup,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ivf_cell_sizes": q_ivf_cell_sizes,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_bucket_sizes": q_lsh_bucket_sizes,
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
-        # rows-only (non-SQL-expressible: mapInPandas lineage / Observations)
-        "lineage_totals": _q_lineage_totals,
-        "counters_table": _q_counters_table,
+        # bounded all-pairs verification twins (least driver-critical → last)
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
     }

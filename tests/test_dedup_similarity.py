@@ -65,6 +65,28 @@ def test_simhash_close_for_near_dup(spark):
     assert pairs[(0, 3)] < pairs[(0, 4)]  # near-dup closer than unrelated
 
 
+def test_simhash_band_pairs_matches_all_pairs_within_radius(spark):
+    """The banded equi-join finds EVERY pair at hamming ≤ BANDS−1 (pigeonhole
+    guarantee) — compare against the exact all-pairs op on the same corpus."""
+    docs = _docs(spark)
+    banded = {(r.id_a, r.id_b): r.hamming
+              for r in dd.simhash_band_pairs(docs, max_hamming=3).collect()}
+    exact = {(r.id_a, r.id_b): r.hamming
+             for r in dd.simhash_hamming_pairs(
+                 docs, max_hamming=3, id_limit=100).collect()}
+    assert banded == exact
+    assert (0, 1) in banded and banded[(0, 1)] == 0
+    spark.catalog.clearCache()
+
+
+def test_simhash_band_pairs_no_cartesian(spark):
+    plan = dd.simhash_band_pairs(_docs(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
+
+
 def _vecs(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

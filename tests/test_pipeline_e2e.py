@@ -209,6 +209,48 @@ def test_batch_by_key_colocates_and_salts(spark):
     assert hot > 1  # hot key no longer owned by a single task
 
 
+def _batch_rows(df):
+    return sorted((r.doc_id, r.stream_id, r.msg_seq, r.batch_no)
+                  for r in df.collect())
+
+
+def test_node_batches_native_equals_grouped(spark):
+    """The native window form (registry default) and the applyInPandas
+    extension-surface demo must agree row-for-row."""
+    from omnition_opentelemetry_service_spark.operators.batcher import (
+        node_batches, node_batches_grouped,
+    )
+
+    pay = fx.raw_payloads(spark, N)
+    assert _batch_rows(node_batches(pay, 7)) == \
+        _batch_rows(node_batches_grouped(pay, 7))
+
+
+def test_node_batches_scalable_single_giant_stream(spark):
+    """A single stream spanning many slices: the scalable form must (a) match
+    the native form exactly even with gaps in the order column, and (b) never
+    run a window partitioned on the bare stream key — the giant stream must
+    not serialize onto one task."""
+    from omnition_opentelemetry_service_spark.operators.batcher import (
+        node_batches, node_batches_scalable,
+    )
+
+    # one stream, gapped msg_seq (drop every 3rd), 400 rows
+    pay = (fx.raw_payloads(spark, N)
+           .withColumn("stream_id", F.lit(0))
+           .withColumn("msg_seq", F.col("msg_seq") * 64 + F.col("stream_id"))
+           .filter(F.col("msg_seq") % 3 != 0))
+    got = node_batches_scalable(pay, batch_size=7, slice_rows=16)
+    assert _batch_rows(got) == _batch_rows(node_batches(pay, batch_size=7))
+    # plan check: every window partitions on (stream_id, _slice), never on
+    # stream_id alone
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_slice" in spec, f"window partitioned on bare key: {spec}"
+
+
 def test_salted_counts_equal_plain_groupby(spark):
     seqs = fx.sequences(spark, N)
     from omnition_opentelemetry_service_spark.operators.batcher import salted_counts

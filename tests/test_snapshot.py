@@ -50,3 +50,73 @@ def test_partitioned_snapshot(spark, tmp_path):
     data_dir = os.path.join(str(tmp_path / "t"), "v_1")
     assert any(d.startswith("k=") for d in os.listdir(data_dir))
     assert t.read(spark).count() == 3
+
+
+# -- Iceberg-model contract tests (earning the snapshot substitute) ----------
+def test_concurrent_commit_one_winner(spark, tmp_path):
+    """Optimistic concurrency: two writers racing on the same version — the
+    second manifest publish must FAIL (O_EXCL commit token), never silently
+    overwrite the winner (Iceberg's commit-conflict contract)."""
+    import pytest
+
+    t1 = SnapshotTable(str(tmp_path / "t"))
+    t2 = SnapshotTable(str(tmp_path / "t"))  # second writer, same table
+    df = spark.range(4).withColumnRenamed("id", "x")
+    # both writers observe current_version()==None → both target v_1
+    t1.write(df, stage="a")
+    # simulate the loser: its data write succeeded but the v_1 commit token
+    # is taken — replay the commit step it would perform
+    with pytest.raises(FileExistsError):
+        fd = os.open(os.path.join(str(tmp_path / "t"), "v_1.manifest.json"),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    # the loser retries at a fresh version and succeeds
+    m = t2.write(df, stage="a")
+    assert m["version"] == 2
+    assert t1.manifest(1)["stage"] == "a"  # winner's commit intact
+
+
+def test_snapshot_read_prunes_partitions(spark, tmp_path):
+    """Partition pruning on read: a sink-filtered scan of a snapshot
+    partitioned by sink must push the filter into PartitionFilters — reading
+    one sink of a 10^12-row snapshot must not list the other sinks' files."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [("s1", i) for i in range(10)] + [("s2", i) for i in range(5)],
+        "sink string, v int")
+    t.write(df, stage="routed", partition_by=["sink"])
+    scan = t.read(spark).filter("sink = 's1'")
+    assert scan.count() == 10
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the sink predicate must appear in PartitionFilters, not as a post-scan
+    # data filter
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "sink" in pf
+
+
+def test_fingerprint_mismatch_hides_stage(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(3).withColumnRenamed("id", "x")
+    t.write(df, stage="parsed", meta={"fingerprint": "abc"})
+    assert t.has_stage("parsed")                      # no fp asked → visible
+    assert t.has_stage("parsed", fingerprint="abc")   # matching fp → visible
+    assert not t.has_stage("parsed", fingerprint="zzz")  # changed cfg → hidden
+
+
+def test_meta_callable_evaluated_after_write(spark, tmp_path):
+    """meta as a callable runs AFTER the data write — the hook that lets
+    Observation-harvested counters commit with the manifest."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    seen = []
+
+    def late_meta():
+        # by now the parquet files must exist
+        seen.append(os.path.isdir(os.path.join(str(tmp_path / "t"), "v_1")))
+        return {"counters": [["parse", "tag", 3, 1]]}
+
+    m = t.write(spark.range(3).withColumnRenamed("id", "x"),
+                stage="parsed", meta=late_meta)
+    assert seen == [True]
+    assert m["counters"] == [["parse", "tag", 3, 1]]
+    assert t.stage_manifest("parsed")["counters"] == [["parse", "tag", 3, 1]]
