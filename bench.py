@@ -197,6 +197,7 @@ def main() -> None:
     best = max(rounds, key=lambda r: r["efficiency"])
     effs = sorted(r["efficiency"] for r in rounds)
     median_eff = effs[len(effs) // 2]
+    spread = round((effs[-1] - effs[0]) / effs[-1], 3) if effs[-1] else None
 
     queries = registry.build_queries()
     per_query: dict[str, float] = {}
@@ -242,6 +243,7 @@ def main() -> None:
             "speedup": best["speedup"],
             "efficiency": best["efficiency"],
             "efficiency_median": median_eff,
+            "efficiency_spread": spread,
             "host_parallel_speedup": best["host_ceiling"],
             "efficiency_vs_host_ceiling": best["efficiency_vs_host_ceiling"],
             "rounds": rounds,

@@ -111,7 +111,10 @@ def minhash_candidates(docs_with_sig: DataFrame, id_col: str = "doc_id") -> Data
     # would otherwise inline the md5-aggregate into the per-band transform
     # (4× the hashing) and again into each side of the self-join. The cache
     # is a hard barrier; at 100 TB this materialization is the signatures
-    # table every LSH pipeline writes before bucketing anyway.
+    # table every LSH pipeline writes before bucketing anyway. Cache
+    # lifecycle is CALLER-owned (the operator cannot know when the action
+    # has run): release via registry.release_caches / clearCache after
+    # consuming the result — bench and the oracle harness do.
     sigs = docs_with_sig.select(F.col(id_col).alias("id"), "minhash").persist()
     keyed = sigs.select(
         "id", F.explode(lsh_band_keys_expr()).alias("band_key")

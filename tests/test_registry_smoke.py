@@ -16,10 +16,20 @@ def test_entry_flagship(spark):
                           "priority", "n_tok", "tokens_str"]
 
 
-def test_every_query_runs_and_every_oracle_parses(spark):
+def test_registry_is_exactly_50_fully_oracled(spark):
+    """The driver's correctness gate checks the FIRST 50 queries() entries;
+    every registered query must therefore fit in — and fill — that window,
+    and every one must ship an oracle."""
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    assert set(oracles) <= set(queries)
+    assert len(queries) == 50
+    assert set(oracles) == set(queries)
+
+
+def test_every_query_runs_and_every_oracle_parses(spark):
+    from omnition_opentelemetry_service_spark.registry import release_caches
+
+    queries = entry_mod.queries()
     failures = []
     for name, fn in queries.items():
         try:
@@ -27,7 +37,10 @@ def test_every_query_runs_and_every_oracle_parses(spark):
             assert n >= 0
         except Exception as e:  # collect all breakages, not just the first
             failures.append(f"{name}: {type(e).__name__}: {e}")
+        release_caches(spark)
     assert not failures, "\n".join(failures)
+    # cache lifecycle: after release, no persisted RDDs may linger
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
 
 
 def test_every_oracle_is_valid_duckdb(spark):

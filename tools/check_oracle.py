@@ -81,6 +81,11 @@ def main() -> int:
         print(f"{status} {name}: rows {len(s_rows)}/{len(d_rows)} "
               f"cols={'=' if ok_cols else f'{s_cols} vs {d_cols}'} "
               f"hash={'=' if ok_hash else 'MISMATCH'} [{time.time()-t0:.1f}s]")
+        from omnition_opentelemetry_service_spark.registry import (
+            release_caches,
+        )
+
+        release_caches(spark)  # operator caches are caller-released
         if not (ok_cols and ok_count and ok_hash):
             failures.append(name)
             if ok_cols and s_rows and d_rows:
