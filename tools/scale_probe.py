@@ -54,24 +54,24 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from omnition_opentelemetry_service_spark.functions.tokens import (
-        tokens_checksum,
-    )
-
     best = float("inf")
     routed = 0
     for _ in range(repeats):
         t0 = time.perf_counter()
         st = pl.build_routed(spark, pl.PipelineConfig(**cfg_kwargs))
-        # Fold every routed token array into a per-sink checksum aggregate:
-        # the TOKENS must actually flow through the pipeline and be touched
-        # per element (the north-star invariant is token-array equality) —
-        # a bare count() lets Catalyst prune the token column and the probe
-        # degenerates to a pure-bandwidth measurement that a single shared
-        # memory bus caps regardless of cores (a multi-node cluster scales
-        # bandwidth per node; one box cannot — see BASELINE.md).
+        # Hash every routed token array into a per-sink aggregate: the
+        # TOKENS must actually flow through the pipeline (the north-star
+        # invariant is token-array equality) — a bare count() lets Catalyst
+        # prune the token column and the probe degenerates to a
+        # pure-bandwidth measurement. xxhash64 over the full array (not the
+        # interpreted HOF fold tokens_checksum): the fold is interpreted,
+        # allocation-heavy expression eval that measured 3× the runtime of
+        # the ENTIRE rest of the pipeline — a probe carrying it benchmarks
+        # Catalyst's lambda interpreter, not parse→join→route. xxhash64
+        # stays inside whole-stage codegen, touches every token byte, and
+        # keeps the probe dominated by the real pipeline stages.
         counts = (st["routed"]
-                  .withColumn("_cs", tokens_checksum())
+                  .withColumn("_cs", F.xxhash64("tokens"))
                   .groupBy("sink")
                   .agg(F.count(F.lit(1)).alias("n"),
                        F.sum(F.col("_cs") % F.lit(1_000_000_007))
