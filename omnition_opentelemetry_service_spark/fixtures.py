@@ -100,6 +100,43 @@ def raw_json_payloads_sql_duck(n: int) -> str:
     """
 
 
+def raw_zipkin_payloads(spark: SparkSession, n: int,
+                        num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, payload) — Zipkin-v2-style JSON spans, the zipkin receiver
+    analog (reference components.go:48): nested localEndpoint object, string
+    tag map, epoch-micros timestamp — a structurally different wire shape
+    from both the grok lines and the flat JSON gateway. Built by string
+    concat so both engines produce byte-identical payloads."""
+    df = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    df = df.withColumnRenamed("id", "i")
+    ts_us = f"CAST(({EPOCH0} + i) AS BIGINT) * 1000000"
+    payload = (
+        "concat('{\"traceId\":\"', lpad(lower(hex(i * " + str(TOKEN_A) + " + 17)), 32, '0'), "
+        "'\",\"name\":\"seq ', CAST(i AS STRING), "
+        f"'\", \"timestamp\":', CAST({ts_us} AS STRING), "
+        f"',\"localEndpoint\":{{\"serviceName\":\"', ({SOURCE_CASE_SQL}), "
+        f"'\"}}, \"tags\":{{\"n_tok\":\"', CAST({N_TOK_SQL} AS STRING), '\"}}}}')"
+    )
+    return df.select(
+        F.expr(DOC_ID_SQL).alias("doc_id"),
+        F.expr(payload).alias("payload"),
+    )
+
+
+def raw_zipkin_payloads_sql_duck(n: int) -> str:
+    ts_us = f"CAST(({EPOCH0} + i) AS BIGINT) * 1000000"
+    return f"""
+    SELECT
+      {DOC_ID_SQL_DUCK} AS doc_id,
+      concat('{{"traceId":"', lpad(lower(hex(i * {TOKEN_A} + 17)), 32, '0'),
+             '","name":"seq ', CAST(i AS VARCHAR),
+             '", "timestamp":', CAST({ts_us} AS VARCHAR),
+             ',"localEndpoint":{{"serviceName":"', ({SOURCE_CASE_SQL}),
+             '"}}, "tags":{{"n_tok":"', CAST({N_TOK_SQL} AS VARCHAR), '"}}}}') AS payload
+    FROM (SELECT range AS i FROM range(0, {n}))
+    """
+
+
 def materialize_input(spark: SparkSession, n: int, out_dir: str,
                       num_partitions: int | None = None) -> None:
     """Write the F1/F2 fixture tables to parquet — the sandbox stand-in for

@@ -138,6 +138,35 @@ def parse_json_gateway(df: DataFrame, payload_col: str = "payload") -> DataFrame
     )
 
 
+ZIPKIN_SCHEMA = (
+    "traceId string, name string, timestamp long, "
+    "localEndpoint struct<serviceName:string>, tags map<string,string>"
+)
+
+
+def parse_zipkin_gateway(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Zipkin receiver analog (components.go:48) — a third wire shape:
+    nested-JSON spans (localEndpoint object, string tag map, epoch-micros
+    timestamp). Decode is `from_json` with a nested schema + projection to
+    the common parsed columns, all JVM-side; `unionByName` fuses it with the
+    grok and flat-JSON branches into one pipeline."""
+    parsed = F.from_json(F.col(payload_col), ZIPKIN_SCHEMA)
+    return (
+        df.withColumn("_p", parsed)
+        .select(
+            *[c for c in df.columns if c != payload_col],
+            F.date_format(
+                F.timestamp_micros(F.col("_p.timestamp")),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_str"),
+            F.col("_p.localEndpoint.serviceName").alias("src"),
+            F.col("_p.tags")["n_tok"].cast("int").alias("n_tok"),
+            F.col("_p.name").alias("msg"),
+            F.col("_p.traceId").alias("trace_hex"),
+            F.col("_p.timestamp").isNotNull().alias("valid"),
+        )
+    )
+
+
 def quarantine_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, quarantined) — quarantined rows keep doc_id + raw context for
     the dropped-spans counter path (obsreport analog, SURVEY.md §2.4)."""

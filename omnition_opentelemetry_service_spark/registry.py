@@ -228,15 +228,19 @@ def q_parse_json_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_union_multi_format(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two receiver formats → one pipeline (unionByName of parse branches,
-    the multi-receiver pipeline YAML analog): per-source counts over the
-    union of the grok branch and the JSON branch."""
+    """THREE receiver formats → one pipeline (unionByName of parse branches,
+    the multi-receiver pipeline YAML analog; components.go:47-48 jaeger/
+    zipkin alt-decode branches): per-source counts over the union of the
+    grok branch, the flat-JSON gateway branch, and the nested Zipkin-v2
+    branch."""
     n = _n(sf_dir)
     grok = parse_fns.parse_payload_native(fx.raw_payloads(spark, n)) \
         .filter(F.col("valid")).select("doc_id", "src", "n_tok")
     js = parse_fns.parse_json_gateway(fx.raw_json_payloads(spark, n)) \
         .filter(F.col("valid")).select("doc_id", "src", "n_tok")
-    return grok.unionByName(js).groupBy("src").agg(
+    zk = parse_fns.parse_zipkin_gateway(fx.raw_zipkin_payloads(spark, n)) \
+        .filter(F.col("valid")).select("doc_id", "src", "n_tok")
+    return grok.unionByName(js).unionByName(zk).groupBy("src").agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum("n_tok").alias("sum_n_tok"))
 
 
@@ -673,16 +677,24 @@ def build_oracle_sql() -> dict[str, str]:
            json_extract_string(payload, '$.ts') IS NOT NULL AS valid
     FROM jpay"""
 
+    zpay = fx.raw_zipkin_payloads_sql_duck(n)
     o["union_multi_format"] = f"""{pre},
     jpay AS ({jpay}),
     jparsed AS (
       SELECT doc_id, json_extract_string(payload, '$.src') AS src,
              CAST(json_extract(payload, '$.n') AS INTEGER) AS n_tok
-      FROM jpay)
+      FROM jpay),
+    zpay AS ({zpay}),
+    zparsed AS (
+      SELECT doc_id,
+             json_extract_string(payload, '$.localEndpoint.serviceName') AS src,
+             CAST(json_extract_string(payload, '$.tags.n_tok') AS INTEGER) AS n_tok
+      FROM zpay)
     SELECT src, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
     FROM (SELECT src, n_tok FROM parsed WHERE valid
-          UNION ALL SELECT src, n_tok FROM jparsed)
+          UNION ALL SELECT src, n_tok FROM jparsed
+          UNION ALL SELECT src, n_tok FROM zparsed)
     GROUP BY src"""
 
     o["truncate_caps"] = f"""{pre}

@@ -61,3 +61,24 @@ def test_with_event_time_roundtrip(spark):
     et = p.with_event_time(parsed).filter(F.col("valid"))
     row = et.filter(F.col("doc_id") == "doc-000000000001").collect()[0]
     assert row.event_time.isoformat().startswith("2026-01-01T00:00:01")
+
+
+def test_zipkin_branch_agrees_with_grok_branch(spark):
+    """All three receiver formats carry the same underlying facts (same
+    index arithmetic): the Zipkin nested-JSON decode must extract identical
+    (src, n_tok, trace_hex, ts_str) to the grok decode for every valid row."""
+    from omnition_opentelemetry_service_spark import fixtures as fx
+    from omnition_opentelemetry_service_spark.functions import parse as p
+
+    n = 200
+    grok = {r.doc_id: (r.src, r.n_tok, r.trace_hex, r.ts_str)
+            for r in p.parse_payload_native(fx.raw_payloads(spark, n))
+            .filter("valid")
+            .select("doc_id", "src", "n_tok", "trace_hex", "ts_str").collect()}
+    zk = {r.doc_id: (r.src, r.n_tok, r.trace_hex, r.ts_str)
+          for r in p.parse_zipkin_gateway(fx.raw_zipkin_payloads(spark, n))
+          .filter("valid")
+          .select("doc_id", "src", "n_tok", "trace_hex", "ts_str").collect()}
+    assert len(zk) == n  # zipkin branch has no malformed rows
+    for doc_id, vals in grok.items():
+        assert zk[doc_id] == vals
