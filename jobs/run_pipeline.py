@@ -46,6 +46,18 @@ def main() -> None:
                 "sink_counts": {r.sink: r.n_rows for r in res["sink_counts"]},
                 "counters": [list(c) for c in res["counters"]],
             }))
+            # logging-type exporters: deterministic debug sample to the
+            # console (reference logging exporter, components.go:58)
+            from omnition_opentelemetry_service_spark.operators.translate import (
+                logging_sample,
+            )
+
+            for ename, espec in job.exporter_specs.items():
+                if espec.get("type") == "logging":
+                    k = int(espec.get("sample_k", 10))
+                    for r in logging_sample(res["routed"], k=k).collect():
+                        print(json.dumps({"exporter": ename,
+                                          "sample": r.asDict()}))
     finally:
         spark.stop()
 

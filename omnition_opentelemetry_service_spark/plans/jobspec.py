@@ -27,18 +27,26 @@ ERR_UNKNOWN_EXPORTER = "pipeline references unknown exporter: {name}"
 ERR_BAD_RECEIVER_TYPE = "receiver type must be one of: fixture_payloads, parquet"
 ERR_NO_EXPORTERS = "pipeline must list at least one exporter"
 ERR_PARQUET_NO_PATH = "parquet receiver requires a path"
+ERR_BAD_EXPORTER_TYPE = "exporter type must be one of: parquet, logging"
 
 KNOWN_RECEIVER_TYPES = ("fixture_payloads", "parquet")
+KNOWN_EXPORTER_TYPES = ("parquet", "logging")
 
 
 @dataclass
 class JobSpec:
-    """Compiled job: one PipelineConfig per declared pipeline."""
+    """Compiled job: one PipelineConfig per declared pipeline.
+
+    ``exporter_specs`` carries each exporter's raw settings (type, path,
+    sample_k, ...) so the runner can drive per-type sinks — e.g. the
+    logging exporter (reference components.go:58) emits a deterministic
+    debug sample to the console instead of a table write."""
 
     name: str
     config: PipelineConfig
     receivers: list[str]
     exporters: list[str] = field(default_factory=list)
+    exporter_specs: dict[str, dict] = field(default_factory=dict)
 
 
 def load_yaml(path: str) -> dict:
@@ -63,6 +71,10 @@ def compile_spec(raw: dict) -> list[JobSpec]:
         rtype = (rcfg or {}).get("type", "fixture_payloads")
         if rtype not in KNOWN_RECEIVER_TYPES:
             raise ValueError(ERR_BAD_RECEIVER_TYPE)
+    for ename, ecfg in exporters.items():
+        etype = (ecfg or {}).get("type", "parquet")
+        if etype not in KNOWN_EXPORTER_TYPES:
+            raise ValueError(ERR_BAD_EXPORTER_TYPE)
 
     specs: list[JobSpec] = []
     for pname, pcfg in pipelines.items():
@@ -102,14 +114,21 @@ def compile_spec(raw: dict) -> list[JobSpec]:
                 cfg.salt_buckets = pc["salt_buckets"]
             if "num_partitions" in pc:
                 cfg.num_partitions = pc["num_partitions"]
-        first_exp = exporters[p_exporters[0]] or {}
-        cfg.write_sinks_dir = first_exp.get("path")
+        # the first parquet-type exporter's path drives the sink write; the
+        # logging exporter is a console sink and needs no path
+        for e in p_exporters:
+            ec = exporters[e] or {}
+            if ec.get("type", "parquet") == "parquet" and ec.get("path"):
+                cfg.write_sinks_dir = ec["path"]
+                break
         cfg.checkpoint_dir = pcfg.get("checkpoint_dir")
         cfg.sinks = list(p_exporters)
         cfg.validate()
         specs.append(JobSpec(name=pname, config=cfg,
                              receivers=list(p_receivers),
-                             exporters=list(p_exporters)))
+                             exporters=list(p_exporters),
+                             exporter_specs={e: dict(exporters[e] or {})
+                                             for e in p_exporters}))
     return specs
 
 

@@ -65,6 +65,12 @@ def test_golden_config_decodes_fully():
              "pipelines": {"p": {"receivers": ["r"], "exporters": ["e"]}}},
             js.ERR_PARQUET_NO_PATH,
         ),
+        (
+            {"receivers": {"r": {"n_rows": 10}},
+             "exporters": {"e": {"type": "kafka"}},
+             "pipelines": {"p": {"receivers": ["r"], "exporters": ["e"]}}},
+            js.ERR_BAD_EXPORTER_TYPE,
+        ),
     ],
 )
 def test_config_validation_sentinels(raw, err):
@@ -91,6 +97,28 @@ def test_parquet_receiver_maps_path_to_input_dir(spark, tmp_path):
     assert job.config.input_dir == input_dir
     res = pl.run_pipeline(spark, job.config)
     assert sum(r.n_rows for r in res["sink_counts"]) > 0
+
+
+def test_logging_exporter_compiles_and_samples(spark):
+    """`type: logging` exporters compile (no path needed) and the runner's
+    sample path yields deterministic rows."""
+    from omnition_opentelemetry_service_spark.operators.translate import (
+        logging_sample,
+    )
+    from omnition_opentelemetry_service_spark.plans import pipeline as pl
+
+    raw = {
+        "receivers": {"r": {"n_rows": 400}},
+        "exporters": {"dbg": {"type": "logging", "sample_k": 5}},
+        "pipelines": {"p": {"receivers": ["r"], "exporters": ["dbg"]}},
+    }
+    job = js.compile_spec(raw)[0]
+    assert job.exporter_specs["dbg"]["type"] == "logging"
+    assert job.config.write_sinks_dir is None  # console sink needs no path
+    res = pl.run_pipeline(spark, job.config)
+    rows1 = [r.asDict() for r in logging_sample(res["routed"], k=5).collect()]
+    rows2 = [r.asDict() for r in logging_sample(res["routed"], k=5).collect()]
+    assert len(rows1) == 5 and rows1 == rows2  # deterministic sample
 
 
 def test_compiled_config_runs_pipeline(spark, tmp_path):
