@@ -93,6 +93,32 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.92, id_limit: int = 300)
     )
 
 
+def near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
+                       n_planes: int = 4, dim: int = EMB_DIM) -> DataFrame:
+    """Embedding near-dup pairs, the 100 TB path: random-hyperplane bucket
+    assignment (one scan), within-bucket pair join (equi-join on bucket —
+    no cross product), exact-cosine verify on candidates only.
+
+    Recall contract: a pair is found iff its two vectors agree on all
+    ``n_planes`` sign bits; P[agree] per plane = 1 − θ/π (θ = angle), so
+    fewer planes = bigger buckets = higher recall and more candidates
+    (4 planes ≈ 16× candidate reduction on the fixture). For recall → 1 at
+    scale, OR several independent plane banks (the minhash-band pattern,
+    dedup.py) — near_dup_pairs is the exact verification twin."""
+    b = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("e"),
+        lsh_bucket_expr("embedding", n_planes, dim).alias("bk"))
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, (F.col("l.bk") == F.col("r.bk"))
+               & (F.col("l.id") < F.col("r.id")))
+        .withColumn("cosine", F.round(cosine_expr("l.e", "r.e"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                "cosine")
+    )
+
+
 def lsh_planes(n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> list[list[int]]:
     """Deterministic ±1 hyperplanes: sign of md5(f'{p}:{d}') parity.
     Seed-free, reproducible in SQL text for the oracle."""

@@ -447,12 +447,6 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=3, id_limit=150, threshold=0.5)
 
 
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded all-pairs form — the banded query's verification twin."""
-    return dd.simhash_hamming_pairs(load(spark, sf_dir, "documents"),
-                                    max_hamming=18, id_limit=150)
-
-
 def q_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SimHash 100 TB path: 4×15-bit banded equi-join, exact-hamming
     verify — complete for hamming ≤ 3 by pigeonhole (dedup.py)."""
@@ -515,6 +509,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # yields ~59 verified pairs at sf0.01.
     return sim.near_dup_pairs(load(spark, sf_dir, "embeddings"),
                               threshold=0.4, id_limit=500)
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup 100 TB path: bucket equi-join over the FULL table (no
+    id bound — bucketing IS the scale device), exact-cosine verify."""
+    return sim.near_dup_pairs_lsh(load(spark, sf_dir, "embeddings"),
+                                  threshold=0.4, n_planes=4)
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,12 +863,6 @@ def build_oracle_sql() -> dict[str, str]:
         f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
         for b in range(dd.SIMHASH_BITS))} AS BIGINT) AS simhash
       FROM votes)"""
-    o["simhash_pairs"] = f"""{simhash_cte}
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 18"""
-
     # banded form: same simhash CTE over ALL docs (no id bound — banding IS
     # the scale device), bands exploded, equi-join, exact-hamming verify.
     simhash_all_cte = simhash_cte.replace(" WHERE doc_id < 150", "")
@@ -985,6 +980,15 @@ def build_oracle_sql() -> dict[str, str]:
     FROM sub a JOIN sub b ON a.id < b.id
     WHERE round({cos('a.e', 'b.e')}, 6) >= 0.4"""
 
+    bucket4 = sim.lsh_bucket_sql_duck("embedding", n_planes=4)
+    o["embedding_near_dup_lsh"] = f"""
+    WITH b AS (SELECT vec_id AS id, embedding AS e, {bucket4} AS bk
+               FROM embeddings)
+    SELECT l.id AS id_a, r.id AS id_b,
+           round({cos('l.e', 'r.e')}, 6) AS cosine
+    FROM b l JOIN b r ON l.bk = r.bk AND l.id < r.id
+    WHERE round({cos('l.e', 'r.e')}, 6) >= 0.4"""
+
     o["lsh_bucket_sizes"] = f"""
     SELECT {bucket} AS bucket, CAST(count(*) AS BIGINT) AS n_vecs
     FROM embeddings GROUP BY 1"""
@@ -1078,10 +1082,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lsh_bucket_sizes": q_lsh_bucket_sizes,
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
-        # bounded all-pairs verification twins (least driver-critical → last)
+        # bounded all-pairs verification twin (least driver-critical → last;
+        # simhash_pairs' all-pairs twin lives in pytest now that
+        # simhash_band_pairs carries the driver slot)
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash_pairs": q_simhash_pairs,
     }

@@ -112,6 +112,23 @@ def test_near_dup_pairs_threshold(spark):
     assert pairs == {(0, 1)}
 
 
+def test_near_dup_lsh_subset_of_exact_and_finds_same_bucket_pairs(spark):
+    """The bucketed scale path returns a SUBSET of the exact all-pairs
+    result (same threshold), and near-identical vectors (which agree on
+    every hyperplane sign) are always found."""
+    vecs = _vecs(spark)
+    exact = {(r.id_a, r.id_b) for r in
+             sim.near_dup_pairs(vecs, threshold=0.9, id_limit=10).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           sim.near_dup_pairs_lsh(vecs, threshold=0.9, n_planes=4,
+                                  dim=4).collect()}
+    assert lsh <= exact
+    assert (0, 1) in lsh  # near-identical → identical sign pattern
+    plan = sim.near_dup_pairs_lsh(vecs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def _ivf_corpus(spark):
     # two tight clusters around orthogonal axes; centroid sample picks
     # vec_id 3 and 100 (mod 97 residue 3)
