@@ -49,6 +49,54 @@ def test_no_cartesian_anywhere_in_registry_samples(spark):
 
     q = registry.build_queries()
     for name in ["tpch_q3_top10", "region_supplier_rollup",
-                 "minhash_candidates", "ann_lsh_topk", "ivf_ann_topk"]:
+                 "minhash_candidates", "ann_lsh_topk", "ivf_ann_topk",
+                 "simhash_band_pairs", "embedding_near_dup_lsh"]:
         plan = _plan(q[name](spark, SF))
         assert "CartesianProduct" not in plan, name
+    spark.catalog.clearCache()
+
+
+def test_pipeline_dims_broadcast_fact_never_shuffled_for_enrich(spark):
+    """The enrich join must be a BroadcastHashJoin (dim side built) and the
+    route join a BroadcastNestedLoop over the 5-row rules — the 10^12-row
+    fact side never shuffles for either."""
+    from omnition_opentelemetry_service_spark.plans import pipeline as pl
+
+    st = pl.build_routed(spark, pl.PipelineConfig(n_rows=2000))
+    plan = _plan(st["routed"])
+    assert "BroadcastHashJoin" in plan           # enrich dim join
+    assert "BroadcastNestedLoopJoin" in plan     # rules theta-join
+    # exactly ONE exchange partitioned on something other than broadcast:
+    # the payload⨝sequences doc_id join + carry-forward window share keys;
+    # no exchange may be keyed on the enrich/route side
+    assert "Exchange hashpartitioning(source" not in plan
+    assert "Exchange hashpartitioning(rule_id" not in plan
+
+
+def test_translated_envelope_single_pass_no_extra_shuffle(spark):
+    """encode_envelope adds projection only: no join, no aggregate, no new
+    exchange beyond what routed already has — one pass encodes every sink."""
+    from omnition_opentelemetry_service_spark.operators.translate import (
+        encode_envelope,
+    )
+    from omnition_opentelemetry_service_spark.plans import pipeline as pl
+
+    st = pl.build_routed(spark, pl.PipelineConfig(n_rows=2000))
+    base = _plan(st["routed"]).count("Exchange")
+    env = _plan(encode_envelope(st["routed"])).count("Exchange")
+    assert env == base
+
+
+def test_logging_sample_is_take_ordered_not_global_sort(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    top-k + driver merge of k·P rows) — a global Sort of 10^12 rows for a
+    100-row debug sample would be a scale bug."""
+    from omnition_opentelemetry_service_spark.operators.translate import (
+        logging_sample,
+    )
+    from omnition_opentelemetry_service_spark.plans import pipeline as pl
+
+    st = pl.build_routed(spark, pl.PipelineConfig(n_rows=2000))
+    plan = _plan(logging_sample(st["routed"], k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
