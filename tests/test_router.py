@@ -104,3 +104,33 @@ def test_sampler_deterministic(spark):
     a = sorted(r.doc_id for r in route(seqs, rules).select("doc_id").collect())
     b = sorted(r.doc_id for r in route(seqs, rules).select("doc_id").collect())
     assert a == b
+
+
+def test_envelope_payload_matches_typed_translation(spark):
+    """The single-pass envelope's kinesis payloads must carry exactly the
+    fields the typed per-sink translation produces — the two surfaces are
+    one format, serialized vs typed."""
+    from pyspark.sql import functions as F
+
+    from omnition_opentelemetry_service_spark.operators.translate import (
+        encode_envelope, translate_for_sink,
+    )
+    from omnition_opentelemetry_service_spark.plans import pipeline as pl
+
+    st = pl.build_routed(spark, pl.PipelineConfig(n_rows=400))
+    typed = {r.doc_id: (r.trace_id, r.span_id, r.operation, r.process,
+                        r.start_ts, r.n_tok)
+             for r in translate_for_sink(st["routed"], "sink_kinesis").collect()}
+    env = encode_envelope(st["routed"]).filter(F.col("sink") == "sink_kinesis")
+    got = {r.doc_id: (r.trace_id, r.span_id, r.operation, r.process,
+                      r.start_ts, int(r.n_tok))
+           for r in env.select(
+               "doc_id",
+               F.get_json_object("payload", "$.trace_id").alias("trace_id"),
+               F.get_json_object("payload", "$.span_id").alias("span_id"),
+               F.get_json_object("payload", "$.operation").alias("operation"),
+               F.get_json_object("payload", "$.process").alias("process"),
+               F.get_json_object("payload", "$.start_ts").alias("start_ts"),
+               F.get_json_object("payload", "$.n_tok").alias("n_tok"),
+           ).collect()}
+    assert got == typed
