@@ -1,0 +1,77 @@
+"""Operators whose registry slots were consolidated (the driver checks only
+the first 50 queries() entries) stay covered here: every retired slot's
+operator still runs and satisfies its contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omnition_opentelemetry_service_spark import fixtures as fx
+from omnition_opentelemetry_service_spark.functions import parse as parse_fns
+from omnition_opentelemetry_service_spark.functions import text as tx
+
+N = 400
+N_MALFORMED = sum(
+    1 for i in range(N) if i % fx.MALFORMED_MOD == fx.MALFORMED_RESIDUE
+)
+
+
+def test_quarantined_rows_view(spark):
+    parsed = parse_fns.parse_payload_native(fx.raw_payloads(spark, N))
+    bad = parsed.filter(~F.col("valid")).select("doc_id", "stream_id", "msg_seq")
+    assert bad.count() == N_MALFORMED
+
+
+def test_oversized_reject_counts(spark):
+    from omnition_opentelemetry_service_spark.operators import caps
+
+    seqs = fx.sequences(spark, N)
+    kept, rejected = caps.reject_oversized(seqs, "n_tok", 200)
+    assert kept.count() + rejected.count() == N
+    assert rejected.filter(F.col("n_tok") <= 200).count() == 0
+
+
+def test_ivf_cell_sizes_partition_the_corpus(spark):
+    from omnition_opentelemetry_service_spark.operators import similarity as sim
+    from omnition_opentelemetry_service_spark.sources.loader import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    sizes = sim.ivf_cell_sizes(emb).collect()
+    assert sum(r.n_vecs for r in sizes) == emb.count()  # every vector in 1 cell
+    spark.catalog.clearCache()
+
+
+def test_token_counts_columns(spark):
+    from omnition_opentelemetry_service_spark.sources.loader import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    out = docs.select(
+        "doc_id",
+        tx.token_count("text").alias("ws_tokens"),
+        tx.bpe_token_estimate("text").alias("bpe_tokens"),
+    ).collect()
+    assert all(r.bpe_tokens >= r.ws_tokens for r in out if r.ws_tokens)
+
+
+def test_union_two_receivers_partition_covers_range(spark):
+    a = fx.sequences(spark, N // 2)
+    b = fx.sequences(spark, N, start=N // 2)
+    u = a.unionByName(b)
+    assert u.count() == N
+    assert u.select("seq_no").distinct().count() == N
+
+
+def test_simhash_all_pairs_verification_twin(spark):
+    """The banded query's all-pairs twin: banded results (hamming ≤ 3) must
+    be a subset of the exact all-pairs results at the same radius."""
+    from omnition_opentelemetry_service_spark.operators import dedup as dd
+    from omnition_opentelemetry_service_spark.sources.loader import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    exact = {(r.id_a, r.id_b)
+             for r in dd.simhash_hamming_pairs(
+                 docs, max_hamming=3, id_limit=10**9).collect()}
+    banded = {(r.id_a, r.id_b)
+              for r in dd.simhash_band_pairs(docs, max_hamming=3).collect()}
+    assert banded == exact  # pigeonhole: complete at radius ≤ bands-1
+    spark.catalog.clearCache()
