@@ -865,6 +865,7 @@ def build_oracle_sql() -> dict[str, str]:
       FROM votes)"""
     # banded form: same simhash CTE over ALL docs (no id bound — banding IS
     # the scale device), bands exploded, equi-join, exact-hamming verify.
+    assert " WHERE doc_id < 150" in simhash_cte  # guard the rewrite below
     simhash_all_cte = simhash_cte.replace(" WHERE doc_id < 150", "")
     o["simhash_band_pairs"] = f"""{simhash_all_cte},
     bands AS (
