@@ -34,7 +34,7 @@ from ..sinks.snapshot import SnapshotTable
 
 # Config validation sentinels (pattern: exact error strings,
 # memorylimiter.go:39-49 / config golden tests SURVEY.md §5.1-5.2).
-ERR_BAD_PARSE_IMPL = "parse_impl must be one of: native, pandas"
+ERR_BAD_PARSE_IMPL = "parse_impl must be one of: split, native, pandas"
 ERR_NO_INPUT = "either n_rows or sf_dir must be set"
 ERR_BAD_SALT = "salt_buckets must be >= 0"
 
@@ -45,7 +45,10 @@ class PipelineConfig:
     sf_dir: str | None = None
     input_dir: str | None = None  # materialized payloads/ + sequences/ parquet
     input_db: str | None = None  # bucketed catalog tables (<db>.payloads/...)
-    parse_impl: str = "native"
+    # "split" = structural fast path (1 validity regex + positional tokens),
+    # row-identical to "native" (pytest + oracle) and ~2.6× faster — the
+    # pipeline default; "native" = per-field regex; "pandas" = Arrow UDF.
+    parse_impl: str = "split"
     salt_buckets: int = 32
     checkpoint_dir: str | None = None
     write_sinks_dir: str | None = None
@@ -53,7 +56,7 @@ class PipelineConfig:
     sinks: list[str] = field(default_factory=list)
 
     def validate(self) -> None:
-        if self.parse_impl not in ("native", "pandas"):
+        if self.parse_impl not in ("split", "native", "pandas"):
             raise ValueError(ERR_BAD_PARSE_IMPL)
         if (self.n_rows is None and self.sf_dir is None
                 and self.input_dir is None and self.input_db is None):
@@ -107,8 +110,9 @@ def build_routed(spark: SparkSession, cfg: PipelineConfig,
     dim = fixtures.source_dim(spark)
     rules = fixtures.route_rules(spark)
 
-    parse = (parse_fns.parse_payload_native if cfg.parse_impl == "native"
-             else parse_fns.parse_payload_pandas)
+    parse = {"split": parse_fns.parse_payload_split,
+             "native": parse_fns.parse_payload_native,
+             "pandas": parse_fns.parse_payload_pandas}[cfg.parse_impl]
     parsed = parse(payloads)
     if counters is not None:
         parsed = counters.observe_stage(

@@ -82,3 +82,50 @@ def test_zipkin_branch_agrees_with_grok_branch(spark):
     assert len(zk) == n  # zipkin branch has no malformed rows
     for doc_id, vals in grok.items():
         assert zk[doc_id] == vals
+
+
+def test_split_parse_identical_to_native(spark):
+    """The structural fast path must be row-identical to the regex parse on
+    the fixture distribution (valid + malformed rows)."""
+    from omnition_opentelemetry_service_spark import fixtures as fx
+    from omnition_opentelemetry_service_spark.functions import parse as p
+
+    pay = fx.raw_payloads(spark, 2000)
+    n = p.parse_payload_native(pay)
+    s = p.parse_payload_split(pay)
+    assert n.exceptAll(s).count() == 0
+    assert s.exceptAll(n).count() == 0
+
+
+def test_split_parse_adversarial_payloads(spark):
+    """Hand-built edge cases: msg containing other fields' key=value text,
+    truncated/garbage payloads, empty msg — split must agree with native."""
+    from omnition_opentelemetry_service_spark.functions import parse as p
+
+    rows = [
+        # msg contains ' host=evil lvl=FAKE' — positional tokens must not bite
+        ("d1", '2026-01-01T00:00:00Z host=h1 lvl=INFO src=web n=5 '
+               'trace=' + "ab" * 16 + ' msg="x host=evil lvl=FAKE n=9"'),
+        # empty msg
+        ("d2", '2026-01-01T00:00:00Z host=h2 lvl=WARN src=code n=7 '
+               'trace=' + "cd" * 16 + ' msg=""'),
+        # msg containing the literal text msg= (no quote — [^"]* allows it)
+        ("d3", '2026-01-01T00:00:00Z host=h3 lvl=ERROR src=wiki n=1 '
+               'trace=' + "ef" * 16 + ' msg="see msg= docs"'),
+        # malformed: truncated
+        ("d4", "2026-01-01T00:00:0"),
+        # malformed: wrong field order
+        ("d5", '2026-01-01T00:00:00Z lvl=INFO host=h1 src=web n=5 '
+               'trace=' + "ab" * 16 + ' msg="x"'),
+        # malformed: garbage
+        ("d6", "not a log line at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload string") \
+        .withColumn("stream_id", F.lit(0)).withColumn("msg_seq", F.lit(0)) \
+        .withColumn("node_host", F.lit(None).cast("string"))
+    n = {r.doc_id: r.asDict() for r in p.parse_payload_native(df).collect()}
+    s = {r.doc_id: r.asDict() for r in p.parse_payload_split(df).collect()}
+    assert n == s
+    assert n["d1"]["host"] == "h1" and n["d1"]["msg"] == "x host=evil lvl=FAKE n=9"
+    assert n["d2"]["msg"] == ""
+    assert not n["d4"]["valid"] and not n["d5"]["valid"] and not n["d6"]["valid"]

@@ -40,8 +40,9 @@ def test_parallelism_invariance(spark):
 
 
 def test_parse_impl_invariance(spark):
-    assert _routed_rows(spark, parse_impl="native") == _routed_rows(
-        spark, parse_impl="pandas")
+    native = _routed_rows(spark, parse_impl="native")
+    assert native == _routed_rows(spark, parse_impl="pandas")
+    assert native == _routed_rows(spark, parse_impl="split")
 
 
 def test_lineage_totals_match_rowcount(spark):
