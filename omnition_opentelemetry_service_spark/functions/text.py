@@ -176,3 +176,44 @@ def char_shingles_sql_duck(col: str = "text", k: int = 5) -> str:
         f"ELSE list_transform(range(len({norm}) - {k} + 1), "
         f"j -> substr({norm}, CAST(j + 1 AS INTEGER), {k})) END)"
     )
+
+
+# -- winnowing (rolling-hash document fingerprints) ----------------------------
+def winnowing_fingerprints(col: str = "text", k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the standard local document-fingerprinting algorithm): hash every
+    overlapping k-gram, then keep the MINIMUM hash of each sliding window
+    of ``w`` consecutive k-gram hashes; the distinct minima are the
+    document's fingerprints.
+
+    Guarantee: any shared substring of length ≥ k + w − 1 between two
+    documents yields at least one shared fingerprint — edit-robust partial-
+    duplicate detection, unlike the whole-document md5 (fingerprint()).
+
+    All expression-level: the k-gram hash array is computed ONCE (transform
+    as the windowing input — the CollapseProject re-evaluation trap), the
+    window minima via transform(sequence)+slice+array_min over the
+    precomputed array. ~w array reads per position, no Python, no shuffle.
+    """
+    return F.expr(_winnowing_sql(col, k, w))
+
+
+def _winnowing_sql(col: str, k: int, w: int) -> str:
+    norm = f"lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
+    grams = (f"CASE WHEN length({norm}) < {k} THEN array({norm}) "
+             f"ELSE regexp_extract_all({norm}, '(?s)(?=(.{{{k}}}))', 1) END")
+    # hash each k-gram once: first 8 md5 hex chars → bigint
+    hashes = (f"transform({grams}, "
+              f"g -> CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT))")
+    # Bind the hash array ONCE via a lambda variable (transform over a
+    # 1-element wrapper): interpolating {hashes} into each of its four use
+    # sites would re-run the whole md5 pass per site (the CollapseProject
+    # re-evaluation trap). Then: windows of w consecutive hashes → min per
+    # window → distinct.
+    return (
+        f"transform(array({hashes}), hs -> "
+        f"array_distinct(CASE WHEN size(hs) <= {w} "
+        f"THEN array(array_min(hs)) "
+        f"ELSE transform(sequence(1, size(hs) - {w} + 1), "
+        f"j -> array_min(slice(hs, j, {w}))) END))[0]"
+    )

@@ -75,3 +75,30 @@ def test_simhash_all_pairs_verification_twin(spark):
               for r in dd.simhash_band_pairs(docs, max_hamming=3).collect()}
     assert banded == exact  # pigeonhole: complete at radius ≤ bands-1
     spark.catalog.clearCache()
+
+
+def test_winnowing_fingerprints_edit_robust(spark):
+    """Winnowing guarantee: any shared substring of length ≥ k+w−1 yields a
+    shared fingerprint — a small edit leaves most fingerprints intact, while
+    the whole-document md5 changes completely."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edited = base.replace("lazy", "very lazy")  # small local edit
+    other = "completely unrelated content about spark catalyst optimizers"
+    df = spark.createDataFrame(
+        [(0, base), (1, edited), (2, other), (3, base)],
+        "doc_id long, text string")
+    fps = {r.doc_id: set(r.fp) for r in df.select(
+        "doc_id", tx.winnowing_fingerprints("text", k=5, w=4).alias("fp")
+    ).collect()}
+    assert fps[0] == fps[3]  # identical docs → identical fingerprint sets
+    overlap_edit = len(fps[0] & fps[1]) / len(fps[0] | fps[1])
+    overlap_other = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
+    assert overlap_edit > 0.5          # edit keeps most fingerprints
+    assert overlap_other < 0.1         # unrelated docs share almost none
+    assert overlap_edit > overlap_other
+
+
+def test_winnowing_short_text(spark):
+    df = spark.createDataFrame([(0, "hi")], "doc_id long, text string")
+    out = df.select(tx.winnowing_fingerprints("text").alias("fp")).collect()
+    assert len(out[0].fp) == 1  # short text → single whole-text fingerprint
