@@ -72,6 +72,42 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
     return filled.filter(F.col("_is_left") == 1).select(*out_cols)
 
 
+def range_join(left: DataFrame, right: DataFrame, left_time: str,
+               right_lo: str, right_hi: str, bucket_width: int,
+               key: str | None = None) -> DataFrame:
+    """Point-in-interval join: each left row matched to every right interval
+    [lo, hi) containing its time (optionally also matching on ``key``).
+
+    Spark's naive plan for `l.t >= r.lo AND l.t < r.hi` is a
+    BroadcastNestedLoop (every row × every interval). The scale shape here:
+    bucketize time by ``bucket_width``, explode each interval into the
+    buckets it covers, equi-join on the bucket (plus key), then refine with
+    the exact range predicate. Each left row lives in exactly ONE bucket, so
+    no duplicates arise and no distinct is needed. Shuffle cost is keyed on
+    (bucket, key) — pick bucket_width near the typical interval length so
+    intervals explode into O(1) buckets."""
+    lb = left.withColumn(
+        "_b", F.floor(F.col(left_time) / bucket_width).cast("long"))
+    rb = right.withColumn(
+        "_b", F.explode(F.sequence(
+            F.floor(F.col(right_lo) / bucket_width).cast("long"),
+            F.floor((F.col(right_hi) - 1) / bucket_width).cast("long"))))
+    on = [lb["_b"] == rb["_b"]]
+    if key:
+        on.append(lb[key] == rb[key])
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    refined = (
+        lb.join(rb, cond)
+        .filter((lb[left_time] >= rb[right_lo])
+                & (lb[left_time] < rb[right_hi]))
+    )
+    keep = [lb[c] for c in left.columns] + \
+        [rb[c] for c in right.columns if c != key]
+    return refined.select(*keep)
+
+
 def rollup_time_grains(df: DataFrame, time_col: str, dims: list[str],
                        aggs: list[F.Column],
                        grains: tuple[str, ...] = ("hour", "day")) -> DataFrame:

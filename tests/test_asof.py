@@ -106,3 +106,37 @@ def test_rollup_time_grains_single_pass(spark):
     # single-pass contract: exactly one aggregate over one scan (+ explode)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") <= 2  # one logical input (existing RDD scan)
+
+
+def test_range_join_matches_theta_join(spark):
+    """Bucketized range join ≡ the naive theta-join on the same data, and
+    the plan is an equi-join (SortMerge/Hash), never nested-loop/cartesian."""
+    from omnition_opentelemetry_service_spark.operators.asof import range_join
+
+    events = spark.range(300).select(
+        F.col("id").alias("ev_id"),
+        (F.col("id") * 17 % 1000).alias("t"),
+        (F.col("id") % 3).cast("string").alias("tenant"))
+    windows = spark.range(40).select(
+        F.col("id").alias("win_id"),
+        (F.col("id") * 23 % 900).alias("lo"),
+        ((F.col("id") * 23 % 900) + (F.col("id") % 5) * 40 + 10).alias("hi"),
+        (F.col("id") % 3).cast("string").alias("tenant"))
+
+    got = {(r.ev_id, r.win_id)
+           for r in range_join(events, windows, "t", "lo", "hi",
+                               bucket_width=64, key="tenant").collect()}
+    naive = {(r.ev_id, r.win_id)
+             for r in events.alias("e").join(
+                 windows.alias("w"),
+                 (F.col("e.tenant") == F.col("w.tenant"))
+                 & (F.col("e.t") >= F.col("w.lo"))
+                 & (F.col("e.t") < F.col("w.hi"))).select(
+                 "e.ev_id", "w.win_id").collect()}
+    assert got == naive and len(got) > 0
+
+    plan = range_join(events, windows, "t", "lo", "hi", bucket_width=64,
+                      key="tenant")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
