@@ -107,3 +107,28 @@ def test_sampler_deterministic_and_bounded(spark, seqs, pct):
     for s in set(seqs):
         h = ((s + 1 * fx.RULE_SALT) * fx.SAMPLE_A + fx.SAMPLE_B) % fx.SAMPLE_MOD
         assert (s in kept) == (h < int(pct * 100))
+
+
+payload_like = st.one_of(
+    # well-formed-ish assembled payloads (msg may embed key=value noise)
+    st.tuples(word, word, st.integers(0, 10**6), msg_text).map(
+        lambda t: f"2026-01-01T00:00:00Z host={t[0]} lvl={t[1]} "
+                  f"src=websrc n={t[2]} trace={'a' * 32} msg=\"{t[3]}\""),
+    # arbitrary garbage (never matches the anchored shape)
+    st.text(max_size=80),
+)
+
+
+@SET
+@given(st.lists(payload_like, min_size=1, max_size=25))
+def test_split_parse_equals_native_on_arbitrary_strings(spark, payloads):
+    """parse_payload_split ≡ parse_payload_native for EVERY input string:
+    valid payloads extract identically (the anchored rlike pins the shape);
+    anything else yields identical all-null invalid rows."""
+    rows = [(i, p, 0, 0, None) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload string, stream_id int, msg_seq int, "
+              "node_host string")
+    n = sorted(tuple(r) for r in pf.parse_payload_native(df).collect())
+    s = sorted(tuple(r) for r in pf.parse_payload_split(df).collect())
+    assert n == s
