@@ -182,7 +182,12 @@ def simhash_expr(text_col: str = "text") -> F.Column:
 
     The word→hash map runs ONCE per word (transform as the aggregate input);
     the 60 per-bit votes then shift the precomputed hash — not re-md5 it
-    (hashing inside the per-bit transform would cost 60× the md5 work)."""
+    (hashing inside the per-bit transform would cost 60× the md5 work).
+
+    Measured alternative (rejected): explode words → 60 conditional-sum
+    groupBy agg is fully codegen'd but 6× SLOWER (36s vs 5.9s on 5k docs,
+    sf0.1) — 61 aggregation buffers over the exploded row count plus the
+    group-by exchange cost far more than interpreting the fold per doc."""
     words = f"filter(split(lower(trim({text_col})), '\\\\s+'), w -> length(w) > 0)"
     whs = (f"transform({words}, "
            f"w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))")
