@@ -40,3 +40,52 @@ def pack_stats(seqs_with_pack: DataFrame, key: str = "source") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_seqs"),
              F.sum("n_tok").alias("pack_tokens"))
     )
+
+
+def with_pack_id_ffd(seqs: DataFrame, budget: int = 2048,
+                     key: str = "source", order: str = "seq_no",
+                     shard_rows: int = 100_000) -> DataFrame:
+    """First-fit-decreasing bin packing — the higher-fill alternative to
+    cumsum binning when bin OVERFLOW is not allowed (every bin ≤ budget;
+    sequences longer than the budget get a singleton bin).
+
+    FFD is inherently sequential per bin set, so the scale shape shards the
+    work: rows are sharded deterministically by their order column
+    (shard = order div shard_rows — data-derived, AQE-safe), FFD runs
+    per (key, shard) as a grouped Arrow batch (numpy argsort + first-fit
+    over an active-bin array), and pack ids are made globally unique as
+    (shard, local_bin). Parallelism = #shards, bounded by data size; the
+    fill penalty vs one global FFD is at most one under-filled bin per
+    shard. Pays Arrow+Python deliberately: first-fit needs per-bin mutable
+    state no window expression can carry — this is exactly the
+    applyInPandas extension-surface case (SURVEY.md §2.5).
+    """
+    import pandas as pd  # noqa: F401  (executors)
+
+    sharded = seqs.withColumn(
+        "_shard", (F.col(order) / F.lit(shard_rows)).cast("long"))
+
+    def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("n_tok", ascending=False, kind="mergesort")
+        n = pdf["n_tok"].to_numpy()
+        bins: list[int] = []  # remaining capacity per open bin
+        assign = np.empty(len(n), dtype="int64")
+        for i, tok in enumerate(n):
+            for b, rem in enumerate(bins):
+                if rem >= tok:
+                    bins[b] = rem - tok
+                    assign[i] = b
+                    break
+            else:
+                bins.append(max(budget - int(tok), 0))
+                assign[i] = len(bins) - 1
+        shard = int(pdf["_shard"].iloc[0])
+        pdf = pdf.assign(pack_id=assign + shard * 1_000_000)
+        return pdf.drop(columns=["_shard"])
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in seqs.schema.fields
+    ) + ", pack_id long"
+    return sharded.groupBy(key, "_shard").applyInPandas(ffd, schema=out_schema)

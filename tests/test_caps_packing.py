@@ -73,3 +73,27 @@ def test_json_gateway_matches_grok_fields(spark):
     j = {r.doc_id: tuple(r)[1:] for r in js.collect()}
     for doc_id, vals in g.items():  # grok side excludes malformed rows
         assert j[doc_id] == vals
+
+
+def test_ffd_packing_no_overflow_and_better_fill(spark):
+    """FFD contract: no bin exceeds the budget (unlike cumsum binning, which
+    may overflow by one sequence), and mean fill is at least as good."""
+    from omnition_opentelemetry_service_spark import fixtures as fx
+    from omnition_opentelemetry_service_spark.operators import packing as pk
+
+    seqs = fx.sequences(spark, 2000)
+    budget = 512
+
+    ffd = pk.with_pack_id_ffd(seqs, budget=budget, shard_rows=500)
+    ffd_stats = pk.pack_stats(ffd).collect()
+    assert all(r.pack_tokens <= budget for r in ffd_stats)  # hard cap
+    assert ffd.count() == 2000  # lossless
+
+    cum = pk.with_pack_id(seqs, budget=budget)
+    cum_stats = pk.pack_stats(cum).collect()
+    assert any(r.pack_tokens > budget for r in cum_stats)  # cumsum overflows
+
+    # fill quality: FFD's bins (excluding each (key,shard)'s tail bin) are
+    # well filled
+    fills = [r.pack_tokens / budget for r in ffd_stats]
+    assert sum(fills) / len(fills) > 0.6
