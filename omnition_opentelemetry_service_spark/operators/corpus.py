@@ -1,0 +1,254 @@
+"""Corpus-hygiene operators for the training-data pipeline: Gopher-style
+repetition metrics, benchmark-contamination checks, and deterministic
+stratified sampling.
+
+These extend the reference's processor surface (the reference's processors
+gate spans by memory/attributes — processor/*, e.g.
+processor/attributeskeyprocessor/processor.go:24-52) with the document-level
+gates a 100 TB pretraining pipeline runs between parse and routing. Every
+operator is expression-level or a map-side-combinable aggregation — no
+Python in the hot path — and each ships a DuckDB-parity SQL twin so pytest
+verifies values cross-engine (same contract as the driver's oracle gate).
+
+Scale notes are inline per operator; none materializes an all-pairs product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher / MassiveText quality rules, Rae et al. 2021:
+# "duplicate line fraction", "top n-gram fraction"). Our unit is a UNIT —
+# a line when the text has newlines, a word for single-line corpora.
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", sep: str = r"\s+") -> DataFrame:
+    """Per-document repetition profile over units split by ``sep``:
+
+    - n_units / n_distinct_units
+    - max_unit_repeat — occurrences of the most repeated unit
+    - dup_unit_frac   — fraction of unit occurrences that are repeats
+                        (0.0 when every unit is unique), rounded to 6 dp
+
+    Shape at scale: explode → two groupBys keyed by (doc, unit) then (doc).
+    Both are map-side combinable and key cardinality is bounded by document
+    length, so no skew beyond the longest document; never all-pairs.
+    """
+    units = (
+        docs.select(id_col, F.explode(F.split(F.trim(F.col(text_col)), sep))
+                    .alias("unit"))
+        .filter(F.length("unit") > 0)
+    )
+    per_unit = units.groupBy(id_col, "unit").agg(F.count(F.lit(1)).alias("c"))
+    return per_unit.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_units"),
+        F.count(F.lit(1)).alias("n_distinct_units"),
+        F.max("c").alias("max_unit_repeat"),
+        F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6)
+        .alias("dup_unit_frac"),
+    )
+
+
+def repetition_stats_sql_duck(table: str = "documents", id_col: str = "doc_id",
+                              text_col: str = "text", sep: str = r"\s+") -> str:
+    return f"""
+    WITH units AS (
+      SELECT {id_col}, unnest(string_split_regex(trim({text_col}), '{sep}')) AS unit
+      FROM {table}
+    ), nonempty AS (
+      SELECT * FROM units WHERE len(unit) > 0
+    ), per_unit AS (
+      SELECT {id_col}, unit, count(*) AS c FROM nonempty GROUP BY 1, 2
+    )
+    SELECT {id_col},
+           CAST(sum(c) AS BIGINT) AS n_units,
+           count(*) AS n_distinct_units,
+           max(c) AS max_unit_repeat,
+           round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_unit_frac
+    FROM per_unit GROUP BY 1
+    """
+
+
+def top_ngram_fraction(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document fraction of word n-gram occurrences taken by the single
+    most frequent n-gram (Gopher's "top n-gram fraction" filter signal).
+
+    Expression shape: the word array binds once through a transform-wrapper
+    lambda (the CollapseProject re-evaluation trap — see
+    functions/text.py:_winnowing_sql), n-grams via transform(sequence),
+    then the max count is found by counting each DISTINCT n-gram against
+    the full list. O(d·u) array reads per doc where d = distinct n-grams,
+    u = total — bounded by document length squared in the worst case but
+    document-local, so it parallelizes perfectly and never shuffles.
+    """
+    words = f"filter(split(trim({text_col}), '\\\\s+'), w -> length(w) > 0)"
+    grams = (f"CASE WHEN size(ws) < {n} THEN array(array_join(ws, ' ')) "
+             f"ELSE transform(sequence(1, size(ws) - {n} + 1), "
+             f"j -> array_join(slice(ws, j, {n}), ' ')) END")
+    expr = (
+        f"transform(array({words}), ws -> {grams})[0]"
+    )
+    counted = (
+        "transform(array_distinct(gs), g -> size(filter(gs, x -> x = g)))"
+    )
+    return (
+        docs.select(id_col, F.expr(expr).alias("gs"))
+        .select(
+            id_col,
+            F.size("gs").alias("n_ngrams"),
+            F.expr(f"array_max({counted})").alias("top_ngram_count"),
+        )
+        .withColumn("top_ngram_frac",
+                    F.round(F.col("top_ngram_count") / F.col("n_ngrams"), 6))
+    )
+
+
+def top_ngram_fraction_sql_duck(table: str = "documents", n: int = 2,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> str:
+    words = (f"list_filter(string_split_regex(trim({text_col}), '\\s+'), "
+             f"w -> len(w) > 0)")
+    return f"""
+    WITH ws AS (
+      SELECT {id_col}, {words} AS ws FROM {table}
+    ), gs AS (
+      SELECT {id_col},
+        CASE WHEN len(ws) < {n} THEN [list_aggregate(ws, 'string_agg', ' ')]
+        ELSE list_transform(range(len(ws) - {n} + 1),
+          j -> list_aggregate(list_slice(ws, CAST(j + 1 AS INTEGER),
+                                         CAST(j + {n} AS INTEGER)),
+                              'string_agg', ' ')) END AS gs
+      FROM ws
+    )
+    SELECT {id_col}, len(gs) AS n_ngrams,
+      list_max(list_transform(list_distinct(gs),
+               g -> len(list_filter(gs, x -> x = g)))) AS top_ngram_count,
+      round(list_max(list_transform(list_distinct(gs),
+            g -> len(list_filter(gs, x -> x = g)))) * 1.0 / len(gs), 6)
+        AS top_ngram_frac
+    FROM gs
+    """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination (eval-set n-gram overlap; the per-doc gate every
+# pretraining pipeline runs before a data release).
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, gram) — distinct word n-grams per document, exploded."""
+    words = f"filter(split(trim({text_col}), '\\\\s+'), w -> length(w) > 0)"
+    grams = (f"transform(array({words}), ws -> "
+             f"CASE WHEN size(ws) < {n} THEN array(array_join(ws, ' ')) "
+             f"ELSE transform(sequence(1, size(ws) - {n} + 1), "
+             f"j -> array_join(slice(ws, j, {n}), ' ')) END)[0]")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.expr(grams))).alias("gram"),
+    )
+
+
+def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 3,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document count of distinct word n-grams shared with a benchmark
+    (eval) set: (doc_id, n_grams, n_contaminated, contamination_frac).
+
+    Shape at scale: the benchmark side is small by construction (eval sets
+    are KBs–MBs vs the 100 TB corpus), so its distinct gram set broadcasts;
+    the corpus side is one scan + explode + broadcast LEFT SEMI-style join +
+    per-doc count. No shuffle of corpus grams against each other, never
+    doc×doc pairs. Left join (not semi) so uncontaminated docs still report
+    a zero row — the gate needs every doc scored.
+    """
+    doc_grams = word_ngrams(docs, n, id_col, text_col)
+    bench_grams = (
+        word_ngrams(benchmark, n, id_col, text_col)
+        .select("gram").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = doc_grams.join(broadcast(bench_grams), "gram", "left")
+    return (
+        joined.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .withColumn("contamination_frac",
+                    F.round(F.col("n_contaminated") / F.col("n_grams"), 6))
+    )
+
+
+def contamination_check_sql_duck(table: str = "documents",
+                                 bench_pred: str = "doc_id % 97 = 0",
+                                 n: int = 3, id_col: str = "doc_id",
+                                 text_col: str = "text") -> str:
+    words = (f"list_filter(string_split_regex(trim({text_col}), '\\s+'), "
+             f"w -> len(w) > 0)")
+    grams = (f"CASE WHEN len(ws) < {n} THEN [list_aggregate(ws, 'string_agg', ' ')] "
+             f"ELSE list_transform(range(len(ws) - {n} + 1), "
+             f"j -> list_aggregate(list_slice(ws, CAST(j + 1 AS INTEGER), "
+             f"CAST(j + {n} AS INTEGER)), 'string_agg', ' ')) END")
+    return f"""
+    WITH ws AS (
+      SELECT {id_col} AS id, {words} AS ws FROM {table}
+    ), doc_grams AS (
+      SELECT id, unnest(list_distinct({grams})) AS gram FROM ws
+    ), bench_grams AS (
+      SELECT DISTINCT gram FROM doc_grams WHERE {bench_pred.replace('doc_id', 'id')}
+    )
+    SELECT d.id AS {id_col},
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_contaminated,
+           round(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) * 1.0
+                 / count(*), 6) AS contamination_frac
+    FROM doc_grams d LEFT JOIN bench_grams b USING (gram)
+    GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (per-stratum rates, reproducible across
+# engines and runs — no RNG; the sampling decision is a pure function of the
+# row key, so a resumed/re-run job draws the identical sample).
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
+                      key_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Keep each row iff md5(strata:key) mod 10^6 < rate·10^6 for its
+    stratum's rate. Pure map-side filter — pushes past scans, no shuffle,
+    and the same row set survives at any parallelism (the resume guarantee
+    queued-retry needs: a re-run samples identically).
+    """
+    bucket = F.expr(
+        f"CAST(conv(substring(md5(concat({strata_col}, ':', "
+        f"CAST({key_col} AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000"
+    )
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    return df.filter(bucket < (rate * 1_000_000).cast("bigint"))
+
+
+def stratified_sample_pred_duck(strata_col: str, rates: dict[str, float],
+                                key_col: str = "doc_id",
+                                default_rate: float = 0.0) -> str:
+    """WHERE-clause twin of stratified_sample for the DuckDB oracle."""
+    rate = f"{default_rate}"
+    for k, v in sorted(rates.items()):
+        rate = f"CASE WHEN {strata_col} = '{k}' THEN {v} ELSE {rate} END"
+    bucket = (f"CAST(concat('0x', substr(md5(concat({strata_col}, ':', "
+              f"CAST({key_col} AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000")
+    return f"({bucket}) < CAST(({rate}) * 1000000 AS BIGINT)"

@@ -1,0 +1,136 @@
+"""Corpus-hygiene operators (operators/corpus.py) verified VALUE-level
+against DuckDB — the same cross-engine contract the driver's oracle gate
+applies to the 50 registry slots, run here in-suite for the extras."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from omnition_opentelemetry_service_spark.operators import corpus
+from omnition_opentelemetry_service_spark.sources.loader import load
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"'{SF}/documents.parquet'"
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM {DOCS}")
+    return con.execute(sql).fetch_df()
+
+
+def _match(spark_df, duck_pdf, sort_cols):
+    s = spark_df.toPandas().sort_values(sort_cols).reset_index(drop=True)
+    d = duck_pdf.sort_values(sort_cols).reset_index(drop=True)
+    assert list(s.columns) == list(d.columns)
+    assert len(s) == len(d)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if sv.dtype.kind == "f":
+            assert (sv - dv).abs().max() < 1e-9, c
+        else:
+            assert (sv.astype(str) == dv.astype(str)).all(), c
+
+
+def test_repetition_stats_matches_duckdb(spark):
+    docs = load(spark, SF, "documents")
+    out = corpus.repetition_stats(docs)
+    oracle = _duck(corpus.repetition_stats_sql_duck())
+    _match(out, oracle, ["doc_id"])
+
+
+def test_repetition_stats_nonvacuous(spark):
+    """The fixture corpus genuinely repeats words — the metric must show it
+    (guards against the vacuous-pass trap: a 0==0 comparison proves nothing)."""
+    docs = load(spark, SF, "documents")
+    out = corpus.repetition_stats(docs).agg(
+        F.max("dup_unit_frac").alias("mx"),
+        F.max("max_unit_repeat").alias("mr")).collect()[0]
+    assert out.mx > 0.0 and out.mr > 1
+
+
+def test_repetition_stats_line_mode(spark):
+    """Gopher's duplicate-LINE fraction on a synthesized multi-line doc."""
+    df = spark.createDataFrame(
+        [(1, "alpha\nbeta\nalpha\n\ngamma"), (2, "one\ntwo")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            corpus.repetition_stats(df, sep="\n").collect()}
+    assert rows[1].n_units == 4 and rows[1].n_distinct_units == 3
+    assert rows[1].max_unit_repeat == 2
+    assert rows[2].dup_unit_frac == 0.0
+
+
+def test_top_ngram_fraction_matches_duckdb(spark):
+    docs = load(spark, SF, "documents")
+    out = corpus.top_ngram_fraction(docs, n=2)
+    oracle = _duck(corpus.top_ngram_fraction_sql_duck(n=2))
+    _match(out, oracle, ["doc_id"])
+
+
+def test_top_ngram_short_doc_degenerates_to_whole_text(spark):
+    df = spark.createDataFrame([(1, "lone")], "doc_id long, text string")
+    r = corpus.top_ngram_fraction(df, n=3).collect()[0]
+    assert r.n_ngrams == 1 and r.top_ngram_frac == 1.0
+
+
+def test_contamination_matches_duckdb(spark):
+    docs = load(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = corpus.contamination_check(docs, bench, n=3)
+    oracle = _duck(corpus.contamination_check_sql_duck(
+        bench_pred="doc_id % 97 = 0", n=3))
+    _match(out, oracle, ["doc_id"])
+
+
+def test_contamination_nonvacuous_and_self_flagged(spark):
+    docs = load(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = corpus.contamination_check(docs, bench, n=3)
+    flagged = out.filter(F.col("n_contaminated") > 0)
+    n_bench = bench.count()
+    assert n_bench > 0
+    # benchmark members must flag themselves 100% contaminated
+    self_rows = flagged.join(bench.select("doc_id"), "doc_id").collect()
+    assert len(self_rows) == n_bench
+    assert all(r.contamination_frac == 1.0 for r in self_rows)
+    # every scored doc appears exactly once (left join keeps clean docs)
+    assert out.count() == docs.count()
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    docs = load(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = corpus.contamination_check(docs, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_matches_duckdb(spark):
+    rates = {"src0": 0.5, "src1": 0.1}
+    docs = load(spark, SF, "documents")
+    out = corpus.stratified_sample(docs, "source", rates).select(
+        "doc_id", "source")
+    pred = corpus.stratified_sample_pred_duck("source", rates)
+    oracle = _duck(f"SELECT doc_id, source FROM documents WHERE {pred}")
+    _match(out, oracle, ["doc_id"])
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = load(spark, SF, "documents")
+    rates = {s.source: 0.3 for s in docs.select("source").distinct().collect()}
+    a = corpus.stratified_sample(docs, "source", rates)
+    n, total = a.count(), docs.count()
+    assert 0.15 * total < n < 0.45 * total  # ~30% within loose bounds
+    # same sample at a different parallelism (the resume guarantee)
+    b = corpus.stratified_sample(docs.repartition(3), "source", rates)
+    assert a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
+
+
+def test_stratified_sample_default_rate_zero(spark):
+    docs = load(spark, SF, "documents")
+    out = corpus.stratified_sample(docs, "source", {"nonexistent": 1.0})
+    assert out.count() == 0
