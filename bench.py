@@ -172,21 +172,17 @@ def _prev_bench_queries() -> dict[str, float]:
     return best[1] if best else {}
 
 
-def main() -> None:
-    # --scaling accepted for compatibility: scaling evidence always runs.
-    sf_name = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
-    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.1
-
-    # Scaling evidence FIRST (the quietest window this process gets): same
-    # job, same materialized input, fresh pinned JVMs per level. Interleaved
-    # (ceiling, low, high) rounds; per-round PAIRED efficiency — the low and
-    # high of one round sit in the same ~1-minute host window, so pairing
-    # cancels most of the minute-scale drift that poisoned cross-round
-    # comparisons. Headline efficiency = best pair: on a shared box,
-    # contention only ever SUBTRACTS from measured scaling, so the least-
-    # contended round is the closest estimate of the machine-limited number
-    # (all rounds are reported for spread visibility).
-    input_dir = _scale_input_dir()
+def measure_scaling(input_dir: str,
+                    probe=None, ceiling_fn=None,
+                    max_attempts: int | None = None) -> dict:
+    """The N→4N scaling protocol, separated from main() so the pairing /
+    conservative-denominator / early-stop logic is unit-testable with canned
+    probes (tests/test_bench_protocol.py). ``probe`` and ``ceiling_fn``
+    default to the real subprocess probes."""
+    probe = probe or _scale_probe
+    ceiling_fn = ceiling_fn or _host_parallel_speedup
+    if max_attempts is None:
+        max_attempts = int(os.environ.get("BENCH_SCALE_ROUNDS", "8"))
     # The sandbox VM's effective PARALLEL capacity swings 2-10× with
     # outside-the-VM neighbor load (invisible to loadavg/top), while the
     # low-parallelism leg is stable: measured local[2] spread < 10% across
@@ -201,11 +197,10 @@ def main() -> None:
     # quiet-window sample demonstrates the machine property; later noisy
     # samples can't subtract from it. All attempts ship in the json for
     # spread visibility.
-    lows = [_scale_probe(SCALE_LOW, input_dir)]
+    lows = [probe(SCALE_LOW, input_dir)]
     rounds = []
-    max_attempts = int(os.environ.get("BENCH_SCALE_ROUNDS", "8"))
     for attempt in range(max_attempts):
-        ceiling = _host_parallel_speedup(SCALE_LOW, SCALE_HIGH)
+        ceiling = ceiling_fn(SCALE_LOW, SCALE_HIGH)
         if attempt > 0:
             # TRUE pairing (the BASELINE.md design): a fresh low right
             # before each retry's high, so both legs of the pair share the
@@ -213,9 +208,9 @@ def main() -> None:
             # FASTEST low ever seen — strictly conservative: another low
             # sample can only raise the denominator and lower the reported
             # number, never inflate it.
-            lows.append(_scale_probe(SCALE_LOW, input_dir, repeats=1))
+            lows.append(probe(SCALE_LOW, input_dir, repeats=1))
         low_rps = max(r["rows_per_sec"] for r in lows)
-        high = _scale_probe(SCALE_HIGH, input_dir, repeats=3)
+        high = probe(SCALE_HIGH, input_dir, repeats=3)
         speedup = high["rows_per_sec"] / low_rps if low_rps else 0.0
         eff = speedup / (SCALE_HIGH / SCALE_LOW)
         rounds.append({
@@ -242,6 +237,39 @@ def main() -> None:
     effs = sorted(r["efficiency"] for r in rounds)
     median_eff = effs[len(effs) // 2]
     spread = round((effs[-1] - effs[0]) / effs[-1], 3) if effs[-1] else None
+    return {
+        "cores_low": SCALE_LOW,
+        "cores_high": SCALE_HIGH,
+        "rows_per_sec_low": best["rows_per_sec_low"],
+        "rows_per_sec_high": best["rows_per_sec_high"],
+        "routed_rows": best["routed_rows"],
+        "speedup": best["speedup"],
+        "efficiency": best["efficiency"],
+        "efficiency_median": median_eff,
+        "efficiency_spread": spread,
+        "low_leg_spread": low_spread,
+        "all_low_rows_per_sec": [r["rows_per_sec"] for r in lows],
+        "host_parallel_speedup": best["host_ceiling"],
+        "efficiency_vs_host_ceiling": best["efficiency_vs_host_ceiling"],
+        "rounds": rounds,
+    }
+
+
+def main() -> None:
+    # --scaling accepted for compatibility: scaling evidence always runs.
+    sf_name = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.1
+
+    # Scaling evidence FIRST (the quietest window this process gets): same
+    # job, same materialized input, fresh pinned JVMs per level. Interleaved
+    # (ceiling, low, high) rounds; per-round PAIRED efficiency — the low and
+    # high of one round sit in the same ~1-minute host window, so pairing
+    # cancels most of the minute-scale drift that poisoned cross-round
+    # comparisons. Headline efficiency = best pair: on a shared box,
+    # contention only ever SUBTRACTS from measured scaling, so the least-
+    # contended round is the closest estimate of the machine-limited number
+    # (all rounds are reported for spread visibility).
+    scaling = measure_scaling(_scale_input_dir())
 
     queries = registry.build_queries()
     per_query: dict[str, float] = {}
@@ -275,25 +303,11 @@ def main() -> None:
         "queries_delta_vs_prev": deltas,
         "sf": sf,
         "throughput": {
-            "routed_rows": best["routed_rows"],
-            "rows_per_sec": best["rows_per_sec_high"],
+            "routed_rows": scaling["routed_rows"],
+            "rows_per_sec": scaling["rows_per_sec_high"],
             "input_rows": SCALE_N,
         },
-        "scaling": {
-            "cores_low": SCALE_LOW,
-            "cores_high": SCALE_HIGH,
-            "rows_per_sec_low": best["rows_per_sec_low"],
-            "rows_per_sec_high": best["rows_per_sec_high"],
-            "speedup": best["speedup"],
-            "efficiency": best["efficiency"],
-            "efficiency_median": median_eff,
-            "efficiency_spread": spread,
-            "low_leg_spread": low_spread,
-            "all_low_rows_per_sec": [r["rows_per_sec"] for r in lows],
-            "host_parallel_speedup": best["host_ceiling"],
-            "efficiency_vs_host_ceiling": best["efficiency_vs_host_ceiling"],
-            "rounds": rounds,
-        },
+        "scaling": scaling,
     }
     print(json.dumps(out))
 
