@@ -178,6 +178,36 @@ def char_shingles_sql_duck(col: str = "text", k: int = 5) -> str:
     )
 
 
+# -- PII scrubbing --------------------------------------------------------------
+# The redaction pass every training-data release runs before packing. Regexes
+# are RE2-safe (no lookaround/backrefs) so the SAME pattern runs in Spark
+# (java.util.regex) and DuckDB (RE2) — the cross-engine parity contract.
+# Order matters: emails first (their local part contains digit runs the
+# phone pattern would eat), then IPs (dotted digit runs the phone pattern
+# also matches), then phones.
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RX = r"\+?\d[\d\s().-]{7,}\d"
+
+
+def scrub_pii(col: str = "text") -> Column:
+    """Redact emails → <EMAIL>, IPv4s → <IP>, phone-shaped digit runs →
+    <PHONE>. Three chained regexp_replace calls — expression-level,
+    whole-stage codegen, one pass each."""
+    out = F.regexp_replace(F.col(col), PII_EMAIL_RX, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IP_RX, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RX, "<PHONE>")
+
+
+def scrub_pii_sql_duck(col: str = "text") -> str:
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({col}, "
+        f"'{PII_EMAIL_RX}', '<EMAIL>', 'g'), "
+        f"'{PII_IP_RX}', '<IP>', 'g'), "
+        f"'{PII_PHONE_RX}', '<PHONE>', 'g')"
+    )
+
+
 # -- winnowing (rolling-hash document fingerprints) ----------------------------
 def winnowing_fingerprints(col: str = "text", k: int = 5, w: int = 4) -> Column:
     """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —

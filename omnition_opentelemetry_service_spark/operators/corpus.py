@@ -218,6 +218,51 @@ def contamination_check_sql_duck(table: str = "documents",
 
 
 # ---------------------------------------------------------------------------
+# Token-vocabulary statistics over the pre-tokenized sequence table (the
+# BASELINE.json input shape: doc_id, tokens array<int>, n_tok, source).
+# ---------------------------------------------------------------------------
+
+
+def token_vocab_stats(seqs: DataFrame, tokens_col: str = "tokens",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-token corpus statistics: total occurrences and the number of
+    sequences containing the token — the vocabulary-coverage histogram a
+    tokenizer audit reads before training.
+
+    Shape at scale: explode is a flatMap (no shuffle); the groupBy on
+    token id is map-side combinable and the key space is the vocab size
+    (≤ ~10^5-10^6), so partial aggregates collapse hard before the single
+    exchange. n_seqs counts each (token, doc) once via the per-row
+    array_distinct — no count-distinct shuffle.
+    """
+    occ = seqs.select(F.col(id_col), F.explode(tokens_col).alias("token"))
+    per_doc_once = seqs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_col)).alias("token"))
+    freq = occ.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    docs = per_doc_once.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_seqs"))
+    return freq.join(docs, "token")
+
+
+def token_vocab_stats_sql_duck(seqs_cte: str, tokens_col: str = "tokens",
+                               id_col: str = "doc_id") -> str:
+    """Oracle twin over a CTE body producing the same sequence table."""
+    return f"""
+    WITH seqs AS ({seqs_cte}),
+    occ AS (
+      SELECT {id_col}, unnest({tokens_col}) AS token FROM seqs
+    ),
+    once AS (
+      SELECT {id_col}, unnest(list_distinct({tokens_col})) AS token FROM seqs
+    ),
+    freq AS (SELECT token, count(*) AS freq FROM occ GROUP BY 1),
+    docs AS (SELECT token, count(*) AS n_seqs FROM once GROUP BY 1)
+    SELECT freq.token, freq.freq, docs.n_seqs
+    FROM freq JOIN docs USING (token)
+    """
+
+
+# ---------------------------------------------------------------------------
 # Deterministic stratified sampling (per-stratum rates, reproducible across
 # engines and runs — no RNG; the sampling decision is a pure function of the
 # row key, so a resumed/re-run job draws the identical sample).

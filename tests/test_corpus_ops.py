@@ -134,3 +134,55 @@ def test_stratified_sample_default_rate_zero(spark):
     docs = load(spark, SF, "documents")
     out = corpus.stratified_sample(docs, "source", {"nonexistent": 1.0})
     assert out.count() == 0
+
+
+def test_scrub_pii_matches_duckdb_and_redacts(spark):
+    from omnition_opentelemetry_service_spark.functions import text as tx
+
+    rows = [
+        (1, "contact alice.smith+x@example.co.uk or bob@test.io today"),
+        (2, "server at 192.168.1.200 answered"),
+        (3, "call +1 (415) 555-0133 or 020 7946 0958 now"),
+        (4, "mixed: a@b.com then 10.0.0.1 then +44 7700 900123 end"),
+        (5, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.clean for r in
+           df.select("doc_id", tx.scrub_pii("text").alias("clean")).collect()}
+    assert got[1] == "contact <EMAIL> or <EMAIL> today"
+    assert got[2] == "server at <IP> answered"
+    assert got[3] == "call <PHONE> or <PHONE> now"
+    assert got[4] == "mixed: <EMAIL> then <IP> then <PHONE> end"
+    assert got[5] == rows[4][1]
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    oracle = dict(con.execute(
+        f"SELECT doc_id, {tx.scrub_pii_sql_duck('text')} AS clean "
+        f"FROM (VALUES {vals}) AS t(doc_id, text)").fetchall())
+    assert got == oracle
+
+
+def test_token_vocab_stats_match_duckdb(spark):
+    from omnition_opentelemetry_service_spark import fixtures as fx
+
+    n = 400
+    seqs = fx.sequences(spark, n)
+    out = corpus.token_vocab_stats(seqs)
+    con = duckdb.connect()
+    oracle = con.execute(corpus.token_vocab_stats_sql_duck(
+        fx.sequences_sql_duck(n))).fetch_df()
+    _match(out, oracle.astype({"token": "int32"}), ["token"])
+
+
+def test_token_vocab_stats_invariants(spark):
+    from omnition_opentelemetry_service_spark import fixtures as fx
+
+    seqs = fx.sequences(spark, 300)
+    stats = corpus.token_vocab_stats(seqs)
+    # occurrences across the histogram == total token positions
+    total = stats.agg(F.sum("freq")).collect()[0][0]
+    positions = seqs.agg(F.sum("n_tok")).collect()[0][0]
+    assert total == positions
+    # a token can't appear in more sequences than it has occurrences
+    assert stats.filter(F.col("n_seqs") > F.col("freq")).count() == 0
