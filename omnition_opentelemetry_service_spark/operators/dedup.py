@@ -91,6 +91,37 @@ def with_minhash(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFra
     )
 
 
+def minhash_signatures_grouped(docs_with_shingles: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """(id, minhash array<bigint>) via explode + 16 codegen'd min()
+    aggregates — the FAST signature path.
+
+    The per-row fold (minhash_signature_expr) runs Catalyst's higher-order
+    functions (aggregate/zip_with), which are INTERPRETED expression eval —
+    measured 4.4s warm at sf0.1 vs 1.7s for this exploded form (identical
+    values; both pay the same md5 per shingle, the 2.6× is pure lambda-
+    interpreter overhead). Shape at scale: explode is a flatMap; exploded
+    rows for one doc are partition-local, so the partial aggregate
+    collapses to one 16-long row per doc BEFORE the exchange — shuffle
+    volume is #docs × 16 longs regardless of shingle count. The fold form
+    stays as the no-shuffle option for pipelines that must keep signatures
+    inline with other per-row columns.
+    """
+    ex = docs_with_shingles.select(
+        F.col(id_col).alias("id"), F.explode("shingles").alias("s"))
+    xh = F.expr(_XH_SPARK.format(s="s"))
+    aggs = []
+    for j in range(MH_HASHES):
+        a = (j * MH_A_MUL + MH_A_ADD) % MH_MODA
+        b = (j * MH_B_MUL + MH_B_ADD) % MH_MODA
+        aggs.append(
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MH_PRIME).alias(f"m{j}"))
+    sig = ex.withColumn("x", xh).groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"m{j}") for j in range(MH_HASHES)])
+        .alias("minhash"))
+
+
 def lsh_band_keys_expr(sig_col: str = "minhash") -> F.Column:
     """array<string> of LSH_BANDS band keys: 'b:v,v,v,v'."""
     return F.expr(

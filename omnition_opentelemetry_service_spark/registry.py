@@ -422,24 +422,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = dd.with_minhash(load(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
+    # grouped (exploded) signature path — codegen'd min() aggregates, 2.6×
+    # the interpreted per-row HOF fold (dedup.minhash_signatures_grouped)
+    sh = load(spark, sf_dir, "documents").withColumn(
+        "shingles", tx.char_shingles("text"))
+    sigs = dd.minhash_signatures_grouped(sh)
+    return sigs.select(
+        F.col("id").alias("doc_id"),
         F.array_join(F.col("minhash").cast("array<string>"), ",").alias("sig_str"),
     )
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = dd.with_minhash(load(spark, sf_dir, "documents"))
-    return dd.minhash_candidates(docs)
+    sh = load(spark, sf_dir, "documents").withColumn(
+        "shingles", tx.char_shingles("text"))
+    return dd.minhash_candidates(dd.minhash_signatures_grouped(sh), id_col="id")
 
 
 def q_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist once: candidates reads (minhash), verify reads (shingles) —
-    # without the cache the shingling scan runs twice
-    docs = dd.with_minhash(load(spark, sf_dir, "documents")).persist()
-    cands = dd.minhash_candidates(docs)
-    return dd.jaccard_verify(cands, docs, threshold=0.3)
+    # persist the shingle table once: the grouped signature path explodes
+    # FROM the cache and the exact-Jaccard verify joins back against it —
+    # the shingling expression runs a single time end-to-end
+    sh = load(spark, sf_dir, "documents").select(
+        "doc_id", tx.char_shingles("text").alias("shingles")).persist()
+    cands = dd.minhash_candidates(dd.minhash_signatures_grouped(sh), id_col="id")
+    return dd.jaccard_verify(cands, sh, threshold=0.3)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

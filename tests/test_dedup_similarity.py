@@ -157,3 +157,20 @@ def test_ivf_topk_stays_in_cluster(spark):
     for r in rows:
         assert r.neighbor_id < 98  # queries are cluster-A → neighbors too
         assert r.cosine > 0.99
+
+
+def test_grouped_signatures_equal_fold_signatures(spark):
+    """The codegen'd exploded signature path must produce bit-identical
+    signatures to the per-row HOF fold (they share hash constants)."""
+    from omnition_opentelemetry_service_spark.functions import text as tx
+    from omnition_opentelemetry_service_spark.sources.loader import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    fold = dd.with_minhash(docs).select(
+        F.col("doc_id").alias("id"), "minhash")
+    grouped = dd.minhash_signatures_grouped(
+        docs.withColumn("shingles", tx.char_shingles("text")))
+    diff = (fold.join(grouped.withColumnRenamed("minhash", "mh2"), "id")
+            .filter(F.col("minhash") != F.col("mh2")))
+    assert fold.count() == grouped.count() == docs.count()
+    assert diff.count() == 0
