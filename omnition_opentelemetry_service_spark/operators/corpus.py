@@ -297,3 +297,123 @@ def stratified_sample_pred_duck(strata_col: str, rates: dict[str, float],
     bucket = (f"CAST(concat('0x', substr(md5(concat({strata_col}, ':', "
               f"CAST({key_col} AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000")
     return f"({bucket}) < CAST(({rate}) * 1000000 AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# The composed cleaning pass: the full near-dup corpus filter.
+# ---------------------------------------------------------------------------
+
+
+def corpus_filter_full(docs: DataFrame, quality_min: float = 0.5,
+                       jaccard_threshold: float = 0.3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """The complete training-data cleaning pass, composed end-to-end from
+    the individual operators: quality + language gates → exact-fingerprint
+    collapse → MinHash-LSH near-dup CLUSTER collapse (not just pairwise
+    drop — (a,b),(b,c) keeps exactly one of the three).
+
+    Stage order is the scale order: the cheap expression-level gates run
+    first and shrink the corpus BEFORE any shingling/hashing is paid; the
+    exact collapse (one md5 groupBy) runs before MinHash so byte-identical
+    duplicates never reach the LSH join; the near-dup stage then operates
+    on the smallest possible survivor set. Per-stage shapes are each
+    operator's own (no all-pairs anywhere): fingerprint groupBy with
+    map-side partials, band-key equi-join, candidate-only exact-Jaccard
+    verify, component propagation over the (tiny) verified-pair edge list,
+    broadcastable keep-list join back onto the survivors.
+
+    Reference analog: the processor CHAIN itself — receivers feed a linear
+    sequence of gates each of which may drop a batch
+    (processor/memorylimiter/memorylimiter.go:114-129 is one link); here
+    the chain's links are corpus gates and the unit is a document.
+
+    Cache lifecycle: CALLER-owned, same contract as dedup.py — the
+    signature/shingle caches created by the composed stages are released
+    via registry.release_caches / clearCache after the consuming action.
+    """
+    from ..functions import text as tx
+    from . import dedup as dd
+    from .graph import near_dup_keep_list
+
+    scored = docs.select(
+        F.col(id_col), F.col(text_col),
+        tx.quality_score(text_col).alias("quality"),
+        tx.lang_id(text_col).alias("lang"),
+        tx.fingerprint(text_col).alias("fp"),
+    )
+    gated = scored.filter(
+        (F.col("quality") >= quality_min) & (F.col("lang") != "und"))
+    keepers = gated.groupBy("fp").agg(F.min(id_col).alias("keep_id"))
+    exact = (
+        gated.join(broadcast(keepers),
+                   (gated["fp"] == keepers["fp"])
+                   & (gated[id_col] == keepers["keep_id"]))
+        .select(gated[id_col], gated[text_col], "lang", "quality")
+    )
+    sh = exact.select(F.col(id_col),
+                      tx.char_shingles(text_col).alias("shingles")).persist()
+    cands = dd.minhash_candidates(
+        dd.minhash_signatures_grouped(sh, id_col=id_col), id_col="id")
+    pairs = dd.jaccard_verify(cands, sh, id_col=id_col,
+                              threshold=jaccard_threshold)
+    keep = near_dup_keep_list(exact, pairs.select("id_a", "id_b"),
+                              id_col=id_col)
+    return (
+        exact.join(keep.filter(F.col("keep")).select(id_col), id_col)
+        .select(id_col, "lang", "quality")
+    )
+
+
+def corpus_filter_full_sql_duck(quality_min: float = 0.5,
+                                jaccard_threshold: float = 0.3) -> str:
+    """DuckDB twin of corpus_filter_full over the `documents` view: same
+    stage order, recursive-CTE component labels for the cluster collapse."""
+    from ..functions import text as tx
+    from . import dedup as dd
+
+    sh5 = tx.char_shingles_sql_duck("text", 5)
+    sig = dd.minhash_signature_sql_duck("shingles")
+    return f"""
+    WITH RECURSIVE scored AS (
+      SELECT doc_id, text,
+             {tx.quality_score_sql_duck('text')} AS quality,
+             {tx.lang_id_sql_duck('text')} AS lang,
+             {tx.fingerprint_sql_duck('text')} AS fp
+      FROM documents),
+    gated AS (SELECT * FROM scored
+              WHERE quality >= {quality_min} AND lang != 'und'),
+    keepers AS (SELECT fp, min(doc_id) AS keep_id FROM gated GROUP BY fp),
+    exact AS (
+      SELECT g.doc_id, g.text, g.lang, g.quality
+      FROM gated g JOIN keepers k ON g.fp = k.fp AND g.doc_id = k.keep_id),
+    sh AS (SELECT doc_id, {sh5} AS shingles FROM exact),
+    sig AS (SELECT doc_id, {sig} AS s FROM sh),
+    bands AS (
+      SELECT doc_id, concat(CAST(b AS VARCHAR), ':',
+               array_to_string(list_slice(s, b * {dd.LSH_ROWS} + 1,
+                                          b * {dd.LSH_ROWS} + {dd.LSH_ROWS}), ',')) AS band_key
+      FROM sig, (SELECT unnest(range({dd.LSH_BANDS})) AS b)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c
+      JOIN sh sa ON c.id_a = sa.doc_id
+      JOIN sh sb ON c.id_b = sb.doc_id
+      WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+            len(list_distinct(sa.shingles || sb.shingles)) >= {jaccard_threshold}),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified),
+    reach(id, comp) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, r.comp FROM sym s JOIN reach r ON s.v = r.id),
+    comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+    SELECT e.doc_id, e.lang, e.quality
+    FROM exact e LEFT JOIN comp c ON e.doc_id = c.id
+    WHERE coalesce(c.comp, e.doc_id) = e.doc_id
+    """

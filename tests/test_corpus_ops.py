@@ -186,3 +186,41 @@ def test_token_vocab_stats_invariants(spark):
     assert total == positions
     # a token can't appear in more sequences than it has occurrences
     assert stats.filter(F.col("n_seqs") > F.col("freq")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# The composed end-to-end cleaning pass (corpus_filter_full)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_filter_full_matches_duckdb(spark):
+    """Full composed pass (gates → exact collapse → LSH near-dup cluster
+    collapse) value-matches the recursive-CTE DuckDB twin."""
+    docs = load(spark, SF, "documents")
+    out = corpus.corpus_filter_full(docs)
+    oracle = _duck(corpus.corpus_filter_full_sql_duck())
+    _match(out, oracle, ["doc_id"])
+    spark.catalog.clearCache()  # caller-owned caches from the composed stages
+
+
+def test_corpus_filter_full_collapses_near_dups(spark):
+    """Non-vacuity: the near-dup stage must actually remove documents beyond
+    what the exact-fingerprint collapse already removed — i.e. the fixture
+    contains verified near-dup pairs among gate survivors and exactly one
+    keeper per cluster remains."""
+    from omnition_opentelemetry_service_spark.functions import text as tx
+    from omnition_opentelemetry_service_spark.operators import dedup as dd
+
+    docs = load(spark, SF, "documents")
+    full = corpus.corpus_filter_full(docs)
+    # exact-only stage count (same gates, no near-dup collapse)
+    scored = docs.select(
+        "doc_id",
+        tx.quality_score("text").alias("quality"),
+        tx.lang_id("text").alias("lang"),
+        tx.fingerprint("text").alias("fp"))
+    gated = scored.filter((F.col("quality") >= 0.5) & (F.col("lang") != "und"))
+    exact_n = gated.groupBy("fp").count().count()
+    full_n = full.count()
+    assert full_n < exact_n, (full_n, exact_n)
+    spark.catalog.clearCache()
