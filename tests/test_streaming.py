@@ -116,3 +116,73 @@ def test_stream_sinks_write_matches_batch_envelope(spark, input_dir, tmp_path):
              encode_envelope(st["routed"]).groupBy("sink")
              .agg(F.count("*").alias("n")).collect()}
     assert streamed == batch
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """The at-most-once loss model in streaming form (SURVEY §2.5: 'no
+    late-data policy — at-most-once with counted drops'): a row arriving
+    after its window was finalized and emitted is DROPPED from the windowed
+    per-sink counts, and the drop is COUNTED in the state-operator metrics
+    (the spans_dropped analog, memorylimiter.go:119-127's observable
+    contract).
+
+    Timing subtlety this test pins (measured, Spark 4.1): the late-row
+    filter uses the watermark as of the END of the PREVIOUS batch, while
+    state eviction/emission uses the watermark current for THIS batch — so
+    a late row landing in the same micro-batch where its window is first
+    evicted still merges; one batch later it is dropped. The layout below
+    therefore advances the watermark in batch 1 and delivers the late row
+    in batch 2."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir = tmp_path / "late_in"
+    in_dir.mkdir()
+
+    def write_file(name: str, rows: list[tuple[str, str, int]]) -> None:
+        ts, sink, ntok = zip(*rows)
+        pq.write_table(
+            pa.table({"ts_str": list(ts), "sink": list(sink),
+                      "n_tok": pa.array(ntok, type=pa.int32())}),
+            str(in_dir / name))
+
+    # batch 0: window 10:00 gets ONE row; max event 10:05:30 sets the
+    # batch-1 watermark to 10:03:30 (> the 10:00 window's end)
+    write_file("b1.parquet", [
+        ("2026-01-01T10:00:30Z", "s1", 1),
+        ("2026-01-01T10:05:30Z", "s1", 1),
+    ])
+    time.sleep(1.1)  # distinct mtimes → deterministic file→micro-batch order
+    # batch 1: on-time row; eviction at batch end emits the 10:00 window
+    write_file("b2.parquet", [("2026-01-01T10:06:00Z", "s1", 1)])
+    time.sleep(1.1)
+    # batch 2: VERY LATE row into the already-finalized 10:00 window
+    write_file("b3.parquet", [("2026-01-01T10:00:45Z", "s1", 1)])
+
+    stream = (
+        spark.readStream.schema("ts_str string, sink string, n_tok int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    counts = sp.windowed_sink_counts(stream, window="1 minute",
+                                     watermark="2 minutes")
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory").queryName("late_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress for op in p["stateOperators"])
+    assert dropped == 1, dropped
+    # append mode emits a window exactly once, when the watermark passes it:
+    # the finalized 10:00 window holds only its on-time row — the late row
+    # neither mutates it nor re-emits it
+    emitted = {(str(r.win_start), r.sink): r.n_rows
+               for r in spark.table("late_counts").collect()}
+    assert emitted == {("2026-01-01 10:00:00", "s1"): 1}, emitted
