@@ -78,6 +78,72 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFram
     )
 
 
+def brute_force_topk_pandas(emb: DataFrame, n_queries: int = 8,
+                            k: int = 5) -> DataFrame:
+    """Exact top-k neighbors, the VECTORIZED scale form: the tiny query
+    matrix ships to executors as a closure constant; each Arrow batch of
+    the corpus is scored as ONE numpy matmul (B×D · D×Q — SIMD, not an
+    interpreted per-element fold); each batch emits only its per-query
+    local top-k. The final exchange therefore carries ≤ batches×Q×k rows
+    instead of the Q×N scored join the expression form shuffles into its
+    window — at 100 TB the shuffle shrinks from corpus-sized to
+    O(partitions·Q·k) while the scan stays one pass.
+
+    Exactness: per-batch top-k by the SAME key the final rank uses
+    (round-6 cosine desc, neighbor id asc), so the union of local top-ks
+    provably contains the global top-k; results are value-identical to
+    brute_force_topk for any partitioning (pytest pins this).
+
+    The Q-row collect is the index-build step (the broadcast side of the
+    reference's batch→spans fill, kinesis/exporter.go:42-44) — Q is the
+    query set, never the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (emb.filter(F.col("vec_id") < n_queries)
+              .select("vec_id", "embedding").collect())
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qmat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cmat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cn = np.sqrt((cmat * cmat).sum(axis=1))
+            cos = np.round((cmat @ qmat.T) / (cn[:, None] * qnorm[None, :]), 6)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                col = cos[:, j]
+                mask = ids != qids[j]  # a query is not its own neighbor
+                cand_ids, cand_cos = ids[mask], col[mask]
+                if len(cand_ids) == 0:
+                    continue
+                # local top-k by the FINAL rank key: cosine desc, id asc
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                out_q.append(np.full(len(order), qids[j]))
+                out_n.append(cand_ids[order])
+                out_c.append(cand_cos[order])
+            if out_q:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                })
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cosine")
+    )
+
+
 def near_dup_pairs(emb: DataFrame, threshold: float = 0.92, id_limit: int = 300) -> DataFrame:
     """Embedding-cosine near-duplicate pairs on a bounded id range (exact
     verification op; the scale path goes through lsh_bucket + within-bucket

@@ -106,6 +106,23 @@ def test_brute_force_topk_ranks_by_cosine(spark):
     assert rows[0].cosine > rows[1].cosine
 
 
+def test_brute_force_topk_pandas_matches_expression_twin(spark):
+    """The vectorized mapInPandas form (the ann_topk driver slot) is
+    value-IDENTICAL to the expression form on real fixture embeddings, for
+    any partitioning — the per-batch local top-k uses the final rank key
+    (round-6 cosine desc, id asc), so the union of local winners provably
+    contains the global top-k."""
+    from omnition_opentelemetry_service_spark.sources.loader import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    expr_form = sorted(map(tuple, sim.brute_force_topk(emb).collect()))
+    pandas_form = sorted(map(tuple, sim.brute_force_topk_pandas(emb).collect()))
+    skewed = sorted(map(tuple,
+                        sim.brute_force_topk_pandas(emb.repartition(7)).collect()))
+    assert expr_form == pandas_form == skewed
+    assert len(pandas_form) == 40  # 8 queries × k=5, non-vacuous
+
+
 def test_near_dup_pairs_threshold(spark):
     pairs = {(r.id_a, r.id_b) for r in
              sim.near_dup_pairs(_vecs(spark), threshold=0.99, id_limit=10).collect()}

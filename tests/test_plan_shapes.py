@@ -100,3 +100,17 @@ def test_logging_sample_is_take_ordered_not_global_sort(spark):
     plan = _plan(logging_sample(st["routed"], k=10))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_corpus_filter_full_plan_shape(spark):
+    """The composed cleaning pass stays equi-join-only end to end: no
+    CartesianProduct from any of its five stages, and the exact-keeper
+    join is the broadcast the composition promises."""
+    from omnition_opentelemetry_service_spark.operators import corpus
+    from omnition_opentelemetry_service_spark.sources.loader import load
+
+    df = corpus.corpus_filter_full(load(spark, SF, "documents"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    spark.catalog.clearCache()
