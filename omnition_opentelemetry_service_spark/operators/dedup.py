@@ -243,13 +243,58 @@ def simhash_expr(text_col: str = "text") -> F.Column:
     return F.expr(pack)
 
 
+def simhash_signatures_pandas(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """(id, sh) SimHash signatures via mapInPandas — the FAST signature
+    path: per Arrow batch, one md5 per DISTINCT word (memoized across the
+    task's batches; web corpora repeat words heavily), then the 60 bit
+    votes as two numpy ops over a W×60 bit matrix. Bit-identical to
+    simhash_expr (pytest-pinned) — same md5-prefix word hash, same vote
+    rule — but ~4× faster warm at sf0.1: the Catalyst fold interprets its
+    per-word lambda and allocates two 60-long arrays per word, while here
+    the vote loop is SIMD over the whole batch. Shape at scale: stateless
+    one-pass map, no shuffle; the memo is capped so a huge per-task
+    vocabulary cannot grow the Python heap unboundedly."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    bits = SIMHASH_BITS
+
+    def compute(batches):
+        shifts = np.arange(bits, dtype=np.uint64)
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, t in enumerate(pdf[text_col].to_numpy()):
+                ws = [w for w in t.lower().strip().split() if w]
+                hs = []
+                for w in ws:
+                    h = memo.get(w)
+                    if h is None:
+                        if len(memo) > 2_000_000:
+                            memo.clear()
+                        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                        memo[w] = h
+                    hs.append(h)
+                ha = np.array(hs, dtype=np.uint64)
+                bm = ((ha[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                votes = bm.sum(axis=0) * 2 - len(ws)
+                out[i] = int(((votes > 0).astype(np.uint64) << shifts).sum())
+            yield pd.DataFrame({"id": pdf[id_col], "sh": out})
+
+    return docs.select(id_col, text_col).mapInPandas(compute, "id long, sh long")
+
+
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
 
 
 def simhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       max_hamming: int = SIMHASH_BANDS - 1) -> DataFrame:
+                       max_hamming: int = SIMHASH_BANDS - 1,
+                       sig_impl: str = "pandas") -> DataFrame:
     """SimHash near-dup pairs, the 100 TB path: split the 60-bit fingerprint
     into 4 bands of 15 bits, explode to (id, band_idx, band_value), equi-join
     on the band key, then verify exact hamming on the candidates.
@@ -265,9 +310,16 @@ def simhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
     projection collapse inlines the 60-vote md5 aggregate into the explode
     AND into each join side (≫4× the hashing); it is also the signatures
     table any production simhash pipeline materializes before bucketing.
-    Caller owns cache lifecycle (registry.release_caches / clearCache)."""
-    sh = docs.select(F.col(id_col).alias("id"),
-                     simhash_expr(text_col).alias("sh")).persist()
+    Caller owns cache lifecycle (registry.release_caches / clearCache).
+
+    ``sig_impl``: 'pandas' (default — simhash_signatures_pandas, the ~4×
+    faster memoized numpy path) or 'expr' (the pure-JVM fold; bit-identical
+    values, pytest-pinned)."""
+    if sig_impl == "pandas":
+        sh = simhash_signatures_pandas(docs, id_col, text_col).persist()
+    else:
+        sh = docs.select(F.col(id_col).alias("id"),
+                         simhash_expr(text_col).alias("sh")).persist()
     mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = sh.select(
         "id", "sh",

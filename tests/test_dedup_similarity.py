@@ -79,6 +79,21 @@ def test_simhash_band_pairs_matches_all_pairs_within_radius(spark):
     spark.catalog.clearCache()
 
 
+def test_simhash_signatures_pandas_bit_identical_to_expr(spark):
+    """The memoized numpy signature path (the band-pairs default) produces
+    the SAME 60-bit fingerprints as the JVM fold on real fixture text —
+    same md5-prefix word hash, same vote rule, bit for bit."""
+    from omnition_opentelemetry_service_spark.sources.loader import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    expr_form = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", dd.simhash_expr("text").alias("sh")).collect()}
+    pandas_form = {r.id: r.sh for r in
+                   dd.simhash_signatures_pandas(docs).collect()}
+    assert expr_form == pandas_form
+    assert len(pandas_form) == 500  # non-vacuous
+
+
 def test_simhash_band_pairs_no_cartesian(spark):
     plan = dd.simhash_band_pairs(_docs(spark))._jdf.queryExecution() \
         .executedPlan().toString()

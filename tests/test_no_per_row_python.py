@@ -46,6 +46,7 @@ def test_pandas_udfs_only_where_declared():
     Arrow batches."""
     allowed = {"parse.py", "multimodal.py", "metrics.py", "batcher.py",
                "similarity.py",  # brute_force_topk_pandas: one numpy matmul per Arrow batch
+               "dedup.py",  # simhash_signatures_pandas: memoized md5 + numpy votes
                "registry.py"}  # registry mentions mapInPandas in comments only
     hits = []
     for p, src in _sources():
