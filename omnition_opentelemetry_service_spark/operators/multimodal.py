@@ -102,3 +102,55 @@ def media_chunks(media: DataFrame, chunk_chars: int = 64) -> DataFrame:
             yield out
 
     return media.mapInPandas(chunks, schema=CHUNK_SCHEMA)
+
+def sample_frames(chunks: DataFrame, every_k: int = 4,
+                  offset: int = 0) -> DataFrame:
+    """Deterministic frame sampling: keep every ``every_k``-th chunk/frame
+    (video keyframe-rate / audio window-stride analog). Runs JVM-side as a
+    modular filter on the chunk index — after the Python explode has
+    already paid for chunking, sampling costs one codegen'd predicate, no
+    second Python pass. At scale the filter composes with the explode in
+    one stage; pushing the sample INTO the decoder (decode only sampled
+    frames) is the real-decoder optimization the stub can't show."""
+    return chunks.filter((F.col("chunk_id") % every_k) == offset)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, "
+    "out_width int, out_height int, resized_md5 string"
+)
+
+
+def resize_media(media: DataFrame, out_width: int = 32,
+                 out_height: int = 32, fake: bool = True) -> DataFrame:
+    """Resize plumbing (PIL.Image.resize analog), decode step stubbed like
+    extract_media_features: per Arrow batch, derive source dims from the
+    (fake) decode, emit target dims plus a deterministic checksum of the
+    'resized' payload — real contract is the schema, batching, and the
+    fact that output bytes depend on (payload, target dims). Swap the two
+    marked lines for a real decode+resize on a cluster with the libs."""
+
+    def rs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            out = pd.DataFrame()
+            out["doc_id"] = pdf["doc_id"]
+            out["media_type"] = pdf["media_type"]
+            dims = pdf["media"].map(lambda b: decode_image_batch(b, fake))
+            out["width"] = dims.map(lambda t: t[0]).astype("int32")
+            out["height"] = dims.map(lambda t: t[1]).astype("int32")
+            out["out_width"] = out["width"].clip(upper=out_width).astype("int32")
+            out["out_height"] = out["height"].clip(upper=out_height).astype("int32")
+            # STUB resize: checksum binds output to payload+target dims;
+            # a real impl hashes the actual resampled pixel buffer
+            out["resized_md5"] = [
+                hashlib.md5(bytes(b) + f":{w}x{h}".encode()).hexdigest()
+                for b, w, h in zip(pdf["media"], out["out_width"],
+                                   out["out_height"])
+            ]
+            yield out
+
+    return media.mapInPandas(rs, schema=RESIZE_SCHEMA)
