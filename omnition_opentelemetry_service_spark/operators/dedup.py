@@ -256,11 +256,18 @@ def simhash_signatures_pandas(docs: DataFrame, id_col: str = "doc_id",
     one-pass map, no shuffle; the memo is capped so a huge per-task
     vocabulary cannot grow the Python heap unboundedly."""
     import hashlib
+    import re
 
     import numpy as np
     import pandas as pd
 
     bits = SIMHASH_BITS
+    # Replicate the JVM tokenization EXACTLY, not idiomatically: Spark's
+    # trim() strips only 0x20 spaces and Java '\s' is the ASCII class
+    # [ \t\n\x0B\f\r], while Python strip()/split() treat ALL Unicode
+    # whitespace as separators — on text containing U+00A0/U+2028/etc the
+    # idiomatic form silently diverges from simhash_expr.
+    ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def compute(batches):
         shifts = np.arange(bits, dtype=np.uint64)
@@ -268,7 +275,7 @@ def simhash_signatures_pandas(docs: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             out = np.empty(len(pdf), dtype=np.int64)
             for i, t in enumerate(pdf[text_col].to_numpy()):
-                ws = [w for w in t.lower().strip().split() if w]
+                ws = [w for w in ascii_ws.split(t.strip(" ").lower()) if w]
                 hs = []
                 for w in ws:
                     h = memo.get(w)

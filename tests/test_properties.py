@@ -132,3 +132,22 @@ def test_split_parse_equals_native_on_arbitrary_strings(spark, payloads):
     n = sorted(tuple(r) for r in pf.parse_payload_native(df).collect())
     s = sorted(tuple(r) for r in pf.parse_payload_split(df).collect())
     assert n == s
+
+
+@SET
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=15))
+def test_simhash_pandas_matches_expr_on_arbitrary_text(spark, texts):
+    """The memoized numpy SimHash path is bit-identical to the JVM fold on
+    ARBITRARY text — including Unicode whitespace (U+00A0, U+2028…), where
+    an idiomatic Python .split() would silently diverge from Java's
+    ASCII-only '\\s' (the pandas path replicates the JVM tokenization
+    character class exactly)."""
+    from omnition_opentelemetry_service_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    expr_form = {r.doc_id: r.sh for r in df.select(
+        "doc_id", dd.simhash_expr("text").alias("sh")).collect()}
+    pandas_form = {r.id: r.sh for r in
+                   dd.simhash_signatures_pandas(df).collect()}
+    assert expr_form == pandas_form
