@@ -354,7 +354,7 @@ def corpus_filter_full(docs: DataFrame, quality_min: float = 0.5,
     sh = exact.select(F.col(id_col),
                       tx.char_shingles(text_col).alias("shingles")).persist()
     cands = dd.minhash_candidates(
-        dd.minhash_signatures_grouped(sh, id_col=id_col), id_col="id")
+        dd.minhash_signatures_pandas(sh, id_col=id_col), id_col="id")
     pairs = dd.jaccard_verify(cands, sh, id_col=id_col,
                               threshold=jaccard_threshold)
     keep = near_dup_keep_list(exact, pairs.select("id_a", "id_b"),

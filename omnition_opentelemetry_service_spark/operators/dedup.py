@@ -122,6 +122,58 @@ def minhash_signatures_grouped(docs_with_shingles: DataFrame,
         .alias("minhash"))
 
 
+def minhash_signatures_pandas(docs_with_shingles: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """(id, minhash array<bigint>) via mapInPandas — the ZERO-SHUFFLE
+    signature path: each Arrow batch hashes every DISTINCT shingle once
+    (memoized per task — shingles repeat heavily across documents) and
+    computes all 16 affine permutations as one S×16 numpy broadcast, then a
+    column-min. Value-identical to minhash_signatures_grouped (pytest- and
+    hypothesis-pinned): same md5-prefix base hash, same (a·x+b) mod P
+    family; a<2^29, x<2^32 keeps every product <2^61 — exact in int64, no
+    wraparound in either engine.
+
+    Shape at scale: where the grouped form explodes to #shingles rows and
+    exchanges 16 partial mins per doc, this is a stateless one-pass map —
+    no exchange at all; the shingle table flows in as Arrow batches. Docs
+    with ZERO shingles are dropped (grouped-form semantics: an empty
+    explode has no group; emitting the identity signature instead would
+    band all empty docs into one giant LSH bucket)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    a_vec = np.array([(j * MH_A_MUL + MH_A_ADD) % MH_MODA
+                      for j in range(MH_HASHES)], dtype=np.int64)
+    b_vec = np.array([(j * MH_B_MUL + MH_B_ADD) % MH_MODA
+                      for j in range(MH_HASHES)], dtype=np.int64)
+
+    def compute(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids, sigs = [], []
+            for rid, shingles in zip(pdf[id_col], pdf["shingles"]):
+                if shingles is None or len(shingles) == 0:
+                    continue
+                xs = np.empty(len(shingles), dtype=np.int64)
+                for i, s in enumerate(shingles):
+                    h = memo.get(s)
+                    if h is None:
+                        if len(memo) > 4_000_000:
+                            memo.clear()
+                        h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                        memo[s] = h
+                    xs[i] = h
+                vals = (xs[:, None] * a_vec[None, :] + b_vec[None, :]) % MH_PRIME
+                ids.append(rid)
+                sigs.append(vals.min(axis=0))
+            yield pd.DataFrame({"id": ids, "minhash": sigs})
+
+    return docs_with_shingles.select(F.col(id_col).alias(id_col), "shingles") \
+        .mapInPandas(compute, "id long, minhash array<bigint>")
+
+
 def lsh_band_keys_expr(sig_col: str = "minhash") -> F.Column:
     """array<string> of LSH_BANDS band keys: 'b:v,v,v,v'."""
     return F.expr(

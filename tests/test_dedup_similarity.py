@@ -79,6 +79,22 @@ def test_simhash_band_pairs_matches_all_pairs_within_radius(spark):
     spark.catalog.clearCache()
 
 
+def test_minhash_signatures_pandas_identical_to_grouped(spark):
+    """The zero-shuffle memoized numpy path (the registry default) equals
+    the codegen'd grouped explode value-for-value on real fixture text."""
+    from omnition_opentelemetry_service_spark.functions import text as tx
+    from omnition_opentelemetry_service_spark.sources.loader import load
+
+    sh = load(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "shingles", tx.char_shingles("text"))
+    grouped = {r.id: list(r.minhash)
+               for r in dd.minhash_signatures_grouped(sh).collect()}
+    pandas_form = {r.id: list(r.minhash)
+                   for r in dd.minhash_signatures_pandas(sh).collect()}
+    assert grouped == pandas_form
+    assert len(pandas_form) == 500
+
+
 def test_simhash_signatures_pandas_bit_identical_to_expr(spark):
     """The memoized numpy signature path (the band-pairs default) produces
     the SAME 60-bit fingerprints as the JVM fold on real fixture text —

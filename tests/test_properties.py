@@ -151,3 +151,22 @@ def test_simhash_pandas_matches_expr_on_arbitrary_text(spark, texts):
     pandas_form = {r.id: r.sh for r in
                    dd.simhash_signatures_pandas(df).collect()}
     assert expr_form == pandas_form
+
+
+@SET
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=15))
+def test_minhash_pandas_matches_grouped_on_arbitrary_text(spark, texts):
+    """Zero-shuffle numpy MinHash == grouped-explode MinHash on arbitrary
+    text (same md5-prefix hash, same affine family; docs with zero shingles
+    are dropped by BOTH forms)."""
+    from omnition_opentelemetry_service_spark.functions import text as tx
+    from omnition_opentelemetry_service_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).withColumn("shingles", tx.char_shingles("text"))
+    grouped = {r.id: list(r.minhash)
+               for r in dd.minhash_signatures_grouped(df).collect()}
+    pandas_form = {r.id: list(r.minhash)
+                   for r in dd.minhash_signatures_pandas(df).collect()}
+    assert grouped == pandas_form
