@@ -89,3 +89,33 @@ def with_pack_id_ffd(seqs: DataFrame, budget: int = 2048,
         f"{f.name} {f.dataType.simpleString()}" for f in seqs.schema.fields
     ) + ", pack_id long"
     return sharded.groupBy(key, "_shard").applyInPandas(ffd, schema=out_schema)
+
+
+def chunk_sequences(seqs: DataFrame, window: int = 512,
+                    stride: int = 384) -> DataFrame:
+    """Split every token sequence into fixed-size training context windows
+    with overlap (stride < window ⇒ window−stride tokens of context carry
+    into the next chunk — the standard LM chunking scheme). Output: one row
+    per (doc_id, chunk_no) with the sliced token array.
+
+    Pure expression-level: a `sequence(0, …, stride)` of chunk starts,
+    `transform` + `slice` to cut the windows, `posexplode` to rows — a
+    flatMap, no shuffle, whole-stage codegen end to end. Short sequences
+    (n_tok ≤ window) yield exactly one untruncated chunk; the final chunk
+    of a long sequence keeps its natural (shorter) tail length.
+
+    At 100 TB this is the map stage in front of with_pack_id: chunk first
+    (bounded rows), then pack the chunks — both stages partition-local
+    until the pack groupBy."""
+    if not 0 < stride <= window:
+        raise ValueError("require 0 < stride <= window")
+    starts = F.expr(
+        f"sequence(0, greatest(0, CAST(ceil((size(tokens) - {window}) "
+        f"/ CAST({stride} AS DOUBLE)) AS INT)) * {stride}, {stride})")
+    chunks = F.transform(starts, lambda s: F.slice("tokens", s + 1, window))
+    return (
+        seqs.select("doc_id", "source", "n_tok",
+                    F.posexplode(chunks).alias("chunk_no", "chunk_tokens"))
+        .filter(F.size("chunk_tokens") > 0)
+        .withColumn("chunk_len", F.size("chunk_tokens"))
+    )

@@ -97,3 +97,51 @@ def test_ffd_packing_no_overflow_and_better_fill(spark):
     # well filled
     fills = [r.pack_tokens / budget for r in ffd_stats]
     assert sum(fills) / len(fills) > 0.6
+
+
+def test_chunk_sequences_matches_python_replica(spark):
+    """Sliding-window chunking equals an independent Python replica on the
+    real fixture (window boundaries, overlap, tail handling), and every
+    chunk respects the window bound."""
+    W, S = 96, 64
+    seqs = fx.sequences(spark, 400)
+    got = {}
+    for r in pk.chunk_sequences(seqs, window=W, stride=S).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_no] = list(r.chunk_tokens)
+        assert r.chunk_len == len(r.chunk_tokens) <= W
+    want = {}
+    for r in seqs.select("doc_id", "tokens").collect():
+        toks = list(r.tokens)
+        n = len(toks)
+        import math
+        last = max(0, math.ceil((n - W) / S)) * S
+        chunks = [toks[s:s + W] for s in range(0, last + 1, S)]
+        want[r.doc_id] = {i: c for i, c in enumerate(chunks) if c}
+    assert got == want
+
+
+def test_chunk_sequences_reconstructs_original(spark):
+    """Dropping each chunk's leading overlap and concatenating in chunk
+    order reproduces the original token array exactly — chunking loses no
+    token and duplicates only the declared overlap."""
+    W, S = 96, 64
+    seqs = fx.sequences(spark, 200)
+    chunks = {}
+    for r in pk.chunk_sequences(seqs, window=W, stride=S).collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_no] = list(r.chunk_tokens)
+    originals = {r.doc_id: list(r.tokens)
+                 for r in seqs.select("doc_id", "tokens").collect()}
+    overlap = W - S
+    assert any(len(v) > 1 for v in chunks.values())  # non-vacuous: long docs exist
+    for doc_id, by_no in chunks.items():
+        rebuilt = []
+        for i in sorted(by_no):
+            c = by_no[i]
+            rebuilt.extend(c if i == 0 else c[overlap:])
+        assert rebuilt == originals[doc_id], doc_id
+
+
+def test_chunk_sequences_is_shuffle_free(spark):
+    plan = pk.chunk_sequences(fx.sequences(spark, 200))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
