@@ -169,8 +169,9 @@ def near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
     ``n_planes`` sign bits; P[agree] per plane = 1 − θ/π (θ = angle), so
     fewer planes = bigger buckets = higher recall and more candidates
     (4 planes ≈ 16× candidate reduction on the fixture). For recall → 1 at
-    scale, OR several independent plane banks (the minhash-band pattern,
-    dedup.py) — near_dup_pairs is the exact verification twin."""
+    scale, OR several independent plane banks — IMPLEMENTED as
+    near_dup_pairs_lsh_banked (this single-bank form ≡ its bank 0) —
+    near_dup_pairs is the exact verification twin."""
     b = emb.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("e"),
         lsh_bucket_expr("embedding", n_planes, dim).alias("bk"))
@@ -182,6 +183,55 @@ def near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
         .filter(F.col("cosine") >= threshold)
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                 "cosine")
+    )
+
+
+def near_dup_pairs_lsh_banked(emb: DataFrame, threshold: float = 0.4,
+                              n_banks: int = 3, n_planes: int = 4,
+                              dim: int = EMB_DIM) -> DataFrame:
+    """The OR-amplified near-dup scale path the single-bank docstring
+    promises: ``n_banks`` INDEPENDENT hyperplane banks (disjoint slices of
+    the same deterministic plane family — bank 0 ≡ near_dup_pairs_lsh's
+    planes, so the banked result is provably a superset of the single-bank
+    result; pytest pins both directions), a pair becomes a candidate if it
+    collides in ANY bank. Miss probability per pair drops from
+    (1 − ∏p_agree) to ∏_banks(1 − ∏p_agree) — the same AND-OR construction
+    as the MinHash bands (dedup.py).
+
+    Shape at scale: explode to (id, bank-tagged bucket) — n_banks rows per
+    vector — one equi-join on the tagged key (bank collisions can't cross
+    banks because the bank index prefixes the key), pair-DISTINCT before
+    the exact-cosine verify so each candidate pays the dot product once
+    however many banks it collides in."""
+    all_planes = lsh_planes(n_banks * n_planes, dim)
+    keys = []
+    for bank in range(n_banks):
+        bits = []
+        for p in all_planes[bank * n_planes:(bank + 1) * n_planes]:
+            lit = "array(" + ", ".join(str(v) for v in p) + ")"
+            bits.append(
+                f"CASE WHEN {_dot_expr('embedding', lit)} >= 0 "
+                f"THEN '1' ELSE '0' END")
+        keys.append(f"concat('{bank}:', {', '.join(bits)})")
+    keyed = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("e"),
+        F.explode(F.expr(f"array({', '.join(keys)})")).alias("bk"))
+    l, r = keyed.alias("l"), keyed.alias("r")
+    cand = (
+        l.join(r, (F.col("l.bk") == F.col("r.bk"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    e = emb.select(F.col("vec_id"), F.col("embedding"))
+    return (
+        cand.join(e.withColumnRenamed("embedding", "e_a"),
+                  F.col("id_a") == F.col("vec_id")).drop("vec_id")
+        .join(e.withColumnRenamed("embedding", "e_b"),
+              F.col("id_b") == F.col("vec_id")).drop("vec_id")
+        .withColumn("cosine", F.round(cosine_expr("e_a", "e_b"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

@@ -222,3 +222,37 @@ def test_grouped_signatures_equal_fold_signatures(spark):
             .filter(F.col("minhash") != F.col("mh2")))
     assert fold.count() == grouped.count() == docs.count()
     assert diff.count() == 0
+
+
+def test_banked_lsh_superset_of_single_bank_and_subset_of_exact(spark):
+    """OR-amplification contract on real fixture embeddings: bank 0 of the
+    banked form uses EXACTLY the single-bank planes, so banked recall can
+    only grow (superset); every banked pair still passes the exact-cosine
+    verify, so it is a subset of the exact all-pairs result at the same
+    threshold. Non-vacuous: banked must find strictly more than one bank
+    at this plane count."""
+    from omnition_opentelemetry_service_spark.sources.loader import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    thr = 0.4
+    single = {(r.id_a, r.id_b)
+              for r in sim.near_dup_pairs_lsh(emb, threshold=thr,
+                                              n_planes=4).collect()}
+    banked = {(r.id_a, r.id_b)
+              for r in sim.near_dup_pairs_lsh_banked(
+                  emb, threshold=thr, n_banks=3, n_planes=4).collect()}
+    exact = {(r.id_a, r.id_b)
+             for r in sim.near_dup_pairs(emb, threshold=thr,
+                                         id_limit=10**9).collect()}
+    assert single <= banked, single - banked
+    assert banked <= exact, banked - exact
+    assert len(banked) > len(single), (len(banked), len(single))
+
+
+def test_banked_lsh_no_cartesian(spark):
+    from omnition_opentelemetry_service_spark.sources.loader import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = sim.near_dup_pairs_lsh_banked(emb)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
