@@ -4,12 +4,13 @@ pairs (a,b),(b,c) must collapse to ONE keeper, not two independent drops.
 
 Spark-first shape: iterative min-label propagation entirely in DataFrame
 ops (symmetrized edges → per-node neighbor-min join → least(old, new)),
-converging in O(diameter) rounds with one shuffle per round and a cheap
-count() action as the fixed-point test. Near-dup graphs have tiny
-components (pairs/triples — diameter ≤ ~3), so 2-3 rounds suffice; for
-adversarially long chains the O(log n) large-star/small-star contraction
-(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
-is the drop-in replacement — same edge-list interface.
+plus a pointer-doubling shortcut hop per round (comp(u) ← comp(comp(u)))
+— the star-contraction-class accelerant (cf. Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14): O(log diameter) rounds
+instead of O(diameter), two shuffles per round, a cheap count() action as
+the fixed-point test. Near-dup graphs have tiny components (pairs/triples)
+so 2-3 rounds suffice either way; the shortcut is what keeps adversarially
+long candidate chains (tests pin a 200-node path) inside the round budget.
 
 The DuckDB oracle (tests/test_graph_components.py) computes the same
 fixed point via a recursive CTE, so the per-node component labels are
@@ -22,59 +23,117 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor storage behind a localCheckpoint'ed DataFrame.
+
+    ``DataFrame.unpersist`` only consults the cache manager, which never
+    saw a localCheckpoint; the storage is pinned by the LogicalRDD in the
+    analyzed plan, so release it through that handle. Best-effort — a
+    plan-shape change across Spark versions degrades to waiting for the
+    ContextCleaner's GC-driven unpersist rather than failing the job.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 25,
+                         shortcut: bool = True) -> DataFrame:
     """(id, comp) for every node in ``edges``; comp = MIN node id reachable.
 
-    One hash exchange per round (the groupBy on src); the label table is
-    persisted per round and the previous round's cache released, so memory
-    stays one label-table wide no matter how many rounds run. Raises if the
-    fixed point isn't reached in ``max_iter`` rounds (a near-dup graph that
-    deep means the candidate generator is broken — fail loudly, don't ship
-    half-merged components).
+    Two shuffles per round: (1) neighbor-min propagation (groupBy on src),
+    (2) with ``shortcut=True`` (default), a pointer-doubling hop —
+    comp(u) ← comp(comp(u)) — the star-contraction-class accelerant: a
+    label chain of length d collapses in O(log d) rounds instead of O(d),
+    so even adversarially deep near-dup graphs (long chains from
+    transitive candidate pairs) converge well inside ``max_iter``. The
+    shortcut join is always label-table-sized — comp values are node ids
+    by invariant (the min of ids CONNECTED to u, preserved by both steps).
+    ``shortcut=False`` keeps the one-shuffle-per-round pure propagation
+    (the fixture-scale default until round 2).
+
+    Iterative lineage is truncated per round with ``localCheckpoint`` —
+    without it the shortcut's self-join doubles the logical plan every
+    round and plan analysis alone OOMs the driver by round ~8 (measured;
+    the same reason GraphFrames checkpoints its CC iterations). Each
+    round's checkpoint storage is released once the next round is
+    materialized, so memory stays one label-table wide; the returned
+    DataFrame is a plain persisted copy (caller owns its .unpersist()),
+    with no lingering checkpoint RDDs. On a real cluster, flip to
+    reliable ``checkpoint()`` with a checkpointDir for executor-loss
+    safety — localCheckpoint trades that for zero-config local use.
+
+    Raises if the fixed point isn't reached in ``max_iter`` rounds (with
+    shortcutting that means a component deeper than ~2^max_iter — the
+    candidate generator is broken; fail loudly, don't ship half-merged
+    components).
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .persist()
     )
     labels = (
         sym.select(F.col("u").alias("id")).distinct()
         .withColumn("comp", F.col("id"))
-        .persist()
+        .localCheckpoint()  # eager: materialize seed, truncate lineage
     )
-    labels.count()  # materialize the seed so each round builds on a cache
 
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(labels, sym["v"] == labels["id"])
-            .groupBy(F.col("u").alias("id"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new_labels = (
-            labels.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"),
-                        F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(labels, sym["v"] == labels["id"])
+                .groupBy(F.col("u").alias("id"))
+                .agg(F.min("comp").alias("nbr_comp"))
             )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            return labels
-    labels.unpersist()
+            new_labels = (
+                labels.join(nbr, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                )
+            )
+            if shortcut:
+                # comp(u) ← comp(comp(u)): every label hop halves the
+                # remaining chain. comp is a node id (invariant above), so
+                # the self-join always resolves; left join + coalesce keeps
+                # roots (comp==id) intact without a special case. Both join
+                # sides re-read the SAME checkpointed labels, so the plan
+                # stays round-constant-sized.
+                hop = new_labels.select(F.col("id").alias("h_id"),
+                                        F.col("comp").alias("h_comp"))
+                new_labels = (
+                    new_labels
+                    .join(hop, new_labels["comp"] == hop["h_id"], "left")
+                    .select("id",
+                            F.coalesce("h_comp", "comp").alias("comp"))
+                )
+            new_labels = new_labels.localCheckpoint()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            _release_local_checkpoint(labels)
+            labels = new_labels
+            if changed == 0:
+                final = labels.select("id", "comp").persist()
+                final.count()  # pin into the cache before the source goes
+                _release_local_checkpoint(labels)
+                return final
+        _release_local_checkpoint(labels)
+    finally:
+        sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
-        "component diameter exceeds the near-dup envelope; use star "
-        "contraction for deep graphs")
+        "component diameter exceeds even the pointer-doubling envelope; "
+        "the candidate generator is emitting pathological chains")
 
 
 def components_sql_duck(edges_cte: str) -> str:

@@ -52,6 +52,21 @@ def test_components_release_their_caches(spark):
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
 
 
+def test_long_chain_converges_with_shortcut(spark):
+    """A 200-node path is the adversarial near-dup chain: pointer doubling
+    collapses it in O(log d) rounds (d_k = 2(d_{k-1}+1): 2,6,14,30,62,126,
+    254 — 7 propagation rounds + 1 fixed-point confirm), where the pure
+    propagation would need 200 rounds."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long")
+    got = graph.connected_components(edges, max_iter=12)
+    assert got.count() == 201
+    assert got.filter(F.col("comp") != 0).count() == 0
+    got.unpersist()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(edges, shortcut=False, max_iter=12)
+
+
 def test_components_nonconvergence_raises(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a long, id_b long")
