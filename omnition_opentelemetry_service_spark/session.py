@@ -21,9 +21,10 @@ def get_spark(
     """Build (or fetch) a SparkSession tuned for the pipeline.
 
     ``parallelism`` maps to ``local[N]`` — the sandbox substitute for
-    executor count (scaling evidence runs the same job at local[2] vs
-    local[8] in fresh pinned JVMs; 8→32 on this host only exercises SMT
-    siblings — BASELINE.md §"Scaling-evidence plan").
+    executor count (scaling evidence runs the same job at local[1] vs
+    local[4] in fresh pinned JVMs; wider than ~8 on this host saturates
+    the shared memory bus / SMT siblings and measures neighbor load, not
+    the engine — BASELINE.md §"Scaling-evidence plan", bench.py header).
     """
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or max(cpus, 8)
