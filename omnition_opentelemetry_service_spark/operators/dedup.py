@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import char_shingles, fingerprint
+from .widen import widen_if_narrow
 
 # MinHash family constants (shared with the DuckDB oracle fragments).
 MH_HASHES = 16
@@ -170,8 +171,9 @@ def minhash_signatures_pandas(docs_with_shingles: DataFrame,
                 sigs.append(vals.min(axis=0))
             yield pd.DataFrame({"id": ids, "minhash": sigs})
 
-    return docs_with_shingles.select(F.col(id_col).alias(id_col), "shingles") \
-        .mapInPandas(compute, "id long, minhash array<bigint>")
+    src = widen_if_narrow(
+        docs_with_shingles.select(F.col(id_col).alias(id_col), "shingles"))
+    return src.mapInPandas(compute, "id long, minhash array<bigint>")
 
 
 def lsh_band_keys_expr(sig_col: str = "minhash") -> F.Column:
@@ -343,7 +345,8 @@ def simhash_signatures_pandas(docs: DataFrame, id_col: str = "doc_id",
                 out[i] = int(((votes > 0).astype(np.uint64) << shifts).sum())
             yield pd.DataFrame({"id": pdf[id_col], "sh": out})
 
-    return docs.select(id_col, text_col).mapInPandas(compute, "id long, sh long")
+    src = widen_if_narrow(docs.select(id_col, text_col))
+    return src.mapInPandas(compute, "id long, sh long")
 
 
 SIMHASH_BANDS = 4

@@ -14,6 +14,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .widen import widen_if_narrow
+
 MEDIA_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes int, "
     "width int, height int, checksum string"
@@ -65,7 +67,7 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
             out["checksum"] = pdf["media"].map(lambda b: hashlib.md5(b).hexdigest())
             yield out
 
-    return media.mapInPandas(feats, schema=MEDIA_SCHEMA)
+    return widen_if_narrow(media).mapInPandas(feats, schema=MEDIA_SCHEMA)
 
 
 CHUNK_SCHEMA = "doc_id bigint, chunk_id int, chunk_len int, chunk_md5 string"
@@ -101,7 +103,7 @@ def media_chunks(media: DataFrame, chunk_chars: int = 64) -> DataFrame:
                 lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
             yield out
 
-    return media.mapInPandas(chunks, schema=CHUNK_SCHEMA)
+    return widen_if_narrow(media).mapInPandas(chunks, schema=CHUNK_SCHEMA)
 
 def sample_frames(chunks: DataFrame, every_k: int = 4,
                   offset: int = 0) -> DataFrame:
@@ -153,4 +155,4 @@ def resize_media(media: DataFrame, out_width: int = 32,
             ]
             yield out
 
-    return media.mapInPandas(rs, schema=RESIZE_SCHEMA)
+    return widen_if_narrow(media).mapInPandas(rs, schema=RESIZE_SCHEMA)

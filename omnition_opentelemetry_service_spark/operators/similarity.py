@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from .widen import widen_if_narrow
+
 EMB_DIM = 64
 LSH_PLANES = 8
 
@@ -133,7 +135,7 @@ def brute_force_topk_pandas(emb: DataFrame, n_queries: int = 8,
                     "cosine": np.concatenate(out_c),
                 })
 
-    local = emb.select("vec_id", "embedding").mapInPandas(
+    local = widen_if_narrow(emb.select("vec_id", "embedding")).mapInPandas(
         score, "query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))
