@@ -53,9 +53,10 @@ def test_denominator_is_fastest_low_ever_conservative():
     out = bench.measure_scaling(
         "x",
         probe=_probe_seq([100.0, 125.0], [320.0, 200.0]),
-        ceiling_fn=lambda a, b: 3.8, max_attempts=2)
-    # attempt 1: 320/100 = 0.80 against its own low — but the final report
-    # recomputes under the fastest low anywhere (125), dropping it to 0.64.
+        ceiling_fn=lambda a, b: 4.0, max_attempts=2)
+    # attempt 1: 320/100 = 0.80 against its own low (and 0.80 vs the 4.0
+    # ceiling — neither clears 0.805) — but the final report recomputes
+    # under the fastest low anywhere (125), dropping it to 0.64.
     # The shipped number is the conservative one.
     first = out["rounds"][0]
     assert first["rows_per_sec_low"] == 125.0
@@ -67,8 +68,21 @@ def test_attempts_exhausted_reports_best_and_spread():
     out = bench.measure_scaling(
         "x",
         probe=_probe_seq([100.0, 100.0, 100.0], [120.0, 280.0, 240.0]),
-        ceiling_fn=lambda a, b: 3.0, max_attempts=3)
+        ceiling_fn=lambda a, b: 3.9, max_attempts=3)
     assert len(out["rounds"]) == 3
     assert out["efficiency"] == 0.7  # best = 280/100/4
     assert out["efficiency_spread"] > 0.5  # 0.3..0.7 spread is visible
     assert out["efficiency_median"] == 0.6
+
+
+def test_early_stop_on_vs_ceiling_when_raw_fails():
+    """A window where the HOST only parallelizes 3.0x: raw efficiency tops
+    out at 0.75, but delivering the full host ceiling is >=0.8-efficient
+    scaling under the criterion's same-round calibration — one round."""
+    out = bench.measure_scaling(
+        "x", probe=_probe_seq([100.0], [300.0]),
+        ceiling_fn=lambda a, b: 3.0, max_attempts=8)
+    assert len(out["rounds"]) == 1
+    assert out["efficiency"] == 0.75
+    assert out["efficiency_vs_host_ceiling_best"] == 1.0
+    assert out["best_vs_ceiling_round"]["host_ceiling"] == 3.0
