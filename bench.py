@@ -213,7 +213,7 @@ def measure_scaling(input_dir: str,
     lows = [probe(SCALE_LOW, input_dir)]
     rounds = []
     for attempt in range(max_attempts):
-        ceiling = ceiling_fn(SCALE_LOW, SCALE_HIGH)
+        ceiling_pre = ceiling_fn(SCALE_LOW, SCALE_HIGH)
         if attempt > 0:
             # TRUE pairing (the BASELINE.md design): a fresh low right
             # before each retry's high, so both legs of the pair share the
@@ -224,11 +224,19 @@ def measure_scaling(input_dir: str,
             lows.append(probe(SCALE_LOW, input_dir, repeats=1))
         low_rps = max(r["rows_per_sec"] for r in lows)
         high = probe(SCALE_HIGH, input_dir, repeats=3)
+        # BRACKET the ceiling: the burn is a few seconds, the high leg tens
+        # of seconds — a single pre-burn can sample a transient dip and
+        # overstate vs-ceiling efficiency (observed: pre-burn 2.56x while
+        # Spark itself delivered 3.05x inside the same round). Burn again
+        # AFTER the high leg and take the MAX of the bracket: a higher
+        # ceiling can only lower the reported vs-ceiling number.
+        ceiling = max(ceiling_pre, ceiling_fn(SCALE_LOW, SCALE_HIGH))
         speedup = high["rows_per_sec"] / low_rps if low_rps else 0.0
         eff = speedup / (SCALE_HIGH / SCALE_LOW)
         eff_vs_ceiling = speedup / ceiling if ceiling else 0.0
         rounds.append({
             "host_ceiling": round(ceiling, 3),
+            "host_ceiling_pre": round(ceiling_pre, 3),
             "rows_per_sec_high": high["rows_per_sec"],
             "routed_rows": high["routed_rows"],
         })
