@@ -40,6 +40,7 @@ from .operators.enrich import attrs_add, attrs_rename, attrs_to_str, enrich_with
 from .operators.memorylimiter import shed_predicate
 from .operators.multimodal import extract_media_features, with_fake_media
 from .operators.router import route, sink_counts
+from .operators.widen import widen_if_narrow
 from .plans import pipeline as pl
 from .sources.loader import load
 
@@ -423,9 +424,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memoized numpy signature path (dedup.minhash_signatures_pandas):
-    # zero-shuffle one-pass map, 2.4× the codegen'd grouped explode (which
-    # stays as the pure-JVM twin, parity pytest- and hypothesis-pinned)
-    sh = load(spark, sf_dir, "documents").withColumn(
+    # one-pass map (zero-shuffle at scale; the pure-JVM grouped explode
+    # stays as the parity twin, pytest- and hypothesis-pinned). Widen the
+    # RAW docs before the shingle projection: if the scan is narrow the
+    # exchange then moves text bytes, not the ~5× shingle arrays the
+    # projection would otherwise materialize pre-shuffle (measured 1.6×
+    # at sf0.1; at scale the scan is wide and this is a no-op).
+    sh = widen_if_narrow(load(spark, sf_dir, "documents")).withColumn(
         "shingles", tx.char_shingles("text"))
     sigs = dd.minhash_signatures_pandas(sh)
     return sigs.select(
@@ -435,7 +440,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = load(spark, sf_dir, "documents").withColumn(
+    sh = widen_if_narrow(load(spark, sf_dir, "documents")).withColumn(
         "shingles", tx.char_shingles("text"))
     return dd.minhash_candidates(dd.minhash_signatures_pandas(sh), id_col="id")
 
@@ -444,7 +449,7 @@ def q_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the shingle table once: the grouped signature path explodes
     # FROM the cache and the exact-Jaccard verify joins back against it —
     # the shingling expression runs a single time end-to-end
-    sh = load(spark, sf_dir, "documents").select(
+    sh = widen_if_narrow(load(spark, sf_dir, "documents")).select(
         "doc_id", tx.char_shingles("text").alias("shingles")).persist()
     cands = dd.minhash_candidates(dd.minhash_signatures_pandas(sh), id_col="id")
     return dd.jaccard_verify(cands, sh, threshold=0.3)
