@@ -24,18 +24,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def has_exchange(df: DataFrame) -> bool:
+    """True if ``df``'s physical plan already contains a shuffle. Uses the
+    pre-adaptive sparkPlan (planning only — never executes): on an AQE plan
+    a ``Dataset.rdd()`` call would FINALIZE the adaptive plan, eagerly
+    running its shuffle map stages, and those stages are not reused by the
+    later real action — so shuffled plans must be detected and left alone
+    before any partition-count probe."""
+    return "Exchange" in df._jdf.queryExecution().sparkPlan().toString()
+
+
 def num_partitions(df: DataFrame) -> int:
-    """Physical partition count of ``df``'s plan. JVM-side plan inspection
-    (Dataset.rdd() via py4j builds the RDD DAG lazily — no action runs, no
-    rows cross into Python)."""
+    """Physical partition count of ``df``'s plan. Safe ONLY for
+    exchange-free (scan-rooted) plans, where Dataset.rdd() builds the RDD
+    DAG lazily — no job runs, no rows cross into Python. Guard with
+    ``has_exchange`` first; see its docstring for the AQE trap."""
     return df._jdf.rdd().getNumPartitions()
 
 
 def widen_if_narrow(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` to ``min_tasks`` (default: the
-    session's defaultParallelism) iff it is currently narrower than half
-    that — otherwise return it untouched (the no-op path taken by every
-    at-scale input)."""
+    session's defaultParallelism) iff it is a scan-rooted plan currently
+    narrower than half that — otherwise return it untouched (the no-op
+    path taken by every at-scale input). Plans that already shuffle are
+    always untouched: AQE owns post-shuffle parallelism there, and probing
+    their width would eagerly execute the shuffle (see has_exchange)."""
+    if has_exchange(df):
+        return df
     spark = df.sparkSession
     target = min_tasks or spark.sparkContext.defaultParallelism
     if num_partitions(df) < max(1, target // 2):
