@@ -327,8 +327,11 @@ def simhash_signatures_pandas(docs: DataFrame, id_col: str = "doc_id",
         shifts = np.arange(bits, dtype=np.uint64)
         memo: dict[str, int] = {}
         for pdf in batches:
-            out = np.empty(len(pdf), dtype=np.int64)
-            for i, t in enumerate(pdf[text_col].to_numpy()):
+            out: list[int | None] = []
+            for t in pdf[text_col].to_numpy():
+                if t is None:  # NULL text → NULL signature, the expression
+                    out.append(None)  # twin's null-propagation semantics
+                    continue
                 ws = [w for w in ascii_ws.split(t.strip(" ").lower()) if w]
                 hs = []
                 for w in ws:
@@ -342,8 +345,9 @@ def simhash_signatures_pandas(docs: DataFrame, id_col: str = "doc_id",
                 ha = np.array(hs, dtype=np.uint64)
                 bm = ((ha[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
                 votes = bm.sum(axis=0) * 2 - len(ws)
-                out[i] = int(((votes > 0).astype(np.uint64) << shifts).sum())
-            yield pd.DataFrame({"id": pdf[id_col], "sh": out})
+                out.append(int(((votes > 0).astype(np.uint64) << shifts).sum()))
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "sh": pd.array(out, dtype="Int64")})
 
     src = widen_if_narrow(docs.select(id_col, text_col))
     return src.mapInPandas(compute, "id long, sh long")

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +53,19 @@ class SnapshotTable:
         with open(p) as f:
             return json.load(f)
 
+    def _next_version(self) -> int:
+        """First version with no manifest file on disk. Scanning manifests —
+        not just CURRENT — matters for crash recovery: a process killed
+        between the O_EXCL manifest create and the CURRENT advance leaves an
+        ORPHAN manifest at CURRENT+1; allocating from CURRENT alone would
+        collide with it on every re-run and brick the table (the orphan is
+        harmless otherwise — readers walk manifests downward from CURRENT,
+        so an uncommitted version above CURRENT is never consulted)."""
+        vs = [int(m.group(1)) for m in
+              (re.match(r"v_(\d+)\.manifest\.json$", n)
+               for n in os.listdir(self.root)) if m]
+        return max([self.current_version() or 0, *vs], default=0) + 1
+
     def write(self, df: DataFrame, stage: str, partition_by: list[str] | None = None,
               fmt: str = "parquet", meta=None) -> dict:
         """Write a new snapshot and commit it. The data write is to a
@@ -65,36 +79,46 @@ class SnapshotTable:
         — e.g. to harvest Observation counters the write action just filled)
         rides in the manifest, so resume can validate the config fingerprint
         and restore driver-side state without re-running the stage."""
-        version = (self.current_version() or 0) + 1
-        data_dir = os.path.join(self.root, f"v_{version}")
-        writer = df.write.mode("overwrite").format(fmt)
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.save(data_dir)
+        for _ in range(64):  # re-allocate on commit loss; never same-version
+            version = self._next_version()
+            data_dir = os.path.join(self.root, f"v_{version}")
+            writer = df.write.mode("overwrite").format(fmt)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.save(data_dir)
 
-        if callable(meta):
-            meta = meta()
-        manifest = {
-            "version": version,
-            "stage": stage,
-            "committed_at": time.time(),
-            "partition_by": partition_by or [],
-            "format": fmt,
-            **(meta or {}),
-        }
-        # O_EXCL commit: the manifest path is the commit token. A concurrent
-        # writer that already committed this version makes this raise —
-        # optimistic concurrency, never a silent overwrite.
-        manifest_path = os.path.join(self.root, f"v_{version}.manifest.json")
-        fd = os.open(manifest_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
+            m = meta() if callable(meta) else meta
+            manifest = {
+                "version": version,
+                "stage": stage,
+                "committed_at": time.time(),
+                "partition_by": partition_by or [],
+                "format": fmt,
+                **(m or {}),
+            }
+            # O_EXCL commit: the manifest path is the commit token. A
+            # concurrent writer that committed this version between our
+            # allocation and here makes this raise — optimistic concurrency,
+            # never a silent overwrite; the loser RETRIES AT A FRESH VERSION
+            # (_next_version skips every manifest on disk, committed or
+            # orphaned), exactly Iceberg's contract.
+            manifest_path = os.path.join(self.root, f"v_{version}.manifest.json")
+            try:
+                fd = os.open(manifest_path,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                continue
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
 
-        tmp_cur = os.path.join(self.root, f".CURRENT.{version}.tmp")
-        with open(tmp_cur, "w") as f:
-            f.write(str(version))
-        os.replace(tmp_cur, self._current_path())
-        return manifest
+            tmp_cur = os.path.join(self.root, f".CURRENT.{version}.tmp")
+            with open(tmp_cur, "w") as f:
+                f.write(str(version))
+            os.replace(tmp_cur, self._current_path())
+            return manifest
+        raise RuntimeError(
+            f"could not commit stage {stage!r} under {self.root}: lost the "
+            "version race 64 times")
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         v = version if version is not None else self.current_version()

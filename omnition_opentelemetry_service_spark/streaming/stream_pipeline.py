@@ -117,9 +117,17 @@ def run_stream_to_sinks(spark: SparkSession, input_dir: str,
                         checkpoint_dir: str, out_dir: str) -> int:
     """Streaming exporter parity: every micro-batch flows through the SAME
     per-sink translation + single-pass envelope write as the batch path
-    (operators/translate.py), bridged by foreachBatch. The checkpointed
-    batch id gives per-batch exactly-once appends — the streaming twin of
-    the queued-retry/snapshot commit. Returns the number of micro-batches."""
+    (operators/translate.py), bridged by foreachBatch. foreachBatch alone is
+    only at-least-once — a crash between the parquet write and the
+    checkpoint commit re-delivers the batch on restart — so the write is
+    made IDEMPOTENT on the checkpointed batch id: each batch owns the
+    directory ``out_dir/batch_id=N`` and re-delivery overwrites it in
+    place instead of appending duplicates. batch_id + checkpoint + an
+    idempotent sink is Structured Streaming's exactly-once recipe; the
+    streaming twin of the queued-retry/snapshot commit. Returns the number
+    of micro-batches."""
+    import os
+
     from ..operators.translate import encode_envelope
 
     routed = build_routed_stream(spark, input_dir)
@@ -128,7 +136,8 @@ def run_stream_to_sinks(spark: SparkSession, input_dir: str,
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (encode_envelope(batch_df)
          .repartition("sink")
-         .write.mode("append").partitionBy("sink").parquet(out_dir))
+         .write.mode("overwrite").partitionBy("sink")
+         .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
         n_batches["n"] += 1
 
     q = (
@@ -138,4 +147,9 @@ def run_stream_to_sinks(spark: SparkSession, input_dir: str,
         .start()
     )
     q.awaitTermination()
+    # availableNow has drained, but the query object still holds the
+    # checkpoint registration until stopped — a restart against the same
+    # checkpoint (the redelivery/recovery path) would otherwise fail with
+    # SparkConcurrentModificationException on the commits dir.
+    q.stop()
     return n_batches["n"]

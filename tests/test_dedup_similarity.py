@@ -110,6 +110,21 @@ def test_simhash_signatures_pandas_bit_identical_to_expr(spark):
     assert len(pandas_form) == 500  # non-vacuous
 
 
+def test_simhash_pandas_null_and_empty_text_match_expr(spark):
+    """NULL text → NULL signature (the expression twin's null propagation —
+    previously an executor AttributeError in the pandas path); empty and
+    whitespace-only text → signature 0 in both forms."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "hello world")],
+        "doc_id bigint, text string")
+    expr_form = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", dd.simhash_expr("text").alias("sh")).collect()}
+    pandas_form = {r.id: r.sh for r in
+                   dd.simhash_signatures_pandas(docs).collect()}
+    assert expr_form == pandas_form
+    assert expr_form[1] is None and expr_form[2] == 0 and expr_form[3] == 0
+
+
 def test_simhash_band_pairs_no_cartesian(spark):
     plan = dd.simhash_band_pairs(_docs(spark))._jdf.queryExecution() \
         .executedPlan().toString()

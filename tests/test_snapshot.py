@@ -76,6 +76,28 @@ def test_concurrent_commit_one_winner(spark, tmp_path):
     assert t1.manifest(1)["stage"] == "a"  # winner's commit intact
 
 
+def test_crash_between_manifest_and_current_recovers(spark, tmp_path):
+    """Kill-window recovery: a process that dies AFTER the O_EXCL manifest
+    create but BEFORE the CURRENT advance leaves an orphan manifest at
+    CURRENT+1. A re-run must not collide with it forever — it allocates
+    past every manifest on disk and commits; the orphan (above CURRENT)
+    stays invisible to readers."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    df = spark.range(4).withColumnRenamed("id", "x")
+    t.write(df, stage="a")  # v_1 committed, CURRENT=1
+    # simulate the crash: v_2 manifest exists, CURRENT never advanced
+    with open(os.path.join(root, "v_2.manifest.json"), "w") as f:
+        f.write('{"version": 2, "stage": "b"}')
+    assert t.current_version() == 1
+    assert not t.has_stage("b")  # orphan above CURRENT is never consulted
+    m = t.write(df, stage="b")  # re-run of the killed stage
+    assert m["version"] == 3  # allocated PAST the orphan, no collision
+    assert t.current_version() == 3
+    assert t.has_stage("b")
+    assert t.read(spark).count() == 4
+
+
 def test_snapshot_read_prunes_partitions(spark, tmp_path):
     """Partition pruning on read: a sink-filtered scan of a snapshot
     partitioned by sink must push the filter into PartitionFilters — reading

@@ -118,6 +118,39 @@ def test_stream_sinks_write_matches_batch_envelope(spark, input_dir, tmp_path):
     assert streamed == batch
 
 
+def test_stream_sinks_redelivery_is_idempotent(spark, input_dir, tmp_path):
+    """Exactly-once under crash-redelivery: foreachBatch re-delivers a
+    batch whose parquet write finished but whose checkpoint commit didn't.
+    Simulated by deleting the newest commit marker from the checkpoint —
+    the restart re-runs that batch, and because each batch owns (and
+    overwrites) its batch_id=N directory, totals must be UNCHANGED rather
+    than doubled."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "stream_sinks")
+    ckpt = str(tmp_path / "ckpt_sinks")
+    sp.run_stream_to_sinks(spark, input_dir, ckpt, out)
+
+    def totals():
+        return {r.sink: r.n for r in
+                spark.read.parquet(out).groupBy("sink")
+                .agg(F.count("*").alias("n")).collect()}
+
+    before = totals()
+    commits = os.path.join(ckpt, "commits")
+    newest = max((f for f in os.listdir(commits) if not f.startswith(".")),
+                 key=int)
+    os.remove(os.path.join(commits, newest))  # crash window: write done,
+    crc = os.path.join(commits, f".{newest}.crc")  # local-FS artifact: the
+    if os.path.exists(crc):  # checksum twin must go too or the re-commit
+        os.remove(crc)  # rename fails (ChecksumFileSystem only)
+    n = sp.run_stream_to_sinks(spark, input_dir, ckpt, out)  # commit lost
+    assert n >= 1  # the batch really was re-delivered
+    assert totals() == before
+
+
 def test_streaming_watermark_drops_late_data(spark, tmp_path):
     """The at-most-once loss model in streaming form (SURVEY §2.5: 'no
     late-data policy — at-most-once with counted drops'): a row arriving
