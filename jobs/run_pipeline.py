@@ -55,8 +55,12 @@ def main() -> None:
             for ename, espec in job.exporter_specs.items():
                 if espec.get("type") == "logging":
                     k = int(espec.get("sample_k", 10))
-                    for r in logging_sample(res["routed"], k=k).collect():
-                        print(json.dumps({"exporter": ename,
+                    # sample the sink THIS exporter is attached to (two
+                    # logging exporters may debug two different sinks)
+                    sink = espec.get("sink", "sink_logging")
+                    for r in logging_sample(res["routed"], k=k,
+                                            sink=sink).collect():
+                        print(json.dumps({"exporter": ename, "sink": sink,
                                           "sample": r.asDict()}))
     finally:
         spark.stop()

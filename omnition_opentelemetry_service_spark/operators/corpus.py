@@ -74,6 +74,45 @@ def repetition_stats_sql_duck(table: str = "documents", id_col: str = "doc_id",
     """
 
 
+# -- shared word-n-gram construction (ONE definition per engine) -------------
+# The gram logic appears in four operators (top_ngram_fraction, word_ngrams
+# and their DuckDB twins); a semantics fix applied to fewer than all four
+# would silently desynchronize them, so both engines' forms live here.
+# Empty/whitespace-only docs yield ZERO grams in both engines — the naive
+# forms diverged exactly there (Spark array_join([]) gives the '' gram,
+# DuckDB list_aggregate([]) gives NULL).
+
+
+def _words_expr(text_col: str) -> str:
+    return f"filter(split(trim({text_col}), '\\\\s+'), w -> length(w) > 0)"
+
+
+def _grams_expr(n: int, text_col: str) -> str:
+    """Spark SQL: array of word {n}-grams of ``text_col`` (docs shorter
+    than n words collapse to one gram; no words → empty array). The word
+    array binds once through a transform-wrapper lambda (the
+    CollapseProject re-evaluation trap — see functions/text.py)."""
+    case = (f"CASE WHEN size(ws) = 0 THEN CAST(array() AS array<string>) "
+            f"WHEN size(ws) < {n} THEN array(array_join(ws, ' ')) "
+            f"ELSE transform(sequence(1, size(ws) - {n} + 1), "
+            f"j -> array_join(slice(ws, j, {n}), ' ')) END")
+    return f"transform(array({_words_expr(text_col)}), ws -> {case})[0]"
+
+
+def _words_sql_duck(text_col: str) -> str:
+    return (f"list_filter(string_split_regex(trim({text_col}), '\\s+'), "
+            f"w -> len(w) > 0)")
+
+
+def _grams_case_duck(n: int, ws: str = "ws") -> str:
+    """DuckDB: the gram CASE over an already-bound word-list column."""
+    return (f"CASE WHEN len({ws}) = 0 THEN CAST([] AS VARCHAR[]) "
+            f"WHEN len({ws}) < {n} THEN [list_aggregate({ws}, 'string_agg', ' ')] "
+            f"ELSE list_transform(range(len({ws}) - {n} + 1), "
+            f"j -> list_aggregate(list_slice({ws}, CAST(j + 1 AS INTEGER), "
+            f"CAST(j + {n} AS INTEGER)), 'string_agg', ' ')) END")
+
+
 def top_ngram_fraction(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Per-document fraction of word n-gram occurrences taken by the single
@@ -87,13 +126,7 @@ def top_ngram_fraction(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
     u = total — bounded by document length squared in the worst case but
     document-local, so it parallelizes perfectly and never shuffles.
     """
-    words = f"filter(split(trim({text_col}), '\\\\s+'), w -> length(w) > 0)"
-    grams = (f"CASE WHEN size(ws) < {n} THEN array(array_join(ws, ' ')) "
-             f"ELSE transform(sequence(1, size(ws) - {n} + 1), "
-             f"j -> array_join(slice(ws, j, {n}), ' ')) END")
-    expr = (
-        f"transform(array({words}), ws -> {grams})[0]"
-    )
+    expr = _grams_expr(n, text_col)
     counted = (
         "transform(array_distinct(gs), g -> size(filter(gs, x -> x = g)))"
     )
@@ -112,18 +145,11 @@ def top_ngram_fraction(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
 def top_ngram_fraction_sql_duck(table: str = "documents", n: int = 2,
                                 id_col: str = "doc_id",
                                 text_col: str = "text") -> str:
-    words = (f"list_filter(string_split_regex(trim({text_col}), '\\s+'), "
-             f"w -> len(w) > 0)")
     return f"""
     WITH ws AS (
-      SELECT {id_col}, {words} AS ws FROM {table}
+      SELECT {id_col}, {_words_sql_duck(text_col)} AS ws FROM {table}
     ), gs AS (
-      SELECT {id_col},
-        CASE WHEN len(ws) < {n} THEN [list_aggregate(ws, 'string_agg', ' ')]
-        ELSE list_transform(range(len(ws) - {n} + 1),
-          j -> list_aggregate(list_slice(ws, CAST(j + 1 AS INTEGER),
-                                         CAST(j + {n} AS INTEGER)),
-                              'string_agg', ' ')) END AS gs
+      SELECT {id_col}, {_grams_case_duck(n)} AS gs
       FROM ws
     )
     SELECT {id_col}, len(gs) AS n_ngrams,
@@ -144,15 +170,11 @@ def top_ngram_fraction_sql_duck(table: str = "documents", n: int = 2,
 
 def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """(id, gram) — distinct word n-grams per document, exploded."""
-    words = f"filter(split(trim({text_col}), '\\\\s+'), w -> length(w) > 0)"
-    grams = (f"transform(array({words}), ws -> "
-             f"CASE WHEN size(ws) < {n} THEN array(array_join(ws, ' ')) "
-             f"ELSE transform(sequence(1, size(ws) - {n} + 1), "
-             f"j -> array_join(slice(ws, j, {n}), ' ')) END)[0]")
+    """(id, gram) — distinct word n-grams per document, exploded. Docs with
+    no words yield no rows (explode of the empty gram array)."""
     return docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.expr(grams))).alias("gram"),
+        F.explode(F.array_distinct(F.expr(_grams_expr(n, text_col)))).alias("gram"),
     )
 
 
@@ -167,7 +189,9 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 3,
     the corpus side is one scan + explode + broadcast LEFT SEMI-style join +
     per-doc count. No shuffle of corpus grams against each other, never
     doc×doc pairs. Left join (not semi) so uncontaminated docs still report
-    a zero row — the gate needs every doc scored.
+    a zero row — every doc WITH grams is scored (docs with no words have
+    no grams in either engine and yield no row; they cannot be
+    contaminated).
     """
     doc_grams = word_ngrams(docs, n, id_col, text_col)
     bench_grams = (
@@ -192,17 +216,11 @@ def contamination_check_sql_duck(table: str = "documents",
                                  bench_pred: str = "doc_id % 97 = 0",
                                  n: int = 3, id_col: str = "doc_id",
                                  text_col: str = "text") -> str:
-    words = (f"list_filter(string_split_regex(trim({text_col}), '\\s+'), "
-             f"w -> len(w) > 0)")
-    grams = (f"CASE WHEN len(ws) < {n} THEN [list_aggregate(ws, 'string_agg', ' ')] "
-             f"ELSE list_transform(range(len(ws) - {n} + 1), "
-             f"j -> list_aggregate(list_slice(ws, CAST(j + 1 AS INTEGER), "
-             f"CAST(j + {n} AS INTEGER)), 'string_agg', ' ')) END")
     return f"""
     WITH ws AS (
-      SELECT {id_col} AS id, {words} AS ws FROM {table}
+      SELECT {id_col} AS id, {_words_sql_duck(text_col)} AS ws FROM {table}
     ), doc_grams AS (
-      SELECT id, unnest(list_distinct({grams})) AS gram FROM ws
+      SELECT id, unnest(list_distinct({_grams_case_duck(n)})) AS gram FROM ws
     ), bench_grams AS (
       SELECT DISTINCT gram FROM doc_grams WHERE {bench_pred.replace('doc_id', 'id')}
     )
@@ -284,7 +302,11 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
     rate = F.lit(default_rate)
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
-    return df.filter(bucket < (rate * 1_000_000).cast("bigint"))
+    # floor, explicitly: Spark's CAST(double AS BIGINT) truncates but
+    # DuckDB's ROUNDS — a rate whose rate*1e6 has fractional part >= 0.5
+    # would keep one extra bucket in the oracle. floor() on both sides
+    # pins the same threshold in both engines.
+    return df.filter(bucket < F.floor(rate * 1_000_000).cast("bigint"))
 
 
 def stratified_sample_pred_duck(strata_col: str, rates: dict[str, float],
@@ -296,7 +318,9 @@ def stratified_sample_pred_duck(strata_col: str, rates: dict[str, float],
         rate = f"CASE WHEN {strata_col} = '{k}' THEN {v} ELSE {rate} END"
     bucket = (f"CAST(concat('0x', substr(md5(concat({strata_col}, ':', "
               f"CAST({key_col} AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000")
-    return f"({bucket}) < CAST(({rate}) * 1000000 AS BIGINT)"
+    # floor before CAST: DuckDB CAST(double AS BIGINT) rounds half-up while
+    # Spark's truncates — see stratified_sample.
+    return f"({bucket}) < CAST(floor(({rate}) * 1000000) AS BIGINT)"
 
 
 # ---------------------------------------------------------------------------
@@ -345,11 +369,16 @@ def corpus_filter_full(docs: DataFrame, quality_min: float = 0.5,
     gated = scored.filter(
         (F.col("quality") >= quality_min) & (F.col("lang") != "und"))
     keepers = gated.groupBy("fp").agg(F.min(id_col).alias("keep_id"))
+    # Persist the exact-collapse survivors: three consumers read them (the
+    # shingle table, the keep-list propagation, and the final keep join),
+    # and each would otherwise re-run the full scan + quality/lang/
+    # fingerprint regex scoring. Caller-released, like `sh` below.
     exact = (
         gated.join(broadcast(keepers),
                    (gated["fp"] == keepers["fp"])
                    & (gated[id_col] == keepers["keep_id"]))
         .select(gated[id_col], gated[text_col], "lang", "quality")
+        .persist()
     )
     sh = exact.select(F.col(id_col),
                       tx.char_shingles(text_col).alias("shingles")).persist()

@@ -53,12 +53,17 @@ def with_pack_id_ffd(seqs: DataFrame, budget: int = 2048,
     work: rows are sharded deterministically by their order column
     (shard = order div shard_rows — data-derived, AQE-safe), FFD runs
     per (key, shard) as a grouped Arrow batch (numpy argsort + first-fit
-    over an active-bin array), and pack ids are made globally unique as
-    (shard, local_bin). Parallelism = #shards, bounded by data size; the
-    fill penalty vs one global FFD is at most one under-filled bin per
-    shard. Pays Arrow+Python deliberately: first-fit needs per-bin mutable
-    state no window expression can carry — this is exactly the
-    applyInPandas extension-surface case (SURVEY.md §2.5).
+    over an active-bin array), and pack ids are unique PER KEY as
+    shard * 2^33 + local_bin (pack identity downstream is (key, pack_id) —
+    pack_stats groups exactly so). The 2^33 bin space cannot overflow: a
+    (key, shard) group with 2^33 rows will not fit one Arrow batch long
+    before the id arithmetic is wrong; order values are bounded at
+    shard_rows·2^30 by an explicit guard (beyond that shard·2^33 would
+    leave int64 — raise rather than wrap). Parallelism = #shards, bounded
+    by data size; the fill penalty vs one global FFD is at most one
+    under-filled bin per shard. Pays Arrow+Python deliberately: first-fit
+    needs per-bin mutable state no window expression can carry — this is
+    exactly the applyInPandas extension-surface case (SURVEY.md §2.5).
     """
     import pandas as pd  # noqa: F401  (executors)
 
@@ -82,7 +87,12 @@ def with_pack_id_ffd(seqs: DataFrame, budget: int = 2048,
                 bins.append(max(budget - int(tok), 0))
                 assign[i] = len(bins) - 1
         shard = int(pdf["_shard"].iloc[0])
-        pdf = pdf.assign(pack_id=assign + shard * 1_000_000)
+        if shard >= 1 << 30:
+            raise ValueError(
+                f"with_pack_id_ffd: order value >= {shard_rows} * 2^30 — "
+                "pack_id arithmetic would overflow int64; use a denser "
+                "order column or larger shard_rows")
+        pdf = pdf.assign(pack_id=assign + (shard << 33))
         return pdf.drop(columns=["_shard"])
 
     out_schema = ", ".join(

@@ -76,6 +76,32 @@ def test_top_ngram_short_doc_degenerates_to_whole_text(spark):
     assert r.n_ngrams == 1 and r.top_ngram_frac == 1.0
 
 
+def test_top_ngram_empty_doc_yields_zero_grams_both_engines(spark):
+    """Empty/whitespace-only docs have ZERO n-grams in both engines. The
+    naive forms diverged here: Spark array_join([]) produced the '' gram
+    (count 1, frac 1.0) while DuckDB list_aggregate([]) produced [NULL]."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b c")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in corpus.top_ngram_fraction(df, n=2).collect()}
+    assert rows[1].n_ngrams == 0 and rows[1].top_ngram_count is None
+    assert rows[2].n_ngrams == 0 and rows[2].top_ngram_frac is None
+    assert rows[3].n_ngrams == 2
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(1, ''), (2, '   '), (3, 'a b c')) t(doc_id, text)")
+    d = {int(r[0]): r for r in con.execute(
+        corpus.top_ngram_fraction_sql_duck(n=2)).fetchall()}
+    for i in (1, 2, 3):
+        assert d[i][1] == rows[i].n_ngrams
+        assert (d[i][2] is None) == (rows[i].top_ngram_count is None)
+    # and word_ngrams emits no rows for the empty docs (no '' gram, so two
+    # empty docs are no longer mutually "contaminated")
+    grams = corpus.word_ngrams(df, n=2).collect()
+    assert {r.id for r in grams} == {3}
+
+
 def test_contamination_matches_duckdb(spark):
     docs = load(spark, SF, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
@@ -128,6 +154,19 @@ def test_stratified_sample_rates_and_determinism(spark):
     # same sample at a different parallelism (the resume guarantee)
     b = corpus.stratified_sample(docs.repartition(3), "source", rates)
     assert a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
+
+
+def test_stratified_sample_fractional_threshold_matches_duckdb(spark):
+    """A rate whose rate*1e6 has fractional part >= 0.5 (0.1234565 →
+    123456.5): Spark CAST truncates, DuckDB CAST rounds half-up — both
+    sides now floor, so the kept set is identical."""
+    rates = {"src0": 0.1234565, "src1": 0.7654325}
+    docs = load(spark, SF, "documents")
+    out = corpus.stratified_sample(docs, "source", rates).select(
+        "doc_id", "source")
+    pred = corpus.stratified_sample_pred_duck("source", rates)
+    oracle = _duck(f"SELECT doc_id, source FROM documents WHERE {pred}")
+    _match(out, oracle, ["doc_id"])
 
 
 def test_stratified_sample_default_rate_zero(spark):
