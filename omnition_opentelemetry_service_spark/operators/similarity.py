@@ -84,17 +84,29 @@ def brute_force_topk_pandas(emb: DataFrame, n_queries: int = 8,
                             k: int = 5) -> DataFrame:
     """Exact top-k neighbors, the VECTORIZED scale form: the tiny query
     matrix ships to executors as a closure constant; each Arrow batch of
-    the corpus is scored as ONE numpy matmul (B×D · D×Q — SIMD, not an
-    interpreted per-element fold); each batch emits only its per-query
-    local top-k. The final exchange therefore carries ≤ batches×Q×k rows
-    instead of the Q×N scored join the expression form shuffles into its
-    window — at 100 TB the shuffle shrinks from corpus-sized to
-    O(partitions·Q·k) while the scan stays one pass.
+    the corpus is scored with numpy (SIMD across rows), and each batch
+    emits only its per-query local top-k. The final exchange therefore
+    carries ≤ batches×Q×k rows instead of the Q×N scored join the
+    expression form shuffles into its window — at 100 TB the shuffle
+    shrinks from corpus-sized to O(partitions·Q·k) while the scan stays
+    one pass.
 
     Exactness: per-batch top-k by the SAME key the final rank uses
     (round-6 cosine desc, neighbor id asc), so the union of local top-ks
     provably contains the global top-k; results are value-identical to
     brute_force_topk for any partitioning (pytest pins this).
+
+    Bit-parity with the fold twins, deliberately: the dot products
+    accumulate dimension-by-dimension in fold order (one axpy per
+    dimension, vectorized across rows — IEEE-identical to the sequential
+    `aggregate`/`list_reduce` folds both engines run) rather than one BLAS
+    GEMM, and rounding is true round-half-away-from-zero on the scaled
+    value (what Spark's F.round and DuckDB's round() both do) rather than
+    np.round's banker's rounding. A GEMM's pairwise summation differs from
+    the fold by ~1 ulp, which the 1e-6 rounding then amplifies into a
+    different 6th decimal — or a rank flip — for any cosine near a
+    rounding boundary; that is a latent driver-gate hash mismatch, not a
+    hypothetical.
 
     The Q-row collect is the index-build step (the broadcast side of the
     reference's batch→spans fill, kinesis/exporter.go:42-44) — Q is the
@@ -102,11 +114,30 @@ def brute_force_topk_pandas(emb: DataFrame, n_queries: int = 8,
     import numpy as np
     import pandas as pd
 
+    def _fold_dot(amat, bmat):
+        """Row-wise dot of two equal-shape matrices, accumulated dimension
+        0..D-1 in ORDER — per element this is exactly the left-to-right
+        double fold of aggregate()/list_reduce(), but SIMD across rows."""
+        acc = np.zeros(len(amat), dtype=np.float64)
+        for d in range(amat.shape[1]):
+            acc += amat[:, d] * bmat[:, d]
+        return acc
+
+    def _round6_half_away(x):
+        """round(x, 6) with halves away from zero — Spark F.round and
+        DuckDB round() semantics. np.round is half-even AND suffers the
+        scaled-multiply artifact (np.round(2.675, 2) == 2.67)."""
+        y = x * 1e6
+        ay = np.abs(y)
+        fl = np.floor(ay)
+        r = np.where(ay - fl >= 0.5, fl + 1.0, fl)
+        return np.copysign(r, y) / 1e6
+
     q_rows = (emb.filter(F.col("vec_id") < n_queries)
               .select("vec_id", "embedding").collect())
     qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     qmat = np.array([r.embedding for r in q_rows], dtype=np.float64)
-    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qnorm = np.sqrt(_fold_dot(qmat, qmat))
 
     def score(batches):
         for pdf in batches:
@@ -114,8 +145,12 @@ def brute_force_topk_pandas(emb: DataFrame, n_queries: int = 8,
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             cmat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            cn = np.sqrt((cmat * cmat).sum(axis=1))
-            cos = np.round((cmat @ qmat.T) / (cn[:, None] * qnorm[None, :]), 6)
+            cn = np.sqrt(_fold_dot(cmat, cmat))
+            dots = np.empty((len(cmat), len(qids)), dtype=np.float64)
+            for j in range(len(qids)):
+                dots[:, j] = _fold_dot(cmat, np.broadcast_to(
+                    qmat[j], cmat.shape))
+            cos = _round6_half_away(dots / (qnorm[None, :] * cn[:, None]))
             out_q, out_n, out_c = [], [], []
             for j in range(len(qids)):
                 col = cos[:, j]
@@ -316,7 +351,10 @@ def ivf_ann_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
     cell — candidates shrink ~|cells|/nprobe-fold and no cross product ever
     forms."""
     cents = ivf_centroids(emb)
-    assigned = ivf_assign(emb, cents, nprobe=1).persist()
+    # no persist: the corpus assignment has exactly one consumer (cands) —
+    # caching it would pin N rows of embeddings in storage for zero
+    # recomputation savings
+    assigned = ivf_assign(emb, cents, nprobe=1)
     probes = (
         ivf_assign(emb.filter(F.col("vec_id") < n_queries), cents,
                    nprobe=nprobe)

@@ -231,6 +231,17 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
 
     routed, lineage = with_lineage(routed, "route")
 
+    if (cfg.write_sinks_dir or write_fn is not None) \
+            and not cfg.checkpoint_dir:
+        # Two actions consume routed here (the counts collect and the sink
+        # write) and there is no routed snapshot to re-read — without this
+        # persist the second action re-executes the whole
+        # parse→join→route DAG, a full duplicate pass at scale. Cache
+        # lifecycle is caller-owned (registry.release_caches), matching
+        # the module convention; checkpointed runs skip it because routed
+        # is already a materialized snapshot read.
+        routed = routed.persist()
+
     # THE action: aggregates per-sink counts AND fills the in-DAG parse
     # Observation in the same pass.
     counts = sink_counts(routed).collect()

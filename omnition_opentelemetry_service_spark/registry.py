@@ -446,9 +446,9 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist the shingle table once: the grouped signature path explodes
-    # FROM the cache and the exact-Jaccard verify joins back against it —
-    # the shingling expression runs a single time end-to-end
+    # persist the shingle table once: the Arrow signature map reads it and
+    # the exact-Jaccard verify joins back against it (twice) — the
+    # shingling expression runs a single time end-to-end
     sh = widen_if_narrow(load(spark, sf_dir, "documents")).select(
         "doc_id", tx.char_shingles("text").alias("shingles")).persist()
     cands = dd.minhash_candidates(dd.minhash_signatures_pandas(sh), id_col="id")

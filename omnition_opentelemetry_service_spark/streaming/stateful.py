@@ -53,7 +53,20 @@ def run_counts_once(spark, input_dir: str, checkpoint_dir: str,
                     out_table: str = "running_counts",
                     max_files_per_trigger: int = 2) -> DataFrame:
     """Drain the sequences table as micro-batches, maintaining the running
-    counters; returns the final per-source rows (last update wins)."""
+    counters; returns the final per-source rows.
+
+    The emitted updates are persisted to a parquet log BESIDE the
+    checkpoint, not to a per-run memory sink: update mode only emits for
+    keys that saw input in THIS run, so a resumed run with no (or partial)
+    new data would report empty/partial totals from a memory table even
+    though the true counters live on in the state store. The counters are
+    monotone non-decreasing per source, so the final value per source is
+    the max over the WHOLE log — re-runs and crash-redelivered batches
+    only append dominated or duplicate rows, which the max ignores."""
+    import os
+
+    from pyspark.sql import functions as F
+
     from .stream_pipeline import SEQ_SCHEMA
 
     stream = (
@@ -62,22 +75,26 @@ def run_counts_once(spark, input_dir: str, checkpoint_dir: str,
         .parquet(f"{input_dir}/sequences")
     )
     counts = running_source_counts(stream.select("source", "n_tok"))
+    updates_dir = checkpoint_dir.rstrip("/") + "_updates"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(updates_dir)
+
     q = (
         counts.writeStream.outputMode("update")
-        .format("memory").queryName(out_table)
+        .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    # update-mode memory sink appends every emitted update. The counters the
-    # stateful function emits are monotone non-decreasing per source, so the
-    # FINAL value per source is simply the max — no reliance on cross-batch
-    # scan order (which is an implementation detail, not a contract).
-    from pyspark.sql import functions as F
-
+    q.stop()  # release the checkpoint registration for resumed runs
+    if not os.path.exists(updates_dir):  # zero batches ever emitted
+        emitted = spark.createDataFrame([], OUT_SCHEMA)
+    else:
+        emitted = spark.read.parquet(updates_dir)
     return (
-        spark.table(out_table)
+        emitted
         .groupBy("source")
         .agg(F.max("received").alias("received"),
              F.max("sum_n_tok").alias("sum_n_tok"))

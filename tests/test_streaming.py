@@ -81,6 +81,23 @@ def test_stateful_running_counts_equal_batch(spark, input_dir, tmp_path):
     assert got == batch
 
 
+def test_stateful_counts_survive_resume_with_no_new_data(spark, input_dir,
+                                                         tmp_path):
+    """A resumed run over an already-drained checkpoint must still report
+    the full totals: update mode emits nothing for quiet keys in the new
+    run, so totals must come from the persisted update log, not from a
+    per-run memory sink (which returned 0 rows here before)."""
+    from omnition_opentelemetry_service_spark.streaming import stateful
+
+    ckpt = str(tmp_path / "ckpt_state_resume")
+    first = {r.source: (r.received, r.sum_n_tok) for r in
+             stateful.run_counts_once(spark, input_dir, ckpt).collect()}
+    assert first  # non-vacuous
+    again = {r.source: (r.received, r.sum_n_tok) for r in
+             stateful.run_counts_once(spark, input_dir, ckpt).collect()}
+    assert again == first
+
+
 def test_windowed_counts_respect_window(spark, input_dir, tmp_path):
     got = sp.run_stream_once(spark, input_dir, str(tmp_path / "ckpt3"),
                              out_table="sc4", window="1 minute")
