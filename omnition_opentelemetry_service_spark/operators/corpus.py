@@ -368,15 +368,19 @@ def corpus_filter_full(docs: DataFrame, quality_min: float = 0.5,
     )
     gated = scored.filter(
         (F.col("quality") >= quality_min) & (F.col("lang") != "und"))
-    keepers = gated.groupBy("fp").agg(F.min(id_col).alias("keep_id"))
+    # keep_fp rename: keepers derives from gated, so keepers["fp"] and
+    # gated["fp"] share attribute lineage and a df["fp"]==df["fp"] join
+    # condition resolves trivially true (Spark self-join ambiguity).
+    keepers = gated.groupBy("fp").agg(F.min(id_col).alias("keep_id")) \
+        .withColumnRenamed("fp", "keep_fp")
     # Persist the exact-collapse survivors: three consumers read them (the
     # shingle table, the keep-list propagation, and the final keep join),
     # and each would otherwise re-run the full scan + quality/lang/
     # fingerprint regex scoring. Caller-released, like `sh` below.
     exact = (
         gated.join(broadcast(keepers),
-                   (gated["fp"] == keepers["fp"])
-                   & (gated[id_col] == keepers["keep_id"]))
+                   (F.col("fp") == F.col("keep_fp"))
+                   & (F.col(id_col) == F.col("keep_id")))
         .select(gated[id_col], gated[text_col], "lang", "quality")
         .persist()
     )

@@ -485,11 +485,15 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.lang_id("text").alias("lang"),
         tx.fingerprint("text").alias("fp"),
     )
-    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    # keep_fp rename: keepers derives from scored, so scored["fp"] ==
+    # keepers["fp"] resolves to a trivially-true self-compare (Spark
+    # self-join ambiguity) and the fp condition silently drops out.
+    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("keep_id")) \
+        .withColumnRenamed("fp", "keep_fp")
     return (
         scored.join(broadcast(keepers),
-                    (scored["fp"] == keepers["fp"])
-                    & (scored["doc_id"] == keepers["keep_id"]))
+                    (F.col("fp") == F.col("keep_fp"))
+                    & (F.col("doc_id") == F.col("keep_id")))
         .filter((F.col("quality") >= 0.5) & (F.col("lang") != "und"))
         .select("doc_id", "lang", "quality")
     )
