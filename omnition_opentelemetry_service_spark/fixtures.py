@@ -367,8 +367,14 @@ def route_rules_sql_duck() -> str:
 # Deterministic per-(row, rule) sampler hash — valid in both dialects.
 # Mirrors the probabilistic sampler's hash-of-traceid semantics
 # (upstream registration components.go:70) without engine-specific hashes.
+# The seed is reduced mod SAMPLE_MOD BEFORE the LCG multiply:
+# (x*A + B) mod m == ((x mod m)*A + B) mod m for nonnegative x, so results
+# are identical — but the unreduced form overflows int64 at seq_no ≳ 8.4e9
+# (ANSI ArithmeticException in Spark 4, overflow error in DuckDB), i.e. long
+# before the 10^12-sequence design scale. Reduced, the intermediate peaks at
+# (SAMPLE_MOD-1)*SAMPLE_A + SAMPLE_B ≈ 1.1e13.
 def sample_hash_sql(seq_col: str = "seq_no", rule_col: str = "rule_id") -> str:
     return (
-        f"(({seq_col} + {rule_col} * {RULE_SALT}) * {SAMPLE_A} + {SAMPLE_B}) "
-        f"% {SAMPLE_MOD}"
+        f"((({seq_col} + {rule_col} * {RULE_SALT}) % {SAMPLE_MOD}) "
+        f"* {SAMPLE_A} + {SAMPLE_B}) % {SAMPLE_MOD}"
     )

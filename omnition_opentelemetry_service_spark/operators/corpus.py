@@ -435,8 +435,9 @@ def corpus_filter_full_sql_duck(quality_min: float = 0.5,
       FROM cands c
       JOIN sh sa ON c.id_a = sa.doc_id
       JOIN sh sb ON c.id_b = sb.doc_id
-      WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
-            len(list_distinct(sa.shingles || sb.shingles)) >= {jaccard_threshold}),
+      WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                  len(list_distinct(sa.shingles || sb.shingles)), 6)
+            >= {jaccard_threshold}),
     sym AS (
       SELECT id_a AS u, id_b AS v FROM verified
       UNION

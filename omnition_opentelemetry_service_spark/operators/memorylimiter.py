@@ -69,7 +69,9 @@ class MemoryLimiter:
             raise ValueError(ERR_NIL_NEXT_CONSUMER)
         if config.check_interval_s <= 0:
             raise ValueError(ERR_CHECK_INTERVAL)
-        if config.mem_alloc_limit_mib == 0:
+        # <= 0, not == 0: the sentinel's own contract is "greater than
+        # zero" (the reference's uint config cannot go negative; ours can).
+        if config.mem_alloc_limit_mib <= 0:
             raise ValueError(ERR_MEM_ALLOC_LIMIT)
         if config.mem_spike_limit_mib >= config.mem_alloc_limit_mib:
             raise ValueError(ERR_MEM_SPIKE_LIMIT)

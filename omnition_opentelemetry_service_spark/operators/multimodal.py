@@ -37,13 +37,20 @@ def with_fake_media(docs: DataFrame) -> DataFrame:
 
 def decode_image_batch(buf: bytes, fake: bool) -> tuple[int, int]:
     """STUB: real impl would be e.g. PIL.Image.open(io.BytesIO(buf)).size.
-    Deterministic fake keeps the pipeline testable without the lib."""
+    Deterministic fake keeps the pipeline testable without the lib. Fake
+    dims come from the first/last UNICODE CODEPOINT of the UTF-8 payload
+    (not the first/last byte): the DuckDB oracle twin can only express
+    ascii(first_char) — byte indexing would silently diverge on the first
+    multi-byte character (é = 0xC3 0xA9 vs codepoint 233)."""
     if not fake:
         raise NotImplementedError(
             "image decode requires an imaging library not present in this "
             "container; run with fake=True for deterministic fake features"
         )
-    return (buf[0] % 64 + 1) if buf else 1, (buf[-1] % 64 + 1) if buf else 1
+    if not buf:
+        return 1, 1
+    s = bytes(buf).decode("utf-8")
+    return ord(s[0]) % 64 + 1, ord(s[-1]) % 64 + 1
 
 
 def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:

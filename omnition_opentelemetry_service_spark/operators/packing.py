@@ -73,7 +73,12 @@ def with_pack_id_ffd(seqs: DataFrame, budget: int = 2048,
     def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
-        pdf = pdf.sort_values("n_tok", ascending=False, kind="mergesort")
+        # Secondary sort on the order column: n_tok ties would otherwise
+        # keep the shuffle-dependent incoming row order, making first-fit
+        # assignments vary across runs/parallelism — the output must be
+        # identical at any parallelism and across resume.
+        pdf = pdf.sort_values(["n_tok", order], ascending=[False, True],
+                              kind="mergesort")
         n = pdf["n_tok"].to_numpy()
         bins: list[int] = []  # remaining capacity per open bin
         assign = np.empty(len(n), dtype="int64")

@@ -28,6 +28,9 @@ ERR_BAD_RECEIVER_TYPE = "receiver type must be one of: fixture_payloads, parquet
 ERR_NO_EXPORTERS = "pipeline must list at least one exporter"
 ERR_PARQUET_NO_PATH = "parquet receiver requires a path"
 ERR_BAD_EXPORTER_TYPE = "exporter type must be one of: parquet, logging"
+ERR_MULTI_RECEIVER_TYPE = (
+    "multiple receivers in one pipeline must all be type: parquet"
+)
 
 KNOWN_RECEIVER_TYPES = ("fixture_payloads", "parquet")
 KNOWN_EXPORTER_TYPES = ("parquet", "logging")
@@ -96,16 +99,32 @@ def compile_spec(raw: dict) -> list[JobSpec]:
 
         # merge processor settings into one PipelineConfig
         cfg = PipelineConfig()
-        first_recv = receivers[p_receivers[0]] or {} if p_receivers else {}
-        rtype = first_recv.get("type", "fixture_payloads")
-        if rtype == "parquet":
-            # the parquet receiver reads a materialized payloads/+sequences/
-            # directory — its path IS the pipeline input
-            if not first_recv.get("path"):
-                raise ValueError(ERR_PARQUET_NO_PATH)
-            cfg.input_dir = first_recv["path"]
-        cfg.n_rows = first_recv.get("n_rows")
-        cfg.sf_dir = first_recv.get("sf_dir")
+        recv_cfgs = [receivers[r] or {} for r in p_receivers]
+        rtypes = {rc.get("type", "fixture_payloads") for rc in recv_cfgs}
+        if len(recv_cfgs) > 1:
+            # Receiver fan-in (reference: multiple receivers union into one
+            # pipeline): only parquet receivers can union — each contributes
+            # a payloads/+sequences/ dir to one multi-path scan. Fixture
+            # receivers share a synthetic doc_id space, so unioning them
+            # would silently duplicate ids into the payload⨝sequences join.
+            if rtypes != {"parquet"}:
+                raise ValueError(ERR_MULTI_RECEIVER_TYPE)
+            paths = []
+            for rc in recv_cfgs:
+                if not rc.get("path"):
+                    raise ValueError(ERR_PARQUET_NO_PATH)
+                paths.append(rc["path"])
+            cfg.input_dir = paths
+        elif recv_cfgs:
+            first_recv = recv_cfgs[0]
+            if first_recv.get("type", "fixture_payloads") == "parquet":
+                # the parquet receiver reads a materialized payloads/+
+                # sequences/ directory — its path IS the pipeline input
+                if not first_recv.get("path"):
+                    raise ValueError(ERR_PARQUET_NO_PATH)
+                cfg.input_dir = first_recv["path"]
+            cfg.n_rows = first_recv.get("n_rows")
+            cfg.sf_dir = first_recv.get("sf_dir")
         for p in p_processors:
             pc = processors[p] or {}
             if "impl" in pc:

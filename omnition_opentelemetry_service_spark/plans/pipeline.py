@@ -43,7 +43,10 @@ ERR_BAD_SALT = "salt_buckets must be >= 0"
 class PipelineConfig:
     n_rows: int | None = None
     sf_dir: str | None = None
-    input_dir: str | None = None  # materialized payloads/ + sequences/ parquet
+    # materialized payloads/ + sequences/ parquet; a LIST means multi-receiver
+    # fan-in — every dir is scanned and unioned (one multi-path parquet scan,
+    # not N jobs; the reference's receivers-union semantics)
+    input_dir: str | list[str] | None = None
     input_db: str | None = None  # bucketed catalog tables (<db>.payloads/...)
     # "split" = structural fast path (1 validity regex + positional tokens),
     # row-identical to "native" (pytest + oracle) and ~2.6× faster — the
@@ -69,6 +72,15 @@ class PipelineConfig:
         if self.n_rows is not None:
             return self.n_rows
         return fixtures.n_rows_for_sf_dir(self.sf_dir)
+
+    @property
+    def input_dirs(self) -> list[str]:
+        """input_dir normalized to a list (single receiver = one element)."""
+        if self.input_dir is None:
+            return []
+        if isinstance(self.input_dir, str):
+            return [self.input_dir]
+        return list(self.input_dir)
 
 
 def config_fingerprint(cfg: PipelineConfig) -> str:
@@ -101,8 +113,11 @@ def build_routed(spark: SparkSession, cfg: PipelineConfig,
     elif cfg.input_dir:
         # The scale path: scan the materialized token table (Iceberg/parquet
         # at 10^12 rows) — filters and column pruning push into the scan.
-        payloads = spark.read.parquet(f"{cfg.input_dir}/payloads")
-        seqs = spark.read.parquet(f"{cfg.input_dir}/sequences")
+        # Multiple dirs (multi-receiver fan-in) are ONE multi-path scan, so
+        # pushdown/pruning/AQE see a single unioned source, not N jobs.
+        dirs = cfg.input_dirs
+        payloads = spark.read.parquet(*[f"{d}/payloads" for d in dirs])
+        seqs = spark.read.parquet(*[f"{d}/sequences" for d in dirs])
     else:
         n = cfg.n
         payloads = fixtures.raw_payloads(spark, n, cfg.num_partitions)
@@ -208,7 +223,8 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
             raise RuntimeError("injected failure after stage: parsed")
         n_parts = cfg.num_partitions
         seqs = (spark.table(f"{cfg.input_db}.sequences") if cfg.input_db
-                else spark.read.parquet(f"{cfg.input_dir}/sequences")
+                else spark.read.parquet(
+                    *[f"{d}/sequences" for d in cfg.input_dirs])
                 if cfg.input_dir
                 else fixtures.sequences(spark, cfg.n, n_parts))
         stages = build_from_parsed(spark, parsed, seqs,

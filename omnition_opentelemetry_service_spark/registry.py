@@ -857,8 +857,8 @@ def build_oracle_sql() -> dict[str, str]:
     FROM cands c
     JOIN sh sa ON c.id_a = sa.doc_id
     JOIN sh sb ON c.id_b = sb.doc_id
-    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
-          len(list_distinct(sa.shingles || sb.shingles)) >= 0.3"""
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.3"""
 
     sh3 = tx.char_shingles_sql_duck("text", 3)
     o["ngram_jaccard_pairs"] = f"""
@@ -867,8 +867,8 @@ def build_oracle_sql() -> dict[str, str]:
            round(len(list_intersect(a.s, b.s)) * 1.0 /
                  len(list_distinct(a.s || b.s)), 6) AS jaccard
     FROM sh a JOIN sh b ON a.id < b.id
-    WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-          len(list_distinct(a.s || b.s)) >= 0.5"""
+    WHERE round(len(list_intersect(a.s, b.s)) * 1.0 /
+                len(list_distinct(a.s || b.s)), 6) >= 0.5"""
 
     simhash_cte = f"""
     WITH words AS (
@@ -1029,7 +1029,7 @@ def build_oracle_sql() -> dict[str, str]:
                 WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
            CAST(strlen(text) AS INTEGER) AS n_bytes,
            CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INTEGER) AS width,
-           CAST(ascii(substr(text, strlen(text), 1)) % 64 + 1 AS INTEGER) AS height,
+           CAST(ascii(substr(text, length(text), 1)) % 64 + 1 AS INTEGER) AS height,
            md5(text) AS checksum
     FROM documents"""
 

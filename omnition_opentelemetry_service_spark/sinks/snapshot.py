@@ -54,40 +54,57 @@ class SnapshotTable:
             return json.load(f)
 
     def _next_version(self) -> int:
-        """First version with no manifest file on disk. Scanning manifests —
-        not just CURRENT — matters for crash recovery: a process killed
-        between the O_EXCL manifest create and the CURRENT advance leaves an
-        ORPHAN manifest at CURRENT+1; allocating from CURRENT alone would
-        collide with it on every re-run and brick the table (the orphan is
-        harmless otherwise — readers walk manifests downward from CURRENT,
-        so an uncommitted version above CURRENT is never consulted)."""
+        """First version with neither a manifest nor a data dir on disk.
+        Scanning BOTH — not just CURRENT — matters for crash recovery:
+        a process killed between the data-dir rename and the manifest
+        create leaves an orphan v_<n> data dir; one killed between the
+        manifest create and the CURRENT advance leaves an orphan manifest.
+        Allocating from CURRENT alone would collide with either on every
+        re-run and brick the table (orphans are harmless otherwise —
+        readers walk manifests downward from CURRENT, so an uncommitted
+        version above CURRENT is never consulted)."""
         vs = [int(m.group(1)) for m in
-              (re.match(r"v_(\d+)\.manifest\.json$", n)
+              (re.match(r"v_(\d+)(\.manifest\.json)?$", n)
                for n in os.listdir(self.root)) if m]
         return max([self.current_version() or 0, *vs], default=0) + 1
 
     def write(self, df: DataFrame, stage: str, partition_by: list[str] | None = None,
               fmt: str = "parquet", meta=None) -> dict:
-        """Write a new snapshot and commit it. The data write is to a
-        version-private dir; the commit publishes the manifest with an
-        EXCLUSIVE create (O_EXCL — two concurrent writers racing on the same
-        version: exactly one commit wins, the loser gets FileExistsError and
-        must retry at a fresh version — Iceberg's optimistic-concurrency
-        contract), then atomically advances CURRENT.
+        """Write a new snapshot and commit it. The data write goes to a
+        WRITER-UNIQUE staging dir (Iceberg writes data files to
+        writer-unique paths for the same reason: two concurrent writers
+        racing on one version number must never touch each other's files);
+        the version is then claimed by an atomic directory rename
+        staging → v_<n> (exactly one rename wins a contested version — the
+        loser retries at a fresh number), the manifest publishes with an
+        EXCLUSIVE create (O_EXCL), and CURRENT advances atomically last.
+        Crash between any two steps leaves only orphans that
+        ``_next_version`` skips and readers (who walk manifests downward
+        from CURRENT) never consult.
 
         ``meta`` (dict, or a zero-arg callable evaluated AFTER the data write
         — e.g. to harvest Observation counters the write action just filled)
         rides in the manifest, so resume can validate the config fingerprint
         and restore driver-side state without re-running the stage."""
-        for _ in range(64):  # re-allocate on commit loss; never same-version
+        staged = os.path.join(
+            self.root, f".staged-{os.getpid()}-{os.urandom(4).hex()}")
+        writer = df.write.mode("overwrite").format(fmt)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(staged)
+        m = meta() if callable(meta) else meta
+
+        for _ in range(64):  # re-allocate on version loss; never same-version
             version = self._next_version()
             data_dir = os.path.join(self.root, f"v_{version}")
-            writer = df.write.mode("overwrite").format(fmt)
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-            writer.save(data_dir)
+            try:
+                # The version claim: atomic on one filesystem; fails with
+                # the target present (a concurrent winner or a crash
+                # orphan) — retry at the next free number.
+                os.rename(staged, data_dir)
+            except OSError:
+                continue
 
-            m = meta() if callable(meta) else meta
             manifest = {
                 "version": version,
                 "stage": stage,
@@ -96,18 +113,13 @@ class SnapshotTable:
                 "format": fmt,
                 **(m or {}),
             }
-            # O_EXCL commit: the manifest path is the commit token. A
-            # concurrent writer that committed this version between our
-            # allocation and here makes this raise — optimistic concurrency,
-            # never a silent overwrite; the loser RETRIES AT A FRESH VERSION
-            # (_next_version skips every manifest on disk, committed or
-            # orphaned), exactly Iceberg's contract.
+            # The commit token. With data-rename-first ordering this create
+            # cannot lose a race (a competing writer's rename onto our
+            # claimed dir already failed); O_EXCL still guards against a
+            # stray manifest from a foreign/older process — surfaced as an
+            # error, never a silent overwrite.
             manifest_path = os.path.join(self.root, f"v_{version}.manifest.json")
-            try:
-                fd = os.open(manifest_path,
-                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                continue
+            fd = os.open(manifest_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as f:
                 json.dump(manifest, f)
 

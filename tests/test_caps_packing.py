@@ -145,3 +145,23 @@ def test_chunk_sequences_is_shuffle_free(spark):
     plan = pk.chunk_sequences(fx.sequences(spark, 200))._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ffd_tie_assignments_identical_across_orderings(spark):
+    """n_tok ties must not make FFD assignments depend on the incoming row
+    order (shuffle/parallelism artifact): the grouped kernel breaks ties on
+    the order column, so the doc→pack mapping is identical however the
+    input arrives."""
+    rows = [(i, "s", i % 7, 100 + (i % 3) * 50) for i in range(60)]
+    # doc_id, source, seq_no-ish order values collide → craft unique order
+    rows = [(i, "s", i, 100 + (i % 3) * 50) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, seq_no long, n_tok int")
+    a = pk.with_pack_id_ffd(df.repartition(1), budget=512, shard_rows=1000)
+    b = pk.with_pack_id_ffd(
+        df.orderBy(F.desc("doc_id")).repartition(8), budget=512,
+        shard_rows=1000)
+    ma = {r.doc_id: r.pack_id for r in a.collect()}
+    mb = {r.doc_id: r.pack_id for r in b.collect()}
+    assert ma == mb
+    assert len(set(ma.values())) > 1  # nonvacuous: multiple bins exist

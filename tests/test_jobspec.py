@@ -133,3 +133,53 @@ def test_compiled_config_runs_pipeline(spark, tmp_path):
     res = pl.run_pipeline(spark, job.config)
     assert sum(r.n_rows for r in res["sink_counts"]) > 0
     assert os.path.isdir(raw["exporters"]["sinks"]["path"])
+
+
+def test_multi_receiver_union_fans_in(spark, tmp_path):
+    """Receiver fan-in: two parquet receivers union into ONE pipeline (the
+    documented reference semantics) — the union must produce exactly the
+    rows of the concatenated inputs, equal to running one receiver over the
+    whole input."""
+    from omnition_opentelemetry_service_spark import fixtures as fx
+    from omnition_opentelemetry_service_spark.plans import pipeline as pl
+
+    whole = str(tmp_path / "all")
+    fx.materialize_input(spark, 200, whole, num_partitions=2)
+    mid = "doc-000000000100"  # doc_id is a zero-padded string: lexicographic split
+    for part, pred in (("a", f"doc_id < '{mid}'"), ("b", f"doc_id >= '{mid}'")):
+        for t in ("payloads", "sequences"):
+            (spark.read.parquet(f"{whole}/{t}").filter(pred)
+             .write.mode("overwrite")
+             .parquet(str(tmp_path / part / t)))
+    raw = {
+        "receivers": {
+            "ra": {"type": "parquet", "path": str(tmp_path / "a")},
+            "rb": {"type": "parquet", "path": str(tmp_path / "b")},
+        },
+        "exporters": {"e": {}},
+        "pipelines": {"p": {"receivers": ["ra", "rb"], "exporters": ["e"]}},
+    }
+    job = js.compile_spec(raw)[0]
+    assert job.config.input_dirs == [str(tmp_path / "a"), str(tmp_path / "b")]
+    res_union = pl.run_pipeline(spark, job.config)
+    res_whole = pl.run_pipeline(
+        spark, pl.PipelineConfig(input_dir=whole))
+    by_sink_u = {r.sink: r.n_rows for r in res_union["sink_counts"]}
+    by_sink_w = {r.sink: r.n_rows for r in res_whole["sink_counts"]}
+    assert by_sink_u == by_sink_w
+    assert sum(by_sink_u.values()) > 0
+
+
+def test_multi_receiver_mixed_types_rejected():
+    """Fixture receivers share one synthetic doc_id space — unioning them
+    would silently duplicate ids into the payload join, so a multi-receiver
+    pipeline that is not all-parquet must fail with the exact sentinel."""
+    raw = {
+        "receivers": {"ra": {"type": "parquet", "path": "/x"},
+                      "rb": {"n_rows": 100}},
+        "exporters": {"e": {}},
+        "pipelines": {"p": {"receivers": ["ra", "rb"], "exporters": ["e"]}},
+    }
+    with pytest.raises(ValueError) as ei:
+        js.compile_spec(raw)
+    assert str(ei.value) == js.ERR_MULTI_RECEIVER_TYPE

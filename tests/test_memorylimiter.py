@@ -74,3 +74,16 @@ def test_state_machine_recovers_after_gc():
     sentinel = object()
     assert ml.consume(sentinel, n_rows=5) is sentinel
     assert ml.batches_dropped == 1 and ml.spans_dropped == 5
+
+
+def test_negative_alloc_limit_rejected():
+    """The sentinel's own contract is 'greater than zero': a NEGATIVE limit
+    must raise ERR_MEM_ALLOC_LIMIT (not slip through and force-drop every
+    batch via alloc >= negative_limit)."""
+    from omnition_opentelemetry_service_spark.operators.memorylimiter import (
+        ERR_MEM_ALLOC_LIMIT)
+
+    cfg = MemoryLimiterConfig(
+        check_interval_s=1, mem_alloc_limit_mib=-100, mem_spike_limit_mib=-200)
+    with pytest.raises(ValueError, match=ERR_MEM_ALLOC_LIMIT):
+        MemoryLimiter("lim", lambda df: df, cfg)

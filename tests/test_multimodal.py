@@ -66,3 +66,25 @@ def test_decode_stub_raises_without_fake(spark):
         mm.resize_media(_media(spark), fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or \
         isinstance(ei.value, NotImplementedError)
+
+
+def test_fake_decode_dims_are_codepoints_not_bytes(spark):
+    """The fake decoder's dims must come from Unicode CODEPOINTS of the
+    payload text, matching what the DuckDB oracle (ascii/substr — character
+    semantics) can express: a doc starting/ending with a multi-byte char
+    must not silently diverge (é: first UTF-8 byte 0xC3=195 vs codepoint
+    233)."""
+    import duckdb
+
+    text = "é multi-byte bookends é"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = mm.extract_media_features(mm.with_fake_media(docs)).collect()[0]
+    want_w = ord("é") % 64 + 1
+    assert (out.width, out.height) == (want_w, want_w)
+    # cross-engine: the oracle formula computes the same dims
+    con = duckdb.connect()
+    w, h = con.execute(
+        "SELECT CAST(ascii(substr(t, 1, 1)) % 64 + 1 AS INTEGER), "
+        "CAST(ascii(substr(t, length(t), 1)) % 64 + 1 AS INTEGER) "
+        "FROM (VALUES (?)) AS v(t)", [text]).fetchone()
+    assert (w, h) == (out.width, out.height)

@@ -134,3 +134,33 @@ def test_envelope_payload_matches_typed_translation(spark):
                F.get_json_object("payload", "$.n_tok").alias("n_tok"),
            ).collect()}
     assert got == typed
+
+
+def test_sample_hash_survives_1e12_scale_and_matches_both_engines(spark):
+    """The sampler hash must not overflow int64 at the 10^12-sequence design
+    scale (the unreduced LCG form overflowed at seq_no ≳ 8.4e9 — ANSI
+    ArithmeticException in Spark 4). The reduced form must equal the
+    mathematical LCG ((x*A+B) mod m computed with Python big ints) and agree
+    bit-for-bit between Spark and DuckDB at every magnitude."""
+    import duckdb
+
+    seqs = [0, 1, 9999, 10_000, 8_400_000_000, 10**12, 10**12 + 7919]
+    rules = [0, 1, 5]
+    cases = [(s, r) for s in seqs for r in rules]
+    expr = fx.sample_hash_sql("seq_no", "rule_id")
+
+    df = spark.createDataFrame(cases, "seq_no long, rule_id long")
+    got_spark = {(r.seq_no, r.rule_id): r.h
+                 for r in df.select("seq_no", "rule_id",
+                                    F.expr(expr).alias("h")).collect()}
+    con = duckdb.connect()
+    vals = ", ".join(f"({s}, {r})" for s, r in cases)
+    got_duck = {(s, r): h for s, r, h in con.execute(
+        f"SELECT seq_no, rule_id, {expr} AS h "
+        f"FROM (VALUES {vals}) AS t(seq_no, rule_id)").fetchall()}
+
+    for s, r in cases:
+        want = ((s + r * fx.RULE_SALT) * fx.SAMPLE_A + fx.SAMPLE_B) \
+            % fx.SAMPLE_MOD  # Python big ints: the unreduced mathematical form
+        assert got_spark[(s, r)] == want, (s, r)
+        assert got_duck[(s, r)] == want, (s, r)

@@ -133,8 +133,12 @@ def test_meta_callable_evaluated_after_write(spark, tmp_path):
     seen = []
 
     def late_meta():
-        # by now the parquet files must exist
-        seen.append(os.path.isdir(os.path.join(str(tmp_path / "t"), "v_1")))
+        # by now the write ACTION has run: the parquet files exist in the
+        # writer-private staging dir (they enter v_<n> via the later rename)
+        root = str(tmp_path / "t")
+        seen.append(any(n.startswith(".staged-") and
+                        os.listdir(os.path.join(root, n))
+                        for n in os.listdir(root)))
         return {"counters": [["parse", "tag", 3, 1]]}
 
     m = t.write(spark.range(3).withColumnRenamed("id", "x"),
@@ -142,3 +146,36 @@ def test_meta_callable_evaluated_after_write(spark, tmp_path):
     assert seen == [True]
     assert m["counters"] == [["parse", "tag", 3, 1]]
     assert t.stage_manifest("parsed")["counters"] == [["parse", "tag", 3, 1]]
+
+
+def test_crash_between_data_rename_and_manifest_recovers(spark, tmp_path):
+    """Kill-window recovery for the FIRST commit step: a process that dies
+    after claiming the v_<n> data dir but before the manifest create leaves
+    an orphan DATA dir with no manifest. A re-run must allocate past it
+    (colliding renames would loop) and the orphan must stay invisible."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    df = spark.range(4).withColumnRenamed("id", "x")
+    t.write(df, stage="a")  # v_1 committed, CURRENT=1
+    os.makedirs(os.path.join(root, "v_2", "data"))  # orphan claim, no manifest
+    assert t.current_version() == 1
+    m = t.write(df, stage="b")
+    assert m["version"] == 3  # allocated PAST the orphan data dir
+    assert t.current_version() == 3
+    assert t.read(spark).count() == 4
+
+
+def test_writers_stage_in_private_dirs_and_clean_up(spark, tmp_path):
+    """Concurrent-writer isolation: data files are written to a
+    writer-unique staging dir and only enter v_<n> via an atomic rename —
+    so a racing writer can never overwrite another's uncommitted files
+    (Iceberg writes data to writer-unique paths for the same reason).
+    After a successful commit no staging dir remains."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    df = spark.range(4).withColumnRenamed("id", "x")
+    t.write(df, stage="a")
+    t.write(df, stage="b")
+    leftovers = [n for n in os.listdir(root) if n.startswith(".staged-")]
+    assert leftovers == []
+    assert {t.manifest(1)["stage"], t.manifest(2)["stage"]} == {"a", "b"}
