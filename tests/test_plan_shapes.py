@@ -114,3 +114,23 @@ def test_corpus_filter_full_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     spark.catalog.clearCache()
+
+
+def test_multi_receiver_union_is_one_scan_not_union(spark, tmp_path):
+    """Receiver fan-in compiles to ONE multi-path parquet scan: Catalyst
+    sees a single source relation (pushdown/pruning/AQE apply once), not a
+    Union of per-receiver subplans."""
+    from omnition_opentelemetry_service_spark import fixtures as fx
+    from omnition_opentelemetry_service_spark.plans import pipeline as pl
+
+    for part in ("a", "b"):
+        fx.materialize_input(spark, 100, str(tmp_path / part),
+                             num_partitions=1)
+    cfg = pl.PipelineConfig(
+        input_dir=[str(tmp_path / "a"), str(tmp_path / "b")])
+    routed = pl.build_routed(spark, cfg)["routed"]
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    # exactly one file scan per table (payloads + sequences), each carrying
+    # BOTH receiver paths — not one scan per receiver
+    assert plan.count("FileScan parquet") == 2
