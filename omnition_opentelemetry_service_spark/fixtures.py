@@ -156,11 +156,20 @@ def materialize_input_bucketed(spark: SparkSession, n: int, db: str = "bench",
     layout: payloads ⨝ sequences becomes a co-located join with NO exchange
     on either (huge) side. This is the Iceberg `bucket(N, doc_id)` partition
     transform expressed through the session catalog; the shuffle the plain
-    parquet layout pays (2 exchanges + sort of 10^12 rows) disappears."""
+    parquet layout pays (2 exchanges + sort of 10^12 rows) disappears.
+
+    The repartition BEFORE bucketBy is load-bearing: each writer task emits
+    one file per bucket it holds, so writing from M>buckets partitions
+    leaves M files per bucket — and Spark only trusts the sortBy order for
+    ONE-file buckets, silently re-SORTING both join sides in-task otherwise
+    (measured 2.3× the CPU of the merge-only plan). Repartitioning on the
+    bucket key first (same hash family as bucketBy) gives exactly one
+    sorted file per bucket: the join is then a pure streaming merge — no
+    exchange, no sort, no broadcast build."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     for name, df in (("payloads", raw_payloads(spark, n, num_partitions)),
                      ("sequences", sequences(spark, n, num_partitions))):
-        (df.write.mode("overwrite")
+        (df.repartition(buckets, "doc_id").write.mode("overwrite")
          .bucketBy(buckets, "doc_id").sortBy("doc_id")
          .format("parquet").saveAsTable(f"{db}.{name}"))
 
@@ -318,16 +327,19 @@ def source_dim(spark: SparkSession) -> DataFrame:
     array<struct> instead of MapType for Arrow/pandas-UDF compatibility
     (SURVEY.md §1.3).
     """
-    rows = [
-        (s, f"tenant-{PRIORITY[s] % 4}", PRIORITY[s],
-         [("team", f"team-{s}"), ("tier", str(PRIORITY[s]))])
-        for s in SOURCES
-    ]
-    return spark.createDataFrame(
-        rows,
-        "source string, tenant string, priority int, "
-        "attrs array<struct<key:string, value:string>>",
-    )
+    # SQL VALUES, not createDataFrame(list): a Python-list DataFrame is
+    # RDD-backed, so EVERY broadcast build of this dim spawns a Python-runner
+    # job (~1s serial per pipeline execution — measured as a fixed serial
+    # tax on the scaling probe's high leg). VALUES folds to a JVM
+    # LocalRelation: broadcast builds are instant and Python-free.
+    rows_sql = ", ".join(
+        f"('{s}', 'tenant-{PRIORITY[s] % 4}', {PRIORITY[s]})" for s in SOURCES)
+    return spark.sql(
+        "SELECT source, tenant, priority, array("
+        "named_struct('key', 'team', 'value', concat('team-', source)), "
+        "named_struct('key', 'tier', 'value', CAST(priority AS STRING))"
+        ") AS attrs "
+        f"FROM (VALUES {rows_sql}) AS t(source, tenant, priority)")
 
 
 def source_dim_sql_duck() -> str:
@@ -346,11 +358,17 @@ def source_dim_sql_duck() -> str:
 # F4. route_rules — tag-driven fan-out rules (exporter pipelines analog)
 # ---------------------------------------------------------------------------
 def route_rules(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        ROUTE_RULES,
-        "rule_id int, predicate_source string, min_n_tok int, "
-        "sink string, sample_pct double",
+    # VALUES (not createDataFrame) for the same Python-free-broadcast reason
+    # as source_dim. sample_pct is CAST: a bare decimal literal parses as
+    # DECIMAL in Spark SQL, not DOUBLE.
+    rows_sql = ", ".join(
+        f"({rid}, '{src}', {mnt}, '{sink}', CAST({pct!r} AS DOUBLE))"
+        for rid, src, mnt, sink, pct in ROUTE_RULES
     )
+    return spark.sql(
+        "SELECT * FROM (VALUES "
+        f"{rows_sql}) AS t(rule_id, predicate_source, min_n_tok, sink, "
+        "sample_pct)")
 
 
 def route_rules_sql_duck() -> str:

@@ -1,0 +1,197 @@
+"""Deterministic corpus mixing — train/val/test split, per-source epoch
+weighting, and hash-sharded global shuffle.
+
+The reference collector has no mixing stage (its pipeline ends at exporters);
+these are training-data-pipeline extensions in the same family as dedup/
+packing: the operations that turn a cleaned 100 TB corpus into the thing a
+trainer actually reads. Everything here is a pure JVM expression over an
+md5-prefix hash (the dedup.py `x(s)` pattern) with an exact DuckDB twin —
+deterministic across runs, engines, partitionings, and cluster sizes, which
+is the property that matters: a re-run of the job on 4× the executors must
+assign every row the same split/epoch/shard.
+
+Shapes at scale:
+- with_split / epoch_resample: stateless per-row expressions — no exchange.
+  epoch_resample's explode multiplies rows map-side (flatMap), so a 3.7×
+  oversampled source never materializes driver-side or shuffles unexpanded.
+- shuffle_shards: ONE exchange (repartition on the hash shard) + in-partition
+  sort by the same hash — the canonical deterministic global shuffle; shard
+  count bounds output file sizes independent of input partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Granularity of split/oversample fractions: 1e-6 of the corpus. md5-prefix
+# hashes are uniform on [0, 2^32); reduced mod MIX_MOD they stay uniform
+# (2^32 % 1e6 bias ≈ 3e-4 relative — negligible against sampling noise).
+MIX_MOD = 1_000_000
+
+# id column explicitly cast to string: identical rendering for BIGINT and
+# VARCHAR ids in both engines (no reliance on implicit-cast rules, which
+# differ under Spark ANSI mode).
+_H_SPARK = ("CAST(conv(substring(md5(concat(CAST({col} AS STRING), '|', "
+            f"'{{salt}}')), 1, 8), 16, 10) AS BIGINT) % {MIX_MOD}")
+_H_DUCK = ("CAST(concat('0x', substr(md5(concat(CAST({col} AS VARCHAR), "
+           f"'|', '{{salt}}')), 1, 8)) AS BIGINT) % {MIX_MOD}")
+
+
+def mix_hash(col: str, salt: str) -> F.Column:
+    """Uniform [0, MIX_MOD) hash of a string column, salted per use-site so
+    split/epoch/shard decisions are independent of each other."""
+    return F.expr(_H_SPARK.format(col=col, salt=salt))
+
+
+def mix_hash_sql_duck(col: str, salt: str) -> str:
+    return _H_DUCK.format(col=col, salt=salt)
+
+
+def _split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper hash bound) per split, cumulative; the LAST
+    split absorbs rounding remainder so the cover is exact and total."""
+    if not weights:
+        raise ValueError("weights must be a non-empty dict")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be >= 0")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to > 0")
+    names = list(weights)
+    bounds, acc = [], 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        bounds.append((name, int(round(acc * MIX_MOD))))
+    bounds.append((names[-1], MIX_MOD))
+    return bounds
+
+
+def _split_case(h_sql: str, weights: dict[str, float]) -> str:
+    bounds = _split_thresholds(weights)
+    if len(bounds) == 1:  # degenerate single split: no WHEN branch is legal
+        return f"'{bounds[0][0]}'"
+    parts = [f"WHEN {h_sql} < {ub} THEN '{name}'"
+             for name, ub in bounds[:-1]]
+    return f"CASE {' '.join(parts)} ELSE '{bounds[-1][0]}' END"
+
+
+DEFAULT_SPLITS = {"train": 0.98, "val": 0.01, "test": 0.01}
+
+
+def with_split(df: DataFrame, weights: dict[str, float] | None = None,
+               id_col: str = "doc_id", salt: str = "split") -> DataFrame:
+    """Adds `split`: hash-range assignment — total, disjoint, deterministic.
+
+    Hash the DOCUMENT id, not a row number: the assignment survives
+    re-partitioning, filtering upstream rows, and cluster-size changes."""
+    weights = weights or DEFAULT_SPLITS
+    h = _H_SPARK.format(col=id_col, salt=salt)
+    return df.withColumn("split", F.expr(_split_case(h, weights)))
+
+
+def split_sql_duck(weights: dict[str, float] | None = None,
+                   id_col: str = "doc_id", salt: str = "split") -> str:
+    """The `split` expression's DuckDB twin (same CASE over the same hash)."""
+    weights = weights or DEFAULT_SPLITS
+    return _split_case(_H_DUCK.format(col=id_col, salt=salt), weights)
+
+
+def epoch_resample(df: DataFrame, weights: dict[str, float],
+                   source_col: str = "source", id_col: str = "doc_id",
+                   default_weight: float = 1.0) -> DataFrame:
+    """Per-source epoch weighting: weight 2.3 ⇒ every row appears 2 times
+    plus a deterministic 30% of rows a 3rd time; weight 0.25 ⇒ a 25% sample.
+    Output adds `epoch` (0-based copy index) — the trainer-facing mixture.
+
+    copies(row) = floor(w) + [hash(id) < frac(w)·MIX_MOD]; the fractional
+    copy is decided by the SAME per-row hash family as splits (salted
+    'epoch'), so it is reproducible and uncorrelated with the split
+    assignment. explode(sequence(...)) is map-side row multiplication — the
+    expanded corpus never exists as one shuffled blob."""
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("epoch weights must be >= 0")
+    h = _H_SPARK.format(col=id_col, salt="epoch")
+
+    def copies_case() -> str:
+        whens = []
+        for src, w in weights.items():
+            base, frac = int(w), round((w - int(w)) * MIX_MOD)
+            whens.append(
+                f"WHEN {source_col} = '{src}' THEN "
+                f"{base} + CAST({h} < {frac} AS INT)")
+        dbase = int(default_weight)
+        dfrac = round((default_weight - dbase) * MIX_MOD)
+        default = f"{dbase} + CAST({h} < {dfrac} AS INT)"
+        if not whens:  # no per-source overrides: pure default weighting
+            return default
+        return f"CASE {' '.join(whens)} ELSE {default} END"
+
+    out = df.withColumn("n_copies", F.expr(copies_case()))
+    return (
+        out.filter(F.col("n_copies") > 0)
+        .withColumn("epoch", F.explode(
+            F.sequence(F.lit(0), F.col("n_copies") - 1)))
+        .drop("n_copies")
+    )
+
+
+def epoch_resample_sql_duck(table: str, weights: dict[str, float],
+                            source_col: str = "source",
+                            id_col: str = "doc_id",
+                            default_weight: float = 1.0,
+                            cols: str = "*") -> str:
+    """DuckDB twin: same copies CASE, expanded via a range() lateral join."""
+    h = _H_DUCK.format(col=id_col, salt="epoch")
+    whens = []
+    for src, w in weights.items():
+        base, frac = int(w), round((w - int(w)) * MIX_MOD)
+        whens.append(f"WHEN {source_col} = '{src}' THEN "
+                     f"{base} + CAST({h} < {frac} AS INT)")
+    dbase = int(default_weight)
+    dfrac = round((default_weight - dbase) * MIX_MOD)
+    default = f"{dbase} + CAST({h} < {dfrac} AS INT)"
+    case = (f"CASE {' '.join(whens)} ELSE {default} END"
+            if whens else default)
+    # DuckDB's range() rejects lateral column parameters — expand against a
+    # FIXED range bounded by the largest possible copy count (known from the
+    # weights at SQL-build time) and filter to the per-row count.
+    max_copies = max([int(w) + 1 for w in weights.values()]
+                     + [int(default_weight) + 1])
+    return (
+        f"SELECT {cols}, CAST(r.range AS INT) AS epoch "
+        f"FROM (SELECT *, {case} AS n_copies FROM {table}) t "
+        f"JOIN range({max_copies}) r ON r.range < t.n_copies"
+    )
+
+
+def shuffle_shards(df: DataFrame, n_shards: int = 1024,
+                   id_col: str = "doc_id", seed: str = "s0") -> DataFrame:
+    """Deterministic global shuffle: adds `shard` (hash mod n_shards) and
+    `shuffle_ord` (the full hash — the within-shard sort key). Reading shards
+    in order 0..n-1, each sorted by shuffle_ord, yields one fixed
+    pseudo-random permutation of the corpus regardless of input layout or
+    cluster size. Change `seed` to get an independent permutation per epoch."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = mix_hash(id_col, f"shuffle-{seed}")
+    return (df.withColumn("shuffle_ord", h)
+              .withColumn("shard", F.pmod("shuffle_ord", F.lit(n_shards))))
+
+
+def shuffle_shard_sql_duck(n_shards: int = 1024, id_col: str = "doc_id",
+                           seed: str = "s0") -> tuple[str, str]:
+    """(shuffle_ord, shard) expression twins for the oracle."""
+    h = mix_hash_sql_duck(id_col, f"shuffle-{seed}")
+    return h, f"({h}) % {n_shards}"
+
+
+def write_shuffled(df: DataFrame, path: str, n_shards: int = 1024,
+                   id_col: str = "doc_id", seed: str = "s0") -> None:
+    """Materialize the shuffle: ONE exchange on shard, in-partition sort by
+    the hash, one file family per shard — the layout a sequential trainer
+    reads back in shard order."""
+    sharded = shuffle_shards(df, n_shards, id_col, seed)
+    (sharded.repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", "shuffle_ord")
+     .write.mode("overwrite").partitionBy("shard").parquet(path))

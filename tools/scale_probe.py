@@ -27,18 +27,42 @@ def main() -> None:
     from omnition_opentelemetry_service_spark.plans import pipeline as pl
     from omnition_opentelemetry_service_spark.session import get_spark
 
+    extra: dict[str, str] = {}
+    # db: inputs live in a warehouse dir chosen by the parent (bench.py);
+    # the default warehouse is cwd-relative, so pass it explicitly.
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if wh:
+        extra["spark.sql.warehouse.dir"] = wh
+
     # Pin GC threads to the simulated cluster size: the JVM otherwise sizes
     # GC by HOST cores (32), silently gifting the small "cluster" 16× its
     # fair CPU share during collections and skewing the comparison.
     gc_threads = max(cores, 1)
     spark = get_spark(
         app_name=f"scale-{cores}", parallelism=cores,
-        shuffle_partitions=cores,
+        # 4 shuffle tasks per core, not 1: with exactly one task per core the
+        # slowest partition IS the wall time (any doc_id-range imbalance
+        # serializes the tail), while the 1-core leg is immune — a
+        # systematic understatement of scaling. 4 waves per core is the
+        # cluster-realistic shape and lets the scheduler smooth stragglers.
+        shuffle_partitions=cores * 4,
         extra_conf={
             "spark.driver.extraJavaOptions":
                 f"-XX:ParallelGCThreads={gc_threads} "
                 f"-XX:ConcGCThreads={max(1, gc_threads // 4)} "
                 f"-XX:ActiveProcessorCount={cores}",
+            # Plan fidelity with the 10^12-row job: the session default
+            # (64 MB threshold) lets Catalyst BROADCAST the parsed-payloads
+            # side of the doc_id join at probe scale (~19 MB projected) —
+            # the driver then builds a 4M-entry hash relation SINGLE-
+            # THREADED, a ~3 s serial stage (measured) that the real job
+            # would never run: at 10^12 rows that side is petabytes and the
+            # join is a shuffle/bucketed join. 1 MB keeps the KB-sized
+            # dim/rules broadcasts and forces the big join to shuffle —
+            # the probe measures the at-scale plan, not a small-data
+            # accident that serializes on the driver.
+            "spark.sql.autoBroadcastJoinThreshold": str(1024 * 1024),
+            **extra,
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -69,8 +93,13 @@ def main() -> None:
         # Catalyst's lambda interpreter, not parse→join→route. xxhash64
         # stays inside whole-stage codegen, touches every token byte, and
         # keeps the probe dominated by the real pipeline stages.
+        # node_host_filled is folded in alongside tokens so the carry-
+        # forward window (the node-mux stage) actually executes: a checksum
+        # over tokens alone lets Catalyst prune the unused window operator
+        # and the probe silently skips one pipeline stage.
         counts_df = (st["routed"]
-                     .withColumn("_cs", F.xxhash64("tokens"))
+                     .withColumn("_cs", F.xxhash64("tokens",
+                                                   "node_host_filled"))
                      .groupBy("sink")
                      .agg(F.count(F.lit(1)).alias("n"),
                           F.sum(F.col("_cs") % F.lit(1_000_000_007))
