@@ -91,14 +91,26 @@ def test_ceiling_is_bracketed_max_of_pre_and_post():
     assert r["efficiency_vs_host_ceiling"] == round(3.0 / 3.8, 3)
 
 
-def test_early_stop_on_vs_ceiling_when_raw_fails():
+def test_vs_ceiling_clear_buys_two_bonus_rounds_hunting_raw():
     """A window where the HOST only parallelizes 3.0x: raw efficiency tops
     out at 0.75, but delivering the full host ceiling is >=0.8-efficient
-    scaling under the criterion's same-round calibration — one round."""
+    scaling under the criterion's same-round calibration. The criterion is
+    met on round 1; the protocol spends up to 2 MORE rounds hunting the
+    stronger raw clear before stopping."""
     out = bench.measure_scaling(
-        "x", probe=_probe_seq([100.0], [300.0]),
+        "x", probe=_probe_seq([100.0] * 3, [300.0] * 3),
         ceiling_fn=lambda a, b: 3.0, max_attempts=8)
-    assert len(out["rounds"]) == 1
+    assert len(out["rounds"]) == 3  # 1 clearing + 2 bonus
     assert out["efficiency"] == 0.75
     assert out["efficiency_vs_host_ceiling_best"] == 1.0
     assert out["best_vs_ceiling_round"]["host_ceiling"] == 3.0
+
+
+def test_raw_clear_in_bonus_round_stops_immediately():
+    """vs-ceiling clears round 1; round 2 (bonus) delivers a raw pass →
+    stop right there, shipping the raw number."""
+    out = bench.measure_scaling(
+        "x", probe=_probe_seq([100.0, 99.0], [300.0, 330.0]),
+        ceiling_fn=lambda a, b: 3.0, max_attempts=8)
+    assert len(out["rounds"]) == 2
+    assert out["efficiency"] == round(330.0 / 100.0 / 4, 3)  # 0.825 raw
