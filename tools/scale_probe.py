@@ -62,6 +62,13 @@ def main() -> None:
             # the probe measures the at-scale plan, not a small-data
             # accident that serializes on the driver.
             "spark.sql.autoBroadcastJoinThreshold": str(1024 * 1024),
+            # Propagate the bucketed tables' sortBy(doc_id) order into the
+            # plan (off by default since Spark 3.0 because multi-file
+            # buckets break it; our materializer guarantees ONE sorted file
+            # per bucket). Drops the sequences-side sort from the merge
+            # join — the token-heavy side streams straight off the scan,
+            # exactly the Iceberg sorted-data-file contract at 10^12 rows.
+            "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
             **extra,
         },
     )
