@@ -24,16 +24,39 @@ def main() -> None:
     ap.add_argument("--config", required=True, help="job spec YAML")
     ap.add_argument("--parallelism", type=int, default=None,
                     help="local[N] cores (ignored under a real cluster master)")
+    ap.add_argument("--warehouse", default=None,
+                    help="warehouse dir holding bucketed-receiver tables "
+                         "(fixtures.materialize_input_bucketed)")
     args = ap.parse_args()
 
     # Import AFTER spark-submit has placed the --py-files zip on sys.path.
+    # Direct `python jobs/run_pipeline.py` runs have neither the zip nor the
+    # repo root on sys.path (python adds the script's own dir, jobs/) — fall
+    # back to the script's parent only if the packaged import fails, so the
+    # packaging smoke still proves the zip alone suffices.
+    try:
+        from omnition_opentelemetry_service_spark import fixtures
+    except ModuleNotFoundError:
+        import os
+
+        sys.path.insert(0, os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        from omnition_opentelemetry_service_spark import fixtures
     from omnition_opentelemetry_service_spark.plans import jobspec, pipeline
     from omnition_opentelemetry_service_spark.session import get_spark
 
+    extra = ({"spark.sql.warehouse.dir": args.warehouse}
+             if args.warehouse else None)
     spark = get_spark(app_name="omnition-pipeline",
-                      parallelism=args.parallelism)
+                      parallelism=args.parallelism, extra_conf=extra)
     try:
         for job in jobspec.load_jobs(args.config):
+            if job.config.input_db:
+                # bucketed receiver: surface the catalog tables in THIS
+                # session (table files + bucket metadata persist; the
+                # in-memory catalog does not)
+                fixtures.register_bucketed_input(spark,
+                                                 db=job.config.input_db)
             t0 = time.perf_counter()
             res = pipeline.run_pipeline(spark, job.config)
             dt = time.perf_counter() - t0

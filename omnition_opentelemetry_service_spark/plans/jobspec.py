@@ -24,15 +24,18 @@ ERR_NO_PIPELINES = "config must define at least one pipeline"
 ERR_UNKNOWN_RECEIVER = "pipeline references unknown receiver: {name}"
 ERR_UNKNOWN_PROCESSOR = "pipeline references unknown processor: {name}"
 ERR_UNKNOWN_EXPORTER = "pipeline references unknown exporter: {name}"
-ERR_BAD_RECEIVER_TYPE = "receiver type must be one of: fixture_payloads, parquet"
+ERR_BAD_RECEIVER_TYPE = (
+    "receiver type must be one of: fixture_payloads, parquet, bucketed"
+)
 ERR_NO_EXPORTERS = "pipeline must list at least one exporter"
 ERR_PARQUET_NO_PATH = "parquet receiver requires a path"
+ERR_BUCKETED_NO_DB = "bucketed receiver requires a db"
 ERR_BAD_EXPORTER_TYPE = "exporter type must be one of: parquet, logging"
 ERR_MULTI_RECEIVER_TYPE = (
     "multiple receivers in one pipeline must all be type: parquet"
 )
 
-KNOWN_RECEIVER_TYPES = ("fixture_payloads", "parquet")
+KNOWN_RECEIVER_TYPES = ("fixture_payloads", "parquet", "bucketed")
 KNOWN_EXPORTER_TYPES = ("parquet", "logging")
 
 
@@ -117,12 +120,21 @@ def compile_spec(raw: dict) -> list[JobSpec]:
             cfg.input_dir = paths
         elif recv_cfgs:
             first_recv = recv_cfgs[0]
-            if first_recv.get("type", "fixture_payloads") == "parquet":
+            rtype = first_recv.get("type", "fixture_payloads")
+            if rtype == "parquet":
                 # the parquet receiver reads a materialized payloads/+
                 # sequences/ directory — its path IS the pipeline input
                 if not first_recv.get("path"):
                     raise ValueError(ERR_PARQUET_NO_PATH)
                 cfg.input_dir = first_recv["path"]
+            elif rtype == "bucketed":
+                # catalog tables bucketed by doc_id (the at-scale layout:
+                # fixtures.materialize_input_bucketed) — the payload ⨝
+                # sequences join runs exchange-free; the runner registers
+                # the db in its session (fixtures.register_bucketed_input)
+                if not first_recv.get("db"):
+                    raise ValueError(ERR_BUCKETED_NO_DB)
+                cfg.input_db = first_recv["db"]
             cfg.n_rows = first_recv.get("n_rows")
             cfg.sf_dir = first_recv.get("sf_dir")
         for p in p_processors:

@@ -99,6 +99,51 @@ def test_parquet_receiver_maps_path_to_input_dir(spark, tmp_path):
     assert sum(r.n_rows for r in res["sink_counts"]) > 0
 
 
+def test_bucketed_receiver_maps_db_and_runs(spark, tmp_path):
+    """`type: bucketed` receivers compile to input_db (the at-scale
+    co-located-join layout) and the compiled config actually runs."""
+    from omnition_opentelemetry_service_spark import fixtures as fx
+    from omnition_opentelemetry_service_spark.plans import pipeline as pl
+
+    fx.materialize_input_bucketed(spark, 200, db="jsbuck", buckets=2,
+                                  num_partitions=2)
+    try:
+        raw = {
+            "receivers": {"r": {"type": "bucketed", "db": "jsbuck"}},
+            "exporters": {"e": {}},
+            "pipelines": {"p": {"receivers": ["r"], "exporters": ["e"]}},
+        }
+        job = js.compile_spec(raw)[0]
+        assert job.config.input_db == "jsbuck"
+        res = pl.run_pipeline(spark, job.config)
+        assert sum(r.n_rows for r in res["sink_counts"]) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS jsbuck.payloads")
+        spark.sql("DROP TABLE IF EXISTS jsbuck.sequences")
+        spark.sql("DROP DATABASE IF EXISTS jsbuck")
+
+
+def test_bucketed_receiver_requires_db():
+    raw = {
+        "receivers": {"r": {"type": "bucketed"}},
+        "exporters": {"e": {}},
+        "pipelines": {"p": {"receivers": ["r"], "exporters": ["e"]}},
+    }
+    with pytest.raises(ValueError, match=js.ERR_BUCKETED_NO_DB):
+        js.compile_spec(raw)
+
+
+def test_bucketed_receiver_cannot_union():
+    raw = {
+        "receivers": {"a": {"type": "bucketed", "db": "x"},
+                      "b": {"type": "parquet", "path": "/tmp/p"}},
+        "exporters": {"e": {}},
+        "pipelines": {"p": {"receivers": ["a", "b"], "exporters": ["e"]}},
+    }
+    with pytest.raises(ValueError, match=js.ERR_MULTI_RECEIVER_TYPE):
+        js.compile_spec(raw)
+
+
 def test_logging_exporter_compiles_and_samples(spark):
     """`type: logging` exporters compile (no path needed) and the runner's
     sample path yields deterministic rows."""
