@@ -236,6 +236,134 @@ def contamination_check_sql_duck(table: str = "documents",
 
 
 # ---------------------------------------------------------------------------
+# Span-level (substring) duplication — the Lee et al. 2021 "Deduplicating
+# Training Data Makes Language Models Better" signal: n-gram SPANS repeated
+# across documents, distinct from document-level near-dup (a boilerplate
+# footer shared by a million otherwise-unique pages is invisible to MinHash
+# doc similarity but dominates this metric).
+# ---------------------------------------------------------------------------
+
+
+def doc_gram_counts(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, gram, c) — each distinct word n-gram per document with its
+    within-document occurrence count.
+
+    The per-(doc, gram) count is computed DOC-LOCALLY with array expressions
+    (same O(d·u) trick as top_ngram_fraction): the (id, gram) pair never
+    shuffles just to be counted — the only exchange downstream consumers pay
+    is their own groupBy/join on `gram`. At 10^12 rows that removes the
+    highest-cardinality shuffle key in the whole span-dedup job (doc×gram),
+    leaving the vastly smaller gram key space."""
+    grams = _grams_expr(n, text_col)
+    pairs = (f"transform(array({grams}), gs -> transform(array_distinct(gs), "
+             f"g -> named_struct('gram', g, 'c', "
+             f"size(filter(gs, x -> x = g)))))[0]")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(pairs)).alias("p"),
+    ).select("id", F.col("p.gram").alias("gram"), F.col("p.c").alias("c"))
+
+
+def duplicated_spans(docs: DataFrame, n: int = 3, min_docs: int = 2,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-wide duplicated spans: (gram, n_docs, n_occurrences) for every
+    word n-gram appearing in ≥ ``min_docs`` DISTINCT documents, the
+    cross-document repeated-substring inventory.
+
+    Shape at scale: one scan → doc-local gram counting (doc_gram_counts) →
+    ONE map-side-combinable groupBy on gram. n_docs is count(*) over
+    per-doc-distinct rows — no count-distinct expansion. The gram is kept
+    as a string here for the cross-engine oracle; the 100 TB variant keys
+    the aggregation by xxhash64(gram) instead (8-byte shuffle keys, spans
+    recovered by a second filtered pass), an encoding change only."""
+    dg = doc_gram_counts(docs, n, id_col, text_col)
+    return (
+        dg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("c").cast("bigint").alias("n_occurrences"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def duplicated_spans_sql_duck(table: str = "documents", n: int = 3,
+                              min_docs: int = 2, id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    return f"""
+    WITH ws AS (
+      SELECT {id_col} AS id, {_words_sql_duck(text_col)} AS ws FROM {table}
+    ), gs AS (
+      SELECT id, {_grams_case_duck(n)} AS gs FROM ws
+    ), occ AS (
+      SELECT id, unnest(gs) AS gram FROM gs
+    ), per_doc AS (
+      SELECT id, gram, count(*) AS c FROM occ GROUP BY 1, 2
+    )
+    SELECT gram, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS n_occurrences
+    FROM per_doc GROUP BY 1 HAVING count(*) >= {min_docs}
+    """
+
+
+def span_dedup_stats(docs: DataFrame, n: int = 3, min_docs: int = 2,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document span-duplication profile against the corpus-wide hot-span
+    set: (doc_id, n_gram_occ, n_dup_occ, dup_span_frac) — the fraction of a
+    document's n-gram occurrences that are corpus-duplicated. The gate a
+    substring-dedup pass reads to pick trim/drop victims (a doc that is 90%
+    shared boilerplate gets dropped; 2% gets span-trimmed upstream).
+
+    Shape at scale: doc_gram_counts twice-consumed (derive the hot set, then
+    join against it) — callers running both at 100 TB persist that frame or
+    accept two scans. The hot-set join is a gram equi-join whose build side
+    is the aggregated duplicated-span inventory (≪ corpus for sane
+    min_docs); AQE picks broadcast when it fits, hash otherwise. Docs whose
+    text yields zero grams have no occurrences and emit no row (same
+    convention as contamination_check)."""
+    dg = doc_gram_counts(docs, n, id_col, text_col)
+    hot = (duplicated_spans(docs, n, min_docs, id_col, text_col)
+           .select("gram").withColumn("hit", F.lit(1)))
+    joined = dg.join(hot, "gram", "left")
+    return (
+        joined.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_gram_occ"),
+            F.sum(F.col("c") * F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint").alias("n_dup_occ"),
+        )
+        .withColumn("dup_span_frac",
+                    F.round(F.col("n_dup_occ") / F.col("n_gram_occ"), 6))
+    )
+
+
+def span_dedup_stats_sql_duck(table: str = "documents", n: int = 3,
+                              min_docs: int = 2, id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    return f"""
+    WITH ws AS (
+      SELECT {id_col} AS id, {_words_sql_duck(text_col)} AS ws FROM {table}
+    ), gs AS (
+      SELECT id, {_grams_case_duck(n)} AS gs FROM ws
+    ), occ AS (
+      SELECT id, unnest(gs) AS gram FROM gs
+    ), per_doc AS (
+      SELECT id, gram, count(*) AS c FROM occ GROUP BY 1, 2
+    ), hot AS (
+      SELECT gram FROM per_doc GROUP BY 1 HAVING count(*) >= {min_docs}
+    )
+    SELECT p.id AS {id_col},
+           CAST(sum(p.c) AS BIGINT) AS n_gram_occ,
+           CAST(sum(CASE WHEN h.gram IS NULL THEN 0 ELSE p.c END) AS BIGINT)
+             AS n_dup_occ,
+           round(sum(CASE WHEN h.gram IS NULL THEN 0 ELSE p.c END) * 1.0
+                 / sum(p.c), 6) AS dup_span_frac
+    FROM per_doc p LEFT JOIN hot h USING (gram)
+    GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # Token-vocabulary statistics over the pre-tokenized sequence table (the
 # BASELINE.json input shape: doc_id, tokens array<int>, n_tok, source).
 # ---------------------------------------------------------------------------

@@ -263,3 +263,63 @@ def test_corpus_filter_full_collapses_near_dups(spark):
     full_n = full.count()
     assert full_n < exact_n, (full_n, exact_n)
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# Span-level (substring) duplication — Lee et al. 2021 repeated-span signal.
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_spans_match_duckdb(spark):
+    docs = load(spark, SF, "documents")
+    out = corpus.duplicated_spans(docs, n=3, min_docs=2)
+    oracle = _duck(corpus.duplicated_spans_sql_duck(n=3, min_docs=2))
+    _match(out, oracle, ["gram"])
+
+
+def test_span_dedup_stats_match_duckdb(spark):
+    docs = load(spark, SF, "documents")
+    out = corpus.span_dedup_stats(docs, n=3, min_docs=2)
+    oracle = _duck(corpus.span_dedup_stats_sql_duck(n=3, min_docs=2))
+    _match(out, oracle, ["doc_id"])
+
+
+def test_span_dedup_nonvacuous_and_consistent(spark):
+    """The fixture corpus genuinely shares spans across documents (it
+    contains near-dup pairs), so the hot-span inventory must be non-empty
+    and some doc must carry a positive duplicated fraction; planting an
+    exact boilerplate sentence in two synthetic docs must drive their
+    dup_span_frac to 1.0 while a unique doc stays at 0.0."""
+    docs = load(spark, SF, "documents")
+    hot = corpus.duplicated_spans(docs, n=3, min_docs=2)
+    assert hot.count() > 0
+    stats = corpus.span_dedup_stats(docs, n=3, min_docs=2)
+    assert stats.filter(F.col("dup_span_frac") > 0).count() > 0
+    # every doc's dup occurrences are bounded by its total occurrences
+    assert stats.filter(F.col("n_dup_occ") > F.col("n_gram_occ")).count() == 0
+
+    planted = spark.createDataFrame(
+        [(1, "the same shared boilerplate footer text"),
+         (2, "the same shared boilerplate footer text"),
+         (3, "a completely unique sentence nothing repeats here")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            corpus.span_dedup_stats(planted, n=3, min_docs=2).collect()}
+    assert rows[1].dup_span_frac == 1.0 and rows[2].dup_span_frac == 1.0
+    assert rows[3].dup_span_frac == 0.0
+
+
+def test_span_dedup_plan_shape(spark):
+    """No cartesian product anywhere; the per-(doc, gram) count happens
+    doc-locally — the ONLY exchanges in duplicated_spans are the gram
+    groupBy's partial/final pair (no exchange keyed by the doc id)."""
+    docs = load(spark, SF, "documents")
+    plan = corpus.duplicated_spans(docs, n=3, min_docs=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(gram" in plan
+    assert "hashpartitioning(id" not in plan and \
+        "hashpartitioning(doc_id" not in plan
+    stats_plan = corpus.span_dedup_stats(docs, n=3, min_docs=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in stats_plan
