@@ -323,9 +323,49 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
     """Rank cells per vector by cosine (tie → smaller centroid_id); keep the
     top ``nprobe``. nprobe=1 = index assignment; >1 = query-side probes.
 
-    Scale shape: ONE corpus scan × K dot products map-side (centroids are
-    broadcast); the only shuffle is the per-vector ranking window, keyed on
-    the high-cardinality vec_id."""
+    Scale shape: ZERO corpus-side shuffle. The centroid table collapses to a
+    single array row (one tiny agg job), broadcast-nested-loop joined onto
+    the corpus (1-row build side → a pure map-side column attach), and the
+    argmax-over-K happens PER ROW with array expressions (score every
+    centroid, sort K structs, slice nprobe). The previous form
+    (ivf_assign_windowed, kept as the parity twin) ranked via
+    Window.partitionBy(vec_id) — a full-corpus exchange of the embedding
+    vectors that exists only to compare K numbers already sitting in the
+    same row; at 10^12 vectors that shuffle IS the index-build cost.
+    K must be bounded (real IVF nlist ≤ ~2^16) for the in-row sort and the
+    broadcast to hold — the MOD-sample centroid rule here is a fixture
+    stand-in for k-means, not a licence to grow K with the corpus."""
+    cents_row = centroids.agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("centroid_id"), F.col("c_emb")))).alias("cents"))
+    scored = (
+        "transform(cents, c -> named_struct("
+        f"'s', {_dot_expr('embedding', 'c.c_emb')} / "
+        f"(sqrt({_dot_expr('embedding', 'embedding')}) * "
+        f"sqrt({_dot_expr('c.c_emb', 'c.c_emb')})), "
+        "'cid', c.centroid_id))"
+    )
+    ranked = (
+        f"slice(array_sort({scored}, (a, b) -> "
+        "CASE WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1 "
+        "WHEN a.cid < b.cid THEN -1 WHEN a.cid > b.cid THEN 1 ELSE 0 END), "
+        f"1, {int(nprobe)})"
+    )
+    return (
+        emb.crossJoin(broadcast(cents_row))
+        .select("vec_id", "embedding",
+                F.posexplode(F.expr(ranked)).alias("pos", "cell_s"))
+        .select("vec_id", "embedding",
+                F.col("cell_s.cid").alias("cell"),
+                (F.col("pos") + 1).cast("int").alias("c_rnk"))
+    )
+
+
+def ivf_assign_windowed(emb: DataFrame, centroids: DataFrame,
+                        nprobe: int = 1) -> DataFrame:
+    """Parity twin of ivf_assign: crossJoin(broadcast) + row_number window.
+    Same output bit-for-bit (same fold-order cosine, same tie rule); kept
+    for the equality test and as the reference formulation."""
     scored = emb.crossJoin(broadcast(centroids)).withColumn(
         "c_score", cosine_expr("embedding", "c_emb"))
     w = Window.partitionBy("vec_id").orderBy(
@@ -334,7 +374,8 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
         scored.withColumn("c_rnk", F.row_number().over(w))
         .filter(F.col("c_rnk") <= nprobe)
         .select("vec_id", "embedding",
-                F.col("centroid_id").alias("cell"), "c_rnk")
+                F.col("centroid_id").alias("cell"),
+                F.col("c_rnk").cast("int").alias("c_rnk"))
     )
 
 

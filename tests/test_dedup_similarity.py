@@ -213,6 +213,25 @@ def test_ivf_assignment_clusters(spark):
     assert all(cells[i] == 100 for i in range(98, 196))
 
 
+def test_ivf_assign_mapside_equals_windowed_twin(spark):
+    """The zero-shuffle array-sort assignment must reproduce the windowed
+    crossJoin+row_number formulation bit-for-bit (same fold-order cosine,
+    same score-desc/cid-asc tie rule), at nprobe 1 and 3 — and its plan
+    must carry NO exchange keyed on the corpus vec_id."""
+    emb = _ivf_corpus(spark)
+    cents = sim.ivf_centroids(emb)
+    for nprobe in (1, 3):
+        a = sorted(map(tuple, sim.ivf_assign(emb, cents, nprobe=nprobe)
+                       .select("vec_id", "cell", "c_rnk").collect()))
+        b = sorted(map(tuple,
+                       sim.ivf_assign_windowed(emb, cents, nprobe=nprobe)
+                       .select("vec_id", "cell", "c_rnk").collect()))
+        assert a == b and len(a) > 0
+    plan = sim.ivf_assign(emb, cents)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "hashpartitioning(vec_id" not in plan
+
+
 def test_ivf_topk_stays_in_cluster(spark):
     out = sim.ivf_ann_topk(_ivf_corpus(spark), n_queries=2, k=3, nprobe=1)
     rows = out.collect()
