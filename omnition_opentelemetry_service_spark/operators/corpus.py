@@ -363,6 +363,133 @@ def span_dedup_stats_sql_duck(table: str = "documents", n: int = 3,
     """
 
 
+# -- token-level spans over the pre-tokenized sequence table -----------------
+# The same substring-dedup signal on the BASELINE.json input shape (doc_id,
+# tokens array<int>): spans are fixed k-token windows. Unlike the word form,
+# sequences shorter than k yield NO spans (a window is a fixed length, not a
+# whole-doc collapse) — pinned in both engines.
+
+
+def _token_grams_expr(k: int, tokens_col: str) -> str:
+    """Spark SQL: array of k-token window keys ('t1 t2 … tk' strings — the
+    cross-engine-stable span identity; the 100 TB variant keys by
+    xxhash64 of the same string)."""
+    return (
+        f"CASE WHEN size({tokens_col}) < {k} THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size({tokens_col}) - {k} + 1), "
+        f"i -> array_join(transform(slice({tokens_col}, i, {k}), "
+        f"t -> CAST(t AS STRING)), ' ')) END"
+    )
+
+
+def _token_grams_sql_duck(k: int, tokens_col: str) -> str:
+    return (
+        f"CASE WHEN len({tokens_col}) < {k} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(len({tokens_col}) - {k} + 1), "
+        f"i -> list_aggregate(list_transform(list_slice({tokens_col}, "
+        f"CAST(i + 1 AS INTEGER), CAST(i + {k} AS INTEGER)), "
+        f"t -> CAST(t AS VARCHAR)), 'string_agg', ' ')) END"
+    )
+
+
+def token_span_counts(seqs: DataFrame, k: int = 8, id_col: str = "doc_id",
+                      tokens_col: str = "tokens") -> DataFrame:
+    """(id, gram, c) — distinct k-token windows per sequence with in-sequence
+    occurrence counts, computed doc-locally (same zero-(doc,gram)-shuffle
+    shape as doc_gram_counts)."""
+    grams = _token_grams_expr(k, tokens_col)
+    pairs = (f"transform(array({grams}), gs -> transform(array_distinct(gs), "
+             f"g -> named_struct('gram', g, 'c', "
+             f"size(filter(gs, x -> x = g)))))[0]")
+    return seqs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(pairs)).alias("p"),
+    ).select("id", F.col("p.gram").alias("gram"), F.col("p.c").alias("c"))
+
+
+def duplicated_token_spans(seqs: DataFrame, k: int = 8, min_docs: int = 2,
+                           id_col: str = "doc_id",
+                           tokens_col: str = "tokens") -> DataFrame:
+    """(gram, n_docs, n_occurrences) for k-token windows shared by ≥
+    ``min_docs`` sequences — the exact-substring duplication inventory at
+    the token level (what Lee et al. 2021 deduplicate with a suffix array;
+    the fixed-k windowed form is the shuffle-friendly equivalent: any
+    duplicated run of length ≥ k is caught by its constituent windows)."""
+    dg = token_span_counts(seqs, k, id_col, tokens_col)
+    return (
+        dg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("c").cast("bigint").alias("n_occurrences"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def duplicated_token_spans_sql_duck(seqs_cte: str, k: int = 8,
+                                    min_docs: int = 2,
+                                    id_col: str = "doc_id",
+                                    tokens_col: str = "tokens") -> str:
+    return f"""
+    WITH seqs AS ({seqs_cte}), gs AS (
+      SELECT {id_col} AS id, {_token_grams_sql_duck(k, tokens_col)} AS gs
+      FROM seqs
+    ), occ AS (
+      SELECT id, unnest(gs) AS gram FROM gs
+    ), per_doc AS (
+      SELECT id, gram, count(*) AS c FROM occ GROUP BY 1, 2
+    )
+    SELECT gram, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS n_occurrences
+    FROM per_doc GROUP BY 1 HAVING count(*) >= {min_docs}
+    """
+
+
+def token_span_dedup_stats(seqs: DataFrame, k: int = 8, min_docs: int = 2,
+                           id_col: str = "doc_id",
+                           tokens_col: str = "tokens") -> DataFrame:
+    """Per-sequence (doc_id, n_span_occ, n_dup_occ, dup_span_frac) against
+    the corpus hot-window set — the trim/drop gate for token-level
+    substring dedup. Same two-consumer scan note as span_dedup_stats."""
+    dg = token_span_counts(seqs, k, id_col, tokens_col)
+    hot = (duplicated_token_spans(seqs, k, min_docs, id_col, tokens_col)
+           .select("gram").withColumn("hit", F.lit(1)))
+    joined = dg.join(hot, "gram", "left")
+    return (
+        joined.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_span_occ"),
+            F.sum(F.col("c") * F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint").alias("n_dup_occ"),
+        )
+        .withColumn("dup_span_frac",
+                    F.round(F.col("n_dup_occ") / F.col("n_span_occ"), 6))
+    )
+
+
+def token_span_dedup_stats_sql_duck(seqs_cte: str, k: int = 8,
+                                    min_docs: int = 2,
+                                    id_col: str = "doc_id",
+                                    tokens_col: str = "tokens") -> str:
+    return f"""
+    WITH seqs AS ({seqs_cte}), gs AS (
+      SELECT {id_col} AS id, {_token_grams_sql_duck(k, tokens_col)} AS gs
+      FROM seqs
+    ), occ AS (
+      SELECT id, unnest(gs) AS gram FROM gs
+    ), per_doc AS (
+      SELECT id, gram, count(*) AS c FROM occ GROUP BY 1, 2
+    ), hot AS (
+      SELECT gram FROM per_doc GROUP BY 1 HAVING count(*) >= {min_docs}
+    )
+    SELECT p.id AS {id_col},
+           CAST(sum(p.c) AS BIGINT) AS n_span_occ,
+           CAST(sum(CASE WHEN h.gram IS NULL THEN 0 ELSE p.c END) AS BIGINT)
+             AS n_dup_occ,
+           round(sum(CASE WHEN h.gram IS NULL THEN 0 ELSE p.c END) * 1.0
+                 / sum(p.c), 6) AS dup_span_frac
+    FROM per_doc p LEFT JOIN hot h USING (gram)
+    GROUP BY 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # Token-vocabulary statistics over the pre-tokenized sequence table (the
 # BASELINE.json input shape: doc_id, tokens array<int>, n_tok, source).

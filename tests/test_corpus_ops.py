@@ -323,3 +323,45 @@ def test_span_dedup_plan_shape(spark):
     stats_plan = corpus.span_dedup_stats(docs, n=3, min_docs=2) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in stats_plan
+
+
+def test_token_span_dedup_matches_duckdb(spark):
+    """Token-level (k-window) span duplication over the north-star sequence
+    shape, both the corpus inventory and the per-sequence stats, against
+    the paired DuckDB fixture."""
+    from omnition_opentelemetry_service_spark import fixtures as fx
+
+    n = 300
+    seqs = fx.sequences(spark, n)
+    cte = fx.sequences_sql_duck(n)
+    con = duckdb.connect()
+
+    hot = corpus.duplicated_token_spans(seqs, k=4, min_docs=2)
+    oracle_hot = con.execute(
+        corpus.duplicated_token_spans_sql_duck(cte, k=4, min_docs=2)).fetch_df()
+    _match(hot, oracle_hot, ["gram"])
+
+    stats = corpus.token_span_dedup_stats(seqs, k=4, min_docs=2)
+    oracle_stats = con.execute(
+        corpus.token_span_dedup_stats_sql_duck(cte, k=4, min_docs=2)).fetch_df()
+    _match(stats, oracle_stats, ["doc_id"])
+
+
+def test_token_span_semantics(spark):
+    """Short sequences yield no windows; planted shared windows are found
+    with exact positions-count accounting; sub-k overlap is invisible."""
+    df = spark.createDataFrame(
+        [(1, [7, 8, 9, 10, 11]),     # shares window [8,9,10,11] with doc 2
+         (2, [8, 9, 10, 11]),
+         (3, [1, 2, 3]),             # len < k → no windows
+         (4, [5, 5, 5, 5, 5])],      # internal repeat only: 2 windows, same gram
+        "doc_id long, tokens array<int>")
+    hot = {r.gram: (r.n_docs, r.n_occurrences) for r in
+           corpus.duplicated_token_spans(df, k=4, min_docs=2).collect()}
+    assert hot == {"8 9 10 11": (2, 2)}
+    stats = {r.doc_id: r for r in
+             corpus.token_span_dedup_stats(df, k=4, min_docs=2).collect()}
+    assert 3 not in stats  # no windows → no row
+    assert stats[1].n_span_occ == 2 and stats[1].n_dup_occ == 1
+    assert stats[2].dup_span_frac == 1.0
+    assert stats[4].n_span_occ == 2 and stats[4].n_dup_occ == 0
