@@ -254,7 +254,14 @@ def doc_gram_counts(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     shuffles just to be counted — the only exchange downstream consumers pay
     is their own groupBy/join on `gram`. At 10^12 rows that removes the
     highest-cardinality shuffle key in the whole span-dedup job (doc×gram),
-    leaving the vastly smaller gram key space."""
+    leaving the vastly smaller gram key space.
+
+    Tradeoff (documented, not hidden): d·u is quadratic for a long document
+    of mostly-unique grams — fine for web-scale docs (≤ ~10^4 grams →
+    ≤ ~10^8 doc-local ops, no shuffle), pathological for book-length
+    outliers. doc_gram_counts_exploded is the LINEAR twin (explode +
+    groupBy(id, gram), map-side partial agg) that pays one extra exchange
+    of the combined (id, gram, c) set instead; route long docs there."""
     grams = _grams_expr(n, text_col)
     pairs = (f"transform(array({grams}), gs -> transform(array_distinct(gs), "
              f"g -> named_struct('gram', g, 'c', "
@@ -263,6 +270,20 @@ def doc_gram_counts(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         F.col(id_col).alias("id"),
         F.explode(F.expr(pairs)).alias("p"),
     ).select("id", F.col("p.gram").alias("gram"), F.col("p.c").alias("c"))
+
+
+def doc_gram_counts_exploded(docs: DataFrame, n: int = 3,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Linear-time twin of doc_gram_counts for long-document corpora:
+    explode every gram occurrence, groupBy(id, gram). O(u) per doc; the
+    exchange carries map-side-combined (id, gram, c) partials. Same output
+    (parity-pinned in tests)."""
+    return (
+        docs.select(F.col(id_col).alias("id"),
+                    F.explode(F.expr(_grams_expr(n, text_col))).alias("gram"))
+        .groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    )
 
 
 def duplicated_spans(docs: DataFrame, n: int = 3, min_docs: int = 2,
@@ -395,16 +416,20 @@ def _token_grams_sql_duck(k: int, tokens_col: str) -> str:
 def token_span_counts(seqs: DataFrame, k: int = 8, id_col: str = "doc_id",
                       tokens_col: str = "tokens") -> DataFrame:
     """(id, gram, c) — distinct k-token windows per sequence with in-sequence
-    occurrence counts, computed doc-locally (same zero-(doc,gram)-shuffle
-    shape as doc_gram_counts)."""
-    grams = _token_grams_expr(k, tokens_col)
-    pairs = (f"transform(array({grams}), gs -> transform(array_distinct(gs), "
-             f"g -> named_struct('gram', g, 'c', "
-             f"size(filter(gs, x -> x = g)))))[0]")
-    return seqs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.expr(pairs)).alias("p"),
-    ).select("id", F.col("p.gram").alias("gram"), F.col("p.c").alias("c"))
+    occurrence counts.
+
+    Uses the LINEAR explode + groupBy(id, gram) shape, not doc_gram_counts'
+    doc-local O(d·u) trick: a training sequence has thousands of
+    mostly-UNIQUE windows (d ≈ u ≈ n_tok), so the doc-local count would be
+    quadratic per row at exactly the corpus this table holds; the map-side
+    partial agg means the exchange carries already-combined (id, gram, c)
+    tuples."""
+    return (
+        seqs.select(F.col(id_col).alias("id"),
+                    F.explode(F.expr(_token_grams_expr(k, tokens_col)))
+                    .alias("gram"))
+        .groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    )
 
 
 def duplicated_token_spans(seqs: DataFrame, k: int = 8, min_docs: int = 2,

@@ -365,3 +365,12 @@ def test_token_span_semantics(spark):
     assert stats[1].n_span_occ == 2 and stats[1].n_dup_occ == 1
     assert stats[2].dup_span_frac == 1.0
     assert stats[4].n_span_occ == 2 and stats[4].n_dup_occ == 0
+
+
+def test_doc_gram_counts_exploded_parity(spark):
+    """The linear long-doc twin must equal the doc-local form exactly."""
+    docs = load(spark, SF, "documents")
+    a = sorted(map(tuple, corpus.doc_gram_counts(docs, n=3).collect()))
+    b = sorted(map(tuple,
+                   corpus.doc_gram_counts_exploded(docs, n=3).collect()))
+    assert a == b and len(a) > 0
