@@ -94,6 +94,52 @@ def windowed_sink_counts(routed: DataFrame,
     )
 
 
+def sessionized_source_counts(routed: DataFrame, gap: str = "30 seconds",
+                              watermark: str = "2 minutes") -> DataFrame:
+    """Per-source SESSION windows over the routed stream — dynamic-gap
+    sessionization via ``session_window`` (merging windows, state closed by
+    the watermark): events of one source closer than ``gap`` merge into one
+    session whose end extends ``gap`` past its last event. The streaming
+    twin of the batch gap-sessionize (registry events_sessionize, which
+    does lag + cumulative-sum session ids); equality of the two is pinned
+    in tests/test_streaming.py.
+
+    Scale shape: state is keyed (source, merging window) — bounded by the
+    watermark horizon, and the sampler's row drops are what create gaps, so
+    session count tracks routed traffic, not raw input."""
+    with_time = routed.withColumn(
+        "event_time", F.to_timestamp("ts_str", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), "source")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("n_tok").alias("sum_n_tok"))
+        .select(F.col("session_window.start").alias("sess_start"),
+                F.col("session_window.end").alias("sess_end"),
+                "source", "n_rows", "sum_n_tok")
+    )
+
+
+def run_sessions_once(spark: SparkSession, input_dir: str,
+                      checkpoint_dir: str, out_table: str = "stream_sessions",
+                      gap: str = "30 seconds") -> DataFrame:
+    """Drain all input (availableNow) through the session-window aggregate
+    and return the final sessions (complete mode keeps every session in
+    state, so the drained result is the full inventory)."""
+    sessions = sessionized_source_counts(
+        build_routed_stream(spark, input_dir), gap=gap)
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .format("memory").queryName(out_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(out_table)
+
+
 def run_stream_once(spark: SparkSession, input_dir: str,
                     checkpoint_dir: str, out_table: str = "stream_counts",
                     window: str = "1 minute") -> DataFrame:

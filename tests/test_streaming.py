@@ -236,3 +236,46 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     emitted = {(str(r.win_start), r.sink): r.n_rows
                for r in spark.table("late_counts").collect()}
     assert emitted == {("2026-01-01 10:00:00", "s1"): 1}, emitted
+
+
+def test_session_windows_equal_batch_sessionize(spark, input_dir, tmp_path):
+    """Streaming session_window (merge-based) must produce exactly the
+    sessions the batch lag/cumsum gap-sessionize finds on the same routed
+    rows: same (source, start, end, n_rows, sum_n_tok) set, where a session
+    ends gap seconds after its last event. Non-vacuity: the sampler's drops
+    must actually split some source into multiple sessions."""
+    from pyspark.sql import Window
+
+    gap_s = 10
+    got = sp.run_sessions_once(spark, input_dir, str(tmp_path / "ckpt_sess"),
+                               out_table="sess1", gap=f"{gap_s} seconds")
+    stream_rows = sorted(
+        (r.source, r.sess_start, r.sess_end, r.n_rows, r.sum_n_tok)
+        for r in got.collect())
+
+    st = pl.build_routed(spark, pl.PipelineConfig(input_dir=input_dir))
+    ts = st["routed"].withColumn(
+        "event_time", F.to_timestamp("ts_str", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    w = Window.partitionBy("source").orderBy("event_time")
+    sess = (
+        ts.withColumn("prev", F.lag("event_time").over(w))
+        .withColumn("new_sess",
+                    (F.col("prev").isNull() |
+                     (F.unix_timestamp("event_time")
+                      - F.unix_timestamp("prev") > gap_s)).cast("int"))
+        .withColumn("sess_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("source", "sess_id")
+        .agg(F.min("event_time").alias("sess_start"),
+             (F.timestamp_seconds(
+                 F.unix_timestamp(F.max("event_time")) + gap_s))
+             .alias("sess_end"),
+             F.count(F.lit(1)).alias("n_rows"),
+             F.sum("n_tok").alias("sum_n_tok"))
+    )
+    batch_rows = sorted(
+        (r.source, r.sess_start, r.sess_end, r.n_rows, r.sum_n_tok)
+        for r in sess.collect())
+    assert stream_rows == batch_rows
+    n_sources = len({r[0] for r in batch_rows})
+    assert len(batch_rows) > n_sources  # some source split into >1 session
