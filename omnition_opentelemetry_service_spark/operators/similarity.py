@@ -272,6 +272,29 @@ def near_dup_pairs_lsh_banked(emb: DataFrame, threshold: float = 0.4,
     )
 
 
+def embedding_dedup_keep(emb: DataFrame, threshold: float = 0.4,
+                         n_banks: int = 3, n_planes: int = 4,
+                         dim: int = EMB_DIM) -> DataFrame:
+    """Embedding near-dup CLUSTER collapse — the composed end-to-end dedup
+    for the embedding modality (the analog of corpus_filter_full's MinHash
+    cluster stage): banked-hyperplane LSH candidates → exact-cosine verify
+    (near_dup_pairs_lsh_banked) → connected components over the verified
+    edge list → one keeper (min vec_id) per cluster. Returns
+    (vec_id, keeper, keep) for every corpus vector; filter `keep`.
+
+    Shape at scale: every stage is its own documented shape (bank equi-join,
+    candidate-only verify, components over the tiny edge list, one left
+    join back) — no all-pairs product anywhere. Caller releases the
+    component-label cache (registry.release_caches / clearCache), same
+    contract as near_dup_keep_list."""
+    from .graph import near_dup_keep_list
+
+    pairs = near_dup_pairs_lsh_banked(emb, threshold, n_banks, n_planes, dim)
+    return near_dup_keep_list(emb.select("vec_id"),
+                              pairs.select("id_a", "id_b"),
+                              id_col="vec_id")
+
+
 def lsh_planes(n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> list[list[int]]:
     """Deterministic ±1 hyperplanes: sign of md5(f'{p}:{d}') parity.
     Seed-free, reproducible in SQL text for the oracle."""

@@ -290,3 +290,39 @@ def test_banked_lsh_no_cartesian(spark):
     plan = sim.near_dup_pairs_lsh_banked(emb)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_dedup_keep_collapses_clusters(spark):
+    """Planted geometry: two tight near-dup clusters (A: 3 vectors, B: 2)
+    plus 2 isolated singletons. The composed collapse must keep exactly the
+    min id of each cluster and every singleton — and agree with the
+    exact all-pairs verification twin on the same threshold."""
+    import math
+    rows = []
+    # cluster A around x-axis (ids 0,1,2), cluster B around y-axis (10,11)
+    for i, eps in [(0, 0.0), (1, 0.01), (2, 0.02)]:
+        v = [1.0, eps, 0.0, 0.0]
+        rows.append((i, v))
+    for i, eps in [(10, 0.0), (11, 0.015)]:
+        rows.append((i, [eps, 1.0, 0.0, 0.0]))
+    rows.append((20, [1.0, 1.0, 1.0, 1.0]))           # singleton
+    rows.append((21, [-1.0, 1.0, -1.0, 1.0]))          # singleton
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    keep = {r.vec_id: (r.keeper, r.keep) for r in
+            sim.embedding_dedup_keep(emb, threshold=0.95, n_banks=3,
+                                     n_planes=4, dim=4).collect()}
+    assert len(keep) == 7
+    assert keep[0] == (0, True) and keep[1] == (0, False) and keep[2] == (0, False)
+    assert keep[10] == (10, True) and keep[11] == (10, False)
+    assert keep[20] == (20, True) and keep[21] == (21, True)
+
+    # survivors via the exact all-pairs twin must be the same set
+    exact_pairs = sim.near_dup_pairs(emb, threshold=0.95, id_limit=1000)
+    from omnition_opentelemetry_service_spark.operators.graph import (
+        near_dup_keep_list)
+    exact_keep = {r.vec_id for r in near_dup_keep_list(
+        emb.select("vec_id"), exact_pairs.select("id_a", "id_b"),
+        id_col="vec_id").collect() if r.keep}
+    assert exact_keep == {k for k, (_, kp) in keep.items() if kp}
+    spark.catalog.clearCache()
