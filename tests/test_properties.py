@@ -170,3 +170,38 @@ def test_minhash_pandas_matches_grouped_on_arbitrary_text(spark, texts):
     pandas_form = {r.id: list(r.minhash)
                    for r in dd.minhash_signatures_pandas(df).collect()}
     assert grouped == pandas_form
+
+
+@SET
+@given(st.lists(st.text(max_size=50), min_size=1, max_size=12),
+       st.integers(2, 4))
+def test_span_dedup_matches_duckdb_on_arbitrary_text(spark, texts, n):
+    """Word-span duplication (duplicated_spans / span_dedup_stats) is
+    value-identical between Spark and DuckDB on ARBITRARY text — including
+    unicode whitespace and the short-doc whole-text-collapse branch — and
+    the doc-local / exploded counting twins agree."""
+    import duckdb
+    import pandas as pd
+    from omnition_opentelemetry_service_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+
+    hot = sorted(map(tuple,
+                     corpus.duplicated_spans(df, n=n, min_docs=2).collect()))
+    o_hot = sorted(map(tuple, con.execute(
+        corpus.duplicated_spans_sql_duck(n=n, min_docs=2)).fetchall()))
+    assert hot == o_hot
+
+    stats = sorted(map(tuple,
+                       corpus.span_dedup_stats(df, n=n, min_docs=2).collect()))
+    o_stats = sorted(map(tuple, con.execute(
+        corpus.span_dedup_stats_sql_duck(n=n, min_docs=2)).fetchall()))
+    assert stats == o_stats
+
+    a = sorted(map(tuple, corpus.doc_gram_counts(df, n=n).collect()))
+    b = sorted(map(tuple, corpus.doc_gram_counts_exploded(df, n=n).collect()))
+    assert a == b
