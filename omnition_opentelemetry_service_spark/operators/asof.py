@@ -88,7 +88,12 @@ def range_join(left: DataFrame, right: DataFrame, left_time: str,
     intervals explode into O(1) buckets."""
     lb = left.withColumn(
         "_b", F.floor(F.col(left_time) / bucket_width).cast("long"))
-    rb = right.withColumn(
+    # Guard degenerate intervals BEFORE the explode: an empty/inverted
+    # interval (hi <= lo) can match nothing anyway, but Spark's
+    # sequence(a, b) DESCENDS when b < a — one inverted row like [0, -10^9)
+    # would otherwise explode into millions of bucket rows before the exact
+    # refine throws them all away.
+    rb = right.filter(F.col(right_hi) > F.col(right_lo)).withColumn(
         "_b", F.explode(F.sequence(
             F.floor(F.col(right_lo) / bucket_width).cast("long"),
             F.floor((F.col(right_hi) - 1) / bucket_width).cast("long"))))

@@ -140,3 +140,20 @@ def test_range_join_matches_theta_join(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_inverted_interval_is_inert(spark):
+    """An inverted/empty interval (hi <= lo) matches nothing AND must not
+    explode into a descending bucket sequence (Spark's sequence(a, b)
+    counts DOWN when b < a — unguarded, one inverted row fans out into
+    |lo-hi|/width bucket rows before the refine filter kills them)."""
+    left = spark.createDataFrame([(1, 10), (2, 25)], "id long, t long")
+    right = spark.createDataFrame(
+        [(100, 0, 20, "ok"),          # valid: covers t=10
+         (101, 30, 30, "empty"),      # empty interval
+         (102, 50, -1000000, "bad")], # inverted: would descend 1e6/width
+        "rid long, lo long, hi long, tag string")
+    from omnition_opentelemetry_service_spark.operators.asof import range_join
+    out = range_join(left, right, "t", "lo", "hi", bucket_width=10)
+    rows = [(r.id, r.rid, r.tag) for r in out.collect()]
+    assert rows == [(1, 100, "ok")]
