@@ -1,0 +1,178 @@
+"""spark-submit entrypoint for the trainer-facing RELEASE job: the
+composed training-data tail that turns a cleaned token table into the thing
+a trainer reads, end-to-end in one DAG:
+
+    sequences (doc_id, tokens, n_tok, source[, seq_no])
+      → exact token-array dedup         (md5 fingerprint, keep min seq_no)
+      → span-duplication gate           (drop docs whose k-token windows are
+                                         mostly corpus-duplicated — Lee-et-al
+                                         substring-dedup signal, optional)
+      → deterministic train/val/test    (mixture.with_split — md5-range,
+                                         survives reruns & cluster resize)
+      → per-source epoch weighting      (mixture.epoch_resample, train only)
+      → fixed-budget packing            (packing.with_pack_id cumsum bins)
+      → hash-sharded global shuffle     (mixture.shuffle_shards)
+      → ONE write partitioned by (split, shard), rows sorted by the shuffle
+        hash within each file — a sequential reader sees one fixed
+        pseudo-random permutation per split.
+
+Every stage is a deterministic pure function of row identity, so the whole
+release is reproducible: re-running yields byte-identical shards (pinned in
+tests/test_make_release.py). Shuffle inventory: dedup fingerprint groupBy,
+pack-key exchange, final shard repartition — three exchanges total; gates,
+split, and resample are map-side expressions.
+
+Usage (sandbox; on a cluster, package with tools/package.sh and pass the
+zip via --py-files exactly like jobs/run_pipeline.py):
+
+    python jobs/make_release.py --n-rows 100000 --out /tmp/release \
+        [--budget 2048] [--shards 64] [--epoch-weights web=2.0,code=0.5] \
+        [--max-dup-frac 0.9] [--parallelism 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_weights(s: str | None) -> dict[str, float]:
+    if not s:
+        return {}
+    out = {}
+    for part in s.split(","):
+        k, _, v = part.partition("=")
+        if not k or not v:
+            raise SystemExit(f"bad --epoch-weights entry: {part!r}")
+        out[k] = float(v)
+    return out
+
+
+def build_release(spark, seqs, budget: int = 2048, n_shards: int = 64,
+                  epoch_weights: dict[str, float] | None = None,
+                  max_dup_frac: float | None = None,
+                  span_k: int = 8):
+    """The composed release DataFrame: (doc_id, tokens, n_tok, source,
+    split, epoch, shard, shuffle_ord, pack_id). Pure function of the input
+    rows — deterministic across runs, partitionings, and cluster sizes."""
+    from pyspark.sql import functions as F
+
+    from omnition_opentelemetry_service_spark.functions.tokens import (
+        tokens_str)
+    from omnition_opentelemetry_service_spark.operators import (
+        corpus, mixture, packing)
+
+    # 1. exact token-array dedup: one keeper (min seq_no) per fingerprint.
+    #    Rank-within-fingerprint instead of groupBy+join-back: one exchange.
+    fp = seqs.withColumn("tok_fp", F.md5(tokens_str()))
+    from pyspark.sql import Window
+    w = Window.partitionBy("tok_fp").orderBy("seq_no")
+    deduped = (fp.withColumn("_rk", F.row_number().over(w))
+               .filter(F.col("_rk") == 1).drop("_rk", "tok_fp"))
+
+    # 2. optional span-duplication gate (docs dominated by corpus-duplicated
+    #    k-token windows are dropped; docs shorter than k have no windows
+    #    and pass). The hot-set join is corpus.token_span_dedup_stats.
+    if max_dup_frac is not None:
+        stats = corpus.token_span_dedup_stats(deduped, k=span_k, min_docs=2)
+        bad = (stats.filter(F.col("dup_span_frac") > max_dup_frac)
+               .select("doc_id").withColumn("_drop", F.lit(1)))
+        deduped = (deduped.join(F.broadcast(bad), "doc_id", "left")
+                   .filter(F.col("_drop").isNull()).drop("_drop"))
+
+    # 3. deterministic split; 4. train-only epoch weighting (val/test stay
+    #    single-epoch — resampling an eval set would double-count it).
+    split = mixture.with_split(deduped)
+    train = mixture.epoch_resample(split.filter(F.col("split") == "train"),
+                                   epoch_weights or {})
+    rest = (split.filter(F.col("split") != "train")
+            .withColumn("epoch", F.lit(0)))
+    mixed = train.unionByName(rest)
+
+    # 5. pack within (split, source, epoch) so one bin never mixes splits or
+    #    epochs; epoch rides in the pack key via a composed column.
+    keyed = mixed.withColumn(
+        "_pack_key", F.concat_ws("|", "split", "source",
+                                 F.col("epoch").cast("string")))
+    packed = packing.with_pack_id(keyed, budget=budget, key="_pack_key",
+                                  order="seq_no").drop("_pack_key")
+
+    # 6. shard assignment: hash (doc_id, epoch) so an epoch's copies land in
+    #    DIFFERENT shards (same-id copies in one file would cluster repeats).
+    sharded = mixture.shuffle_shards(
+        packed.withColumn("_sid", F.concat_ws("#", "doc_id",
+                                              F.col("epoch").cast("string"))),
+        n_shards=n_shards, id_col="_sid").drop("_sid")
+    return sharded
+
+
+def write_release(df, out_dir: str, n_shards: int) -> None:
+    """ONE exchange on (split, shard), in-partition sort by the shuffle
+    hash, one file family per (split, shard) partition directory."""
+    (df.repartition(n_shards, "split", "shard")
+     .sortWithinPartitions("split", "shard", "shuffle_ord")
+     .write.mode("overwrite").partitionBy("split", "shard")
+     .parquet(out_dir))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-rows", type=int, default=None,
+                    help="synthesize this many sequences (fixtures.sequences)")
+    ap.add_argument("--input-dir", default=None,
+                    help="read <dir>/sequences parquet instead")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--epoch-weights", default=None,
+                    help="source=weight[,source=weight...] (train split only)")
+    ap.add_argument("--max-dup-frac", type=float, default=None,
+                    help="drop docs with > this fraction of corpus-duplicated "
+                         "k-token windows (off when omitted)")
+    ap.add_argument("--parallelism", type=int, default=None)
+    args = ap.parse_args()
+    if (args.n_rows is None) == (args.input_dir is None):
+        raise SystemExit("exactly one of --n-rows / --input-dir is required")
+
+    try:
+        from omnition_opentelemetry_service_spark import fixtures
+    except ModuleNotFoundError:
+        import os
+
+        sys.path.insert(0, os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        from omnition_opentelemetry_service_spark import fixtures
+    from omnition_opentelemetry_service_spark.session import get_spark
+
+    spark = get_spark(app_name="omnition-release",
+                      parallelism=args.parallelism)
+    try:
+        if args.n_rows is not None:
+            seqs = fixtures.sequences(spark, args.n_rows)
+        else:
+            seqs = spark.read.parquet(f"{args.input_dir}/sequences")
+        t0 = time.perf_counter()
+        rel = build_release(spark, seqs, budget=args.budget,
+                            n_shards=args.shards,
+                            epoch_weights=parse_weights(args.epoch_weights),
+                            max_dup_frac=args.max_dup_frac)
+        write_release(rel, args.out, args.shards)
+        out = spark.read.parquet(args.out)
+        from pyspark.sql import functions as F
+        per_split = {r["split"]: (r["rows"], r["toks"]) for r in
+                     out.groupBy("split").agg(
+                         F.count(F.lit(1)).alias("rows"),
+                         F.sum("n_tok").alias("toks")).collect()}
+        print(json.dumps({
+            "out": args.out,
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "per_split": per_split,
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""The composed trainer-facing release job (jobs/make_release.py):
+dedup → gate → split → epoch mix → pack → shard shuffle → write. The whole
+chain must be a deterministic pure function of the input rows, and each
+stage's contract must survive the composition."""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from jobs.make_release import build_release, write_release  # noqa: E402
+from omnition_opentelemetry_service_spark import fixtures as fx  # noqa: E402
+
+N = 2000
+WEIGHTS = {"web": 2.5, "code": 0.5}
+
+
+def _release(spark):
+    return build_release(spark, fx.sequences(spark, N), budget=1024,
+                         n_shards=8, epoch_weights=WEIGHTS)
+
+
+def test_release_invariants(spark):
+    rel = _release(spark).persist()
+    rows = rel.count()
+    assert rows > 0
+
+    # no doc crosses splits
+    assert rel.groupBy("doc_id").agg(
+        F.countDistinct("split").alias("k")).filter("k > 1").count() == 0
+
+    # epoch copies: contiguous 0..n-1 per (doc, split); web docs in train get
+    # 2 or 3 copies (weight 2.5), code docs 0 or 1 (0.5), others exactly 1;
+    # val/test are never resampled.
+    per_doc = rel.groupBy("doc_id", "split", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.max("epoch").alias("mx"))
+    assert per_doc.filter(F.col("mx") != F.col("n") - 1).count() == 0
+    bad_web = per_doc.filter(
+        (F.col("split") == "train") & (F.col("source") == "web")
+        & ~F.col("n").isin(2, 3)).count()
+    bad_other = per_doc.filter(
+        (F.col("split") == "train")
+        & ~F.col("source").isin("web", "code") & (F.col("n") != 1)).count()
+    bad_eval = per_doc.filter(
+        (F.col("split") != "train") & (F.col("n") != 1)).count()
+    assert bad_web == 0 and bad_other == 0 and bad_eval == 0
+
+    # resample rates converge near the weights (hash-uniformity sanity)
+    web = per_doc.filter((F.col("split") == "train")
+                         & (F.col("source") == "web"))
+    mean_copies = web.agg(F.avg("n")).collect()[0][0]
+    assert 2.3 < mean_copies < 2.7
+
+    # packing: bins keyed within (split, source, epoch); every bin except a
+    # group's last fills past the budget minus the largest sequence
+    bins = rel.groupBy("split", "source", "epoch", "pack_id").agg(
+        F.sum("n_tok").alias("fill"))
+    w_last = bins.groupBy("split", "source", "epoch").agg(
+        F.max("pack_id").alias("last_id"))
+    nonlast = bins.join(w_last, ["split", "source", "epoch"]).filter(
+        F.col("pack_id") != F.col("last_id"))
+    max_tok = rel.agg(F.max("n_tok")).collect()[0][0]
+    assert nonlast.filter(F.col("fill") < 1024 - max_tok).count() == 0
+    # cumsum binning can overflow by at most one sequence
+    assert bins.filter(F.col("fill") > 1024 + max_tok).count() == 0
+
+    # shard assignment covers [0, n_shards) and the same (doc, epoch) copy
+    # never duplicates within a shard
+    shards = {r.shard for r in rel.select("shard").distinct().collect()}
+    assert shards == set(range(8))
+    assert rel.groupBy("doc_id", "epoch", "split").agg(
+        F.count(F.lit(1)).alias("k")).filter("k > 1").count() == 0
+    rel.unpersist()
+
+
+def test_release_deterministic(spark):
+    a = sorted(map(tuple, _release(spark).drop("tokens").collect()))
+    b = sorted(map(tuple, _release(spark).drop("tokens").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_span_gate_drops_duplicated_docs(spark):
+    """Planted corpus: two docs share every 4-token window (boilerplate
+    clones), one doc is unique — the gate must drop the clones and keep the
+    unique doc. (The arithmetic fixture's windows are ~100% corpus-
+    duplicated by construction, so the gate is exercised on planted data.)"""
+    rows = [
+        (0, [1, 2, 3, 4, 5], "web", 0),
+        (1, [1, 2, 3, 4, 5], "web", 1),     # exact dup — dedup removes it
+        (2, [1, 2, 3, 4, 5, 6], "web", 2),  # shares windows with 0 → gated
+        (3, [9, 8, 7, 6, 5, 4], "code", 3), # unique windows → kept
+    ]
+    seqs = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, source string, seq_no long"
+    ).withColumn("n_tok", F.size("tokens"))
+    rel = build_release(spark, seqs, budget=64, n_shards=2,
+                        epoch_weights={}, max_dup_frac=0.5, span_k=4)
+    kept = {r.doc_id for r in rel.select("doc_id").distinct().collect()}
+    assert "3" in kept
+    assert "1" not in kept          # exact-dedup victim
+    assert "0" not in kept and "2" not in kept  # span-gate victims
+
+
+def test_release_write_layout(spark, tmp_path):
+    out = str(tmp_path / "release")
+    rel = _release(spark)
+    write_release(rel, out, n_shards=8)
+    back = spark.read.parquet(out)
+    # partition columns round-trip; row set identical to the DataFrame
+    assert {"split", "shard"} <= set(back.columns)
+    assert back.count() == rel.count()
+    # within every (split, shard) file family the rows are sorted by the
+    # shuffle hash — the sequential-reader contract
+    import pyarrow.parquet as pq
+    import glob
+    files = glob.glob(f"{out}/split=*/shard=*/*.parquet")
+    assert files
+    for f in files[:6]:
+        ords = pq.read_table(f, columns=["shuffle_ord"])["shuffle_ord"].to_pylist()
+        assert ords == sorted(ords)
