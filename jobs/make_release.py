@@ -53,10 +53,21 @@ def parse_weights(s: str | None) -> dict[str, float]:
 def build_release(spark, seqs, budget: int = 2048, n_shards: int = 64,
                   epoch_weights: dict[str, float] | None = None,
                   max_dup_frac: float | None = None,
-                  span_k: int = 8):
+                  span_k: int = 8, counters=None):
     """The composed release DataFrame: (doc_id, tokens, n_tok, source,
     split, epoch, shard, shuffle_ord, pack_id). Pure function of the input
-    rows — deterministic across runs, partitionings, and cluster sizes."""
+    rows — deterministic across runs, partitionings, and cluster sizes.
+
+    The DAG is LINEAR (no union fork): the eval splits ride through the
+    epoch-resample stage under a sentinel mix source with default weight 1,
+    so the corpus upstream is scanned once, and the obsreport-style
+    ``counters`` Observations (metrics.py) each sit on a node consumed
+    exactly once — received/dropped ride the single write action with zero
+    extra passes. The one exception: when the span gate is on, the deduped
+    frame is persisted and counted (one extra action) because the gate's
+    hot-set stats re-read it — that action also fills the input/dedup
+    counters, keeping every Observation single-fire."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from omnition_opentelemetry_service_spark.functions.tokens import (
@@ -67,29 +78,46 @@ def build_release(spark, seqs, budget: int = 2048, n_shards: int = 64,
     # 1. exact token-array dedup: one keeper (min seq_no) per fingerprint.
     #    Rank-within-fingerprint instead of groupBy+join-back: one exchange.
     fp = seqs.withColumn("tok_fp", F.md5(tokens_str()))
-    from pyspark.sql import Window
     w = Window.partitionBy("tok_fp").orderBy("seq_no")
-    deduped = (fp.withColumn("_rk", F.row_number().over(w))
-               .filter(F.col("_rk") == 1).drop("_rk", "tok_fp"))
+    ranked = fp.withColumn("_rk", F.row_number().over(w))
+    if counters is not None:
+        ranked = counters.observe_stage(
+            ranked, "dedup_exact", "sequences",
+            drop_predicate=F.col("_rk") > 1)
+    deduped = ranked.filter(F.col("_rk") == 1).drop("_rk", "tok_fp")
 
     # 2. optional span-duplication gate (docs dominated by corpus-duplicated
     #    k-token windows are dropped; docs shorter than k have no windows
     #    and pass). The hot-set join is corpus.token_span_dedup_stats.
     if max_dup_frac is not None:
+        # two consumers (stats subtree + main chain): persist and fill the
+        # cache with ONE action so the dedup Observation fires exactly once
+        deduped = deduped.persist()
+        n_deduped = deduped.count()
+        if counters is not None:
+            counters.harvest()
         stats = corpus.token_span_dedup_stats(deduped, k=span_k, min_docs=2)
         bad = (stats.filter(F.col("dup_span_frac") > max_dup_frac)
                .select("doc_id").withColumn("_drop", F.lit(1)))
-        deduped = (deduped.join(F.broadcast(bad), "doc_id", "left")
-                   .filter(F.col("_drop").isNull()).drop("_drop"))
+        gated = deduped.join(F.broadcast(bad), "doc_id", "left")
+        if counters is not None:
+            gated = counters.observe_stage(
+                gated, "span_gate", f"k={span_k}",
+                drop_predicate=F.col("_drop").isNotNull())
+        deduped = gated.filter(F.col("_drop").isNull()).drop("_drop")
 
-    # 3. deterministic split; 4. train-only epoch weighting (val/test stay
-    #    single-epoch — resampling an eval set would double-count it).
+    # 3. deterministic split; 4. train-only epoch weighting, linearly: eval
+    #    rows take a sentinel mix source that falls to the default weight 1
+    #    (resampling an eval set would double-count it) — no union, the
+    #    upstream is scanned once.
+    if epoch_weights and "__eval__" in epoch_weights:
+        raise ValueError("'__eval__' is the reserved eval-split mix source")
     split = mixture.with_split(deduped)
-    train = mixture.epoch_resample(split.filter(F.col("split") == "train"),
-                                   epoch_weights or {})
-    rest = (split.filter(F.col("split") != "train")
-            .withColumn("epoch", F.lit(0)))
-    mixed = train.unionByName(rest)
+    keyed_src = split.withColumn(
+        "_mix_src", F.when(F.col("split") == "train", F.col("source"))
+        .otherwise(F.lit("__eval__")))
+    mixed = mixture.epoch_resample(keyed_src, epoch_weights or {},
+                                   source_col="_mix_src").drop("_mix_src")
 
     # 5. pack within (split, source, epoch) so one bin never mixes splits or
     #    epochs; epoch rides in the pack key via a composed column.
@@ -105,6 +133,8 @@ def build_release(spark, seqs, budget: int = 2048, n_shards: int = 64,
         packed.withColumn("_sid", F.concat_ws("#", "doc_id",
                                               F.col("epoch").cast("string"))),
         n_shards=n_shards, id_col="_sid").drop("_sid")
+    if counters is not None:
+        sharded = counters.observe_stage(sharded, "release_out", "rows")
     return sharded
 
 
@@ -153,12 +183,16 @@ def main() -> None:
             seqs = fixtures.sequences(spark, args.n_rows)
         else:
             seqs = spark.read.parquet(f"{args.input_dir}/sequences")
+        from omnition_opentelemetry_service_spark.metrics import StageCounters
+        counters = StageCounters()
         t0 = time.perf_counter()
         rel = build_release(spark, seqs, budget=args.budget,
                             n_shards=args.shards,
                             epoch_weights=parse_weights(args.epoch_weights),
-                            max_dup_frac=args.max_dup_frac)
+                            max_dup_frac=args.max_dup_frac,
+                            counters=counters)
         write_release(rel, args.out, args.shards)
+        counters.harvest()
         out = spark.read.parquet(args.out)
         from pyspark.sql import functions as F
         per_split = {r["split"]: (r["rows"], r["toks"]) for r in
@@ -169,6 +203,7 @@ def main() -> None:
             "out": args.out,
             "wall_s": round(time.perf_counter() - t0, 2),
             "per_split": per_split,
+            "counters": [list(r) for r in counters.rows],
         }))
     finally:
         spark.stop()

@@ -121,3 +121,53 @@ def test_release_write_layout(spark, tmp_path):
     for f in files[:6]:
         ords = pq.read_table(f, columns=["shuffle_ord"])["shuffle_ord"].to_pylist()
         assert ords == sorted(ords)
+
+
+def test_release_counters_ride_the_write(spark, tmp_path):
+    """obsreport analog for the release: the StageCounters observations fill
+    from the single write action (plus the one deliberate persist action
+    when the gate is on) and reconcile exactly with the materialized rows."""
+    from omnition_opentelemetry_service_spark.metrics import StageCounters
+
+    seqs = fx.sequences(spark, 500)
+    counters = StageCounters()
+    rel = build_release(spark, seqs, budget=1024, n_shards=4,
+                        epoch_weights=WEIGHTS, counters=counters)
+    out = str(tmp_path / "rel_counted")
+    write_release(rel, out, n_shards=4)
+    rows = {(r[0], r[1]): (r[2], r[3]) for r in counters.harvest()}
+
+    n_in = 500
+    n_out = spark.read.parquet(out).count()
+    ded_recv, ded_drop = rows[("dedup_exact", "sequences")]
+    assert ded_recv == n_in
+    assert rows[("release_out", "rows")] == (n_out, 0)
+    # dedup output + resampling reconcile: distinct (doc, epoch) copies in
+    # the release == release_out received
+    assert n_out > 0 and ded_drop >= 0
+
+
+def test_release_counters_with_gate(spark, tmp_path):
+    """Gate on: dedup counters fill from the persist-count action, the gate
+    observation from the write; dropped == docs over the threshold."""
+    from omnition_opentelemetry_service_spark.metrics import StageCounters
+
+    rows = [
+        (0, [1, 2, 3, 4, 5], "web", 0),
+        (1, [1, 2, 3, 4, 5], "web", 1),      # exact dup
+        (2, [1, 2, 3, 4, 5, 6], "web", 2),   # span-gated
+        (3, [9, 8, 7, 6, 5, 4], "code", 3),
+    ]
+    seqs = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, source string, seq_no long"
+    ).withColumn("n_tok", F.size("tokens"))
+    counters = StageCounters()
+    rel = build_release(spark, seqs, budget=64, n_shards=2, epoch_weights={},
+                        max_dup_frac=0.5, span_k=4, counters=counters)
+    out = str(tmp_path / "rel_gated")
+    write_release(rel, out, n_shards=2)
+    got = {(r[0], r[1]): (r[2], r[3]) for r in counters.harvest()}
+    assert got[("dedup_exact", "sequences")] == (4, 1)
+    assert got[("span_gate", "k=4")] == (3, 2)   # docs 0 and 2 gated
+    assert got[("release_out", "rows")][0] == spark.read.parquet(out).count()
+    spark.catalog.clearCache()
