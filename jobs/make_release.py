@@ -11,10 +11,11 @@ a trainer reads, end-to-end in one DAG:
                                          survives reruns & cluster resize)
       → per-source epoch weighting      (mixture.epoch_resample, train only)
       → fixed-budget packing            (packing.with_pack_id cumsum bins)
-      → hash-sharded global shuffle     (mixture.shuffle_shards)
-      → ONE write partitioned by (split, shard), rows sorted by the shuffle
-        hash within each file — a sequential reader sees one fixed
-        pseudo-random permutation per split.
+      → PACK-atomic hash-sharded shuffle (mixture.shuffle_shards keyed on
+                                         the bin identity — bins stay whole)
+      → ONE write partitioned by (split, shard); within each file, bins are
+        contiguous in pseudo-random (hash) order, rows inside a bin in
+        packing order — the stream a sequential trainer consumes.
 
 Every stage is a deterministic pure function of row identity, so the whole
 release is reproducible: re-running yields byte-identical shards (pinned in
@@ -50,13 +51,16 @@ def parse_weights(s: str | None) -> dict[str, float]:
     return out
 
 
-def build_release(spark, seqs, budget: int = 2048, n_shards: int = 64,
+def build_release(seqs, budget: int = 2048, n_shards: int = 64,
                   epoch_weights: dict[str, float] | None = None,
                   max_dup_frac: float | None = None,
                   span_k: int = 8, counters=None):
     """The composed release DataFrame: (doc_id, tokens, n_tok, source,
-    split, epoch, shard, shuffle_ord, pack_id). Pure function of the input
+    split, epoch, pack_id, shard, shuffle_ord). Pure function of the input
     rows — deterministic across runs, partitionings, and cluster sizes.
+    The input must carry a UNIQUE ``seq_no`` per row (the Iceberg-supplied
+    row id at scale): it is the dedup keeper tiebreak and the packing
+    order; without uniqueness both become scheduling-dependent.
 
     The DAG is LINEAR (no union fork): the eval splits ride through the
     epoch-resample stage under a sentinel mix source with default weight 1,
@@ -66,7 +70,15 @@ def build_release(spark, seqs, budget: int = 2048, n_shards: int = 64,
     extra passes. The one exception: when the span gate is on, the deduped
     frame is persisted and counted (one extra action) because the gate's
     hot-set stats re-read it — that action also fills the input/dedup
-    counters, keeping every Observation single-fire."""
+    counters, keeping every Observation single-fire. The persist is
+    CALLER-released (CLAUDE.md cache rule): main() and the tests
+    clearCache after the consuming write.
+
+    Shuffle/shard unit is the PACK, not the row: a trainer reads whole
+    fixed-budget bins, so the shard hash keys on the pack identity — every
+    bin lands contiguous in exactly one shard file (sorted by the bin's
+    hash, then pack key, then seq_no), and the permutation the reader sees
+    is a pseudo-random order over bins."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -74,6 +86,11 @@ def build_release(spark, seqs, budget: int = 2048, n_shards: int = 64,
         tokens_str)
     from omnition_opentelemetry_service_spark.operators import (
         corpus, mixture, packing)
+
+    if "seq_no" not in seqs.columns:
+        raise ValueError(
+            "release input must carry a unique seq_no column (the row id "
+            "that makes dedup keepers and packing order deterministic)")
 
     # 1. exact token-array dedup: one keeper (min seq_no) per fingerprint.
     #    Rank-within-fingerprint instead of groupBy+join-back: one exchange.
@@ -93,13 +110,16 @@ def build_release(spark, seqs, budget: int = 2048, n_shards: int = 64,
         # two consumers (stats subtree + main chain): persist and fill the
         # cache with ONE action so the dedup Observation fires exactly once
         deduped = deduped.persist()
-        n_deduped = deduped.count()
+        deduped.count()
         if counters is not None:
             counters.harvest()
         stats = corpus.token_span_dedup_stats(deduped, k=span_k, min_docs=2)
         bad = (stats.filter(F.col("dup_span_frac") > max_dup_frac)
                .select("doc_id").withColumn("_drop", F.lit(1)))
-        gated = deduped.join(F.broadcast(bad), "doc_id", "left")
+        # no broadcast hint: the drop-list is unbounded (a tight gate over a
+        # duplicate-heavy corpus can flag most of it) — AQE broadcasts when
+        # it fits and hash-joins when it doesn't
+        gated = deduped.join(bad, "doc_id", "left")
         if counters is not None:
             gated = counters.observe_stage(
                 gated, "span_gate", f"k={span_k}",
@@ -122,29 +142,37 @@ def build_release(spark, seqs, budget: int = 2048, n_shards: int = 64,
     # 5. pack within (split, source, epoch) so one bin never mixes splits or
     #    epochs; epoch rides in the pack key via a composed column.
     keyed = mixed.withColumn(
-        "_pack_key", F.concat_ws("|", "split", "source",
+        "pack_key", F.concat_ws("|", "split", "source",
                                  F.col("epoch").cast("string")))
-    packed = packing.with_pack_id(keyed, budget=budget, key="_pack_key",
-                                  order="seq_no").drop("_pack_key")
+    packed = packing.with_pack_id(keyed, budget=budget, key="pack_key",
+                                  order="seq_no")
 
-    # 6. shard assignment: hash (doc_id, epoch) so an epoch's copies land in
-    #    DIFFERENT shards (same-id copies in one file would cluster repeats).
-    sharded = mixture.shuffle_shards(
-        packed.withColumn("_sid", F.concat_ws("#", "doc_id",
-                                              F.col("epoch").cast("string"))),
-        n_shards=n_shards, id_col="_sid").drop("_sid")
+    # 6. shard assignment, PACK-atomic: hash the full pack identity so every
+    #    bin lands whole in one shard, and an epoch's repeated docs still
+    #    scatter (epoch is part of the pack key). shuffle_ord is the pack's
+    #    hash — constant within a bin, so the in-file sort keeps bins
+    #    contiguous; ties across bins break on the unique (pack_key,
+    #    pack_id) and rows within a bin stay in packing order (seq_no).
+    sharded = (mixture.shuffle_shards(
+        packed.withColumn("_pid", F.concat_ws("#", "pack_key",
+                                              F.col("pack_id").cast("string"))),
+        n_shards=n_shards, id_col="_pid").drop("_pid"))
     if counters is not None:
         sharded = counters.observe_stage(sharded, "release_out", "rows")
     return sharded
 
 
 def write_release(df, out_dir: str, n_shards: int) -> None:
-    """ONE exchange on (split, shard), in-partition sort by the shuffle
-    hash, one file family per (split, shard) partition directory."""
-    (df.repartition(n_shards, "split", "shard")
-     .sortWithinPartitions("split", "shard", "shuffle_ord")
-     .write.mode("overwrite").partitionBy("split", "shard")
-     .parquet(out_dir))
+    """ONE exchange on (split, shard); the in-partition sort is a TOTAL
+    order (pack hash, then the unique pack key, then seq_no) so reruns
+    produce byte-identical files and every pack is a contiguous run."""
+    from omnition_opentelemetry_service_spark.operators.mixture import (
+        materialize_sharded)
+
+    materialize_sharded(df, out_dir, n_shards,
+                        partition_cols=("split", "shard"),
+                        sort_cols=("shuffle_ord", "pack_key", "pack_id",
+                                   "seq_no"))
 
 
 def main() -> None:
@@ -186,13 +214,14 @@ def main() -> None:
         from omnition_opentelemetry_service_spark.metrics import StageCounters
         counters = StageCounters()
         t0 = time.perf_counter()
-        rel = build_release(spark, seqs, budget=args.budget,
+        rel = build_release(seqs, budget=args.budget,
                             n_shards=args.shards,
                             epoch_weights=parse_weights(args.epoch_weights),
                             max_dup_frac=args.max_dup_frac,
                             counters=counters)
         write_release(rel, args.out, args.shards)
         counters.harvest()
+        spark.catalog.clearCache()  # release the gate's persist (cache rule)
         out = spark.read.parquet(args.out)
         from pyspark.sql import functions as F
         per_split = {r["split"]: (r["rows"], r["toks"]) for r in

@@ -186,12 +186,25 @@ def shuffle_shard_sql_duck(n_shards: int = 1024, id_col: str = "doc_id",
     return h, f"({h}) % {n_shards}"
 
 
+def materialize_sharded(df: DataFrame, path: str, n_shards: int,
+                        partition_cols: tuple[str, ...] = ("shard",),
+                        sort_cols: tuple[str, ...] = ("shuffle_ord",)) -> None:
+    """The canonical shuffle materialization: ONE exchange on the partition
+    columns, in-partition sort, one file family per partition directory.
+    ``sort_cols`` must end in a unique key — shuffle_ord is reduced mod
+    MIX_MOD, so ties are common and an ord-only sort would leave tie order
+    to shuffle-fetch arrival (reruns would NOT be byte-identical)."""
+    (df.repartition(n_shards, *partition_cols)
+     .sortWithinPartitions(*partition_cols, *sort_cols)
+     .write.mode("overwrite").partitionBy(*partition_cols).parquet(path))
+
+
 def write_shuffled(df: DataFrame, path: str, n_shards: int = 1024,
                    id_col: str = "doc_id", seed: str = "s0") -> None:
     """Materialize the shuffle: ONE exchange on shard, in-partition sort by
-    the hash, one file family per shard — the layout a sequential trainer
-    reads back in shard order."""
+    (hash, id) — the id tiebreak makes reruns byte-identical — one file
+    family per shard: the layout a sequential trainer reads in shard
+    order."""
     sharded = shuffle_shards(df, n_shards, id_col, seed)
-    (sharded.repartition(n_shards, "shard")
-     .sortWithinPartitions("shard", "shuffle_ord")
-     .write.mode("overwrite").partitionBy("shard").parquet(path))
+    materialize_sharded(sharded, path, n_shards, ("shard",),
+                        ("shuffle_ord", id_col))

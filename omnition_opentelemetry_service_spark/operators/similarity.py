@@ -368,9 +368,20 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
         f"sqrt({_dot_expr('c.c_emb', 'c.c_emb')})), "
         "'cid', c.centroid_id))"
     )
+    # NULL scores (zero-norm vector or centroid → 0/0) must sort LAST to
+    # match the windowed twin's orderBy(desc) NULLS LAST — without the
+    # explicit branches both a.s>b.s and a.s<b.s are NULL (false) and a
+    # NULL-scored centroid would fall through to the cid rule, ranking
+    # above real scores and making the comparator a non-total order.
+    # Under this engine's ANSI default, 0/0 raises in BOTH forms before any
+    # ordering happens (pinned by test); the branches keep non-ANSI
+    # sessions twin-identical instead of silently divergent.
     ranked = (
         f"slice(array_sort({scored}, (a, b) -> "
-        "CASE WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1 "
+        "CASE WHEN a.s IS NULL AND b.s IS NULL THEN "
+        "(CASE WHEN a.cid < b.cid THEN -1 WHEN a.cid > b.cid THEN 1 ELSE 0 END) "
+        "WHEN a.s IS NULL THEN 1 WHEN b.s IS NULL THEN -1 "
+        "WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1 "
         "WHEN a.cid < b.cid THEN -1 WHEN a.cid > b.cid THEN 1 ELSE 0 END), "
         f"1, {int(nprobe)})"
     )

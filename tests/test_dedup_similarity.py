@@ -232,6 +232,38 @@ def test_ivf_assign_mapside_equals_windowed_twin(spark):
     assert "hashpartitioning(vec_id" not in plan
 
 
+def test_ivf_assign_degenerate_vectors_match_windowed_twin(spark):
+    """Degenerate geometry: a zero-norm vector makes cosine 0/0. Under the
+    session's ANSI mode (the Spark 4 default this engine runs with) BOTH
+    forms must fail the same way — a loud ArithmeticException, never a
+    silent divergence; under non-ANSI sessions the comparator's explicit
+    NULL branches sort NULL scores last, matching the windowed twin's
+    orderBy(desc) NULLS LAST (without them the comparator is not even a
+    total order)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    rows = [(3, [0.0, 0.0, 0.0, 0.0]),    # centroid (id 3), zero-norm
+            (100, [0.0, 1.0, 0.0, 0.0]),  # centroid (id 100), real
+            (1, [0.0, 0.0, 0.0, 0.0]),    # zero-norm corpus vector
+            (2, [1.0, 0.5, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.ivf_centroids(emb)
+    if spark.conf.get("spark.sql.ansi.enabled") == "true":
+        for form in (sim.ivf_assign, sim.ivf_assign_windowed):
+            with pytest.raises((ArithmeticException, Py4JJavaError)):
+                form(emb, cents, nprobe=1).collect()
+        return
+    for nprobe in (1, 2):
+        a = sorted(map(tuple, sim.ivf_assign(emb, cents, nprobe=nprobe)
+                       .select("vec_id", "cell", "c_rnk").collect()))
+        b = sorted(map(tuple,
+                       sim.ivf_assign_windowed(emb, cents, nprobe=nprobe)
+                       .select("vec_id", "cell", "c_rnk").collect()))
+        assert a == b and len(a) > 0
+
+
 def test_ivf_topk_stays_in_cluster(spark):
     out = sim.ivf_ann_topk(_ivf_corpus(spark), n_queries=2, k=3, nprobe=1)
     rows = out.collect()

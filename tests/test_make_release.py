@@ -19,7 +19,7 @@ WEIGHTS = {"web": 2.5, "code": 0.5}
 
 
 def _release(spark):
-    return build_release(spark, fx.sequences(spark, N), budget=1024,
+    return build_release(fx.sequences(spark, N), budget=1024,
                          n_shards=8, epoch_weights=WEIGHTS)
 
 
@@ -96,12 +96,13 @@ def test_span_gate_drops_duplicated_docs(spark):
     seqs = spark.createDataFrame(
         rows, "doc_id string, tokens array<int>, source string, seq_no long"
     ).withColumn("n_tok", F.size("tokens"))
-    rel = build_release(spark, seqs, budget=64, n_shards=2,
+    rel = build_release(seqs, budget=64, n_shards=2,
                         epoch_weights={}, max_dup_frac=0.5, span_k=4)
     kept = {r.doc_id for r in rel.select("doc_id").distinct().collect()}
     assert "3" in kept
     assert "1" not in kept          # exact-dedup victim
     assert "0" not in kept and "2" not in kept  # span-gate victims
+    spark.catalog.clearCache()      # release the gate's persist (cache rule)
 
 
 def test_release_write_layout(spark, tmp_path):
@@ -112,15 +113,61 @@ def test_release_write_layout(spark, tmp_path):
     # partition columns round-trip; row set identical to the DataFrame
     assert {"split", "shard"} <= set(back.columns)
     assert back.count() == rel.count()
-    # within every (split, shard) file family the rows are sorted by the
-    # shuffle hash — the sequential-reader contract
+    # sequential-reader contract, file by file: sorted by the pack hash,
+    # every pack a CONTIGUOUS run (pack-atomic sharding), rows inside a
+    # pack in packing (seq_no) order
     import pyarrow.parquet as pq
     import glob
-    files = glob.glob(f"{out}/split=*/shard=*/*.parquet")
+    files = sorted(glob.glob(f"{out}/split=*/shard=*/*.parquet"))
     assert files
-    for f in files[:6]:
-        ords = pq.read_table(f, columns=["shuffle_ord"])["shuffle_ord"].to_pylist()
+    seen_packs_global = set()
+    for f in files[:8]:
+        t = pq.read_table(f, columns=["shuffle_ord", "pack_key", "pack_id",
+                                      "seq_no"])
+        ords = t["shuffle_ord"].to_pylist()
         assert ords == sorted(ords)
+        packs = list(zip(t["pack_key"].to_pylist(), t["pack_id"].to_pylist()))
+        seen, prev = set(), None
+        for pk in packs:
+            if pk != prev:
+                assert pk not in seen  # contiguity: a pack never re-appears
+                assert pk not in seen_packs_global  # never split across files
+                seen.add(pk)
+                prev = pk
+        seen_packs_global |= seen
+        # in-pack row order is the packing order
+        by_pack = {}
+        for pk, sq in zip(packs, t["seq_no"].to_pylist()):
+            by_pack.setdefault(pk, []).append(sq)
+        for sqs in by_pack.values():
+            assert sqs == sorted(sqs)
+
+
+def test_release_rerun_byte_identical(spark, tmp_path):
+    """The reproducibility claim, verified at the FILE level: two
+    materializations of the same release produce byte-identical parquet
+    contents per (split, shard) — the sort is a total order, so not even
+    tie order may drift between runs."""
+    import glob
+    import pyarrow.parquet as pq
+
+    outs = []
+    for name in ("a", "b"):
+        out = str(tmp_path / name)
+        write_release(_release(spark), out, n_shards=4)
+        outs.append(out)
+
+    def file_rows(base):
+        rows = {}
+        for f in sorted(glob.glob(f"{base}/split=*/shard=*/*.parquet")):
+            key = "/".join(f[len(base):].split("/")[1:3])  # split=?/shard=?
+            t = pq.read_table(f).to_pydict()
+            rows.setdefault(key, []).append(t)
+        return rows
+
+    a, b = file_rows(outs[0]), file_rows(outs[1])
+    assert a.keys() == b.keys() and len(a) > 0
+    assert a == b
 
 
 def test_release_counters_ride_the_write(spark, tmp_path):
@@ -131,7 +178,7 @@ def test_release_counters_ride_the_write(spark, tmp_path):
 
     seqs = fx.sequences(spark, 500)
     counters = StageCounters()
-    rel = build_release(spark, seqs, budget=1024, n_shards=4,
+    rel = build_release(seqs, budget=1024, n_shards=4,
                         epoch_weights=WEIGHTS, counters=counters)
     out = str(tmp_path / "rel_counted")
     write_release(rel, out, n_shards=4)
@@ -162,7 +209,7 @@ def test_release_counters_with_gate(spark, tmp_path):
         rows, "doc_id string, tokens array<int>, source string, seq_no long"
     ).withColumn("n_tok", F.size("tokens"))
     counters = StageCounters()
-    rel = build_release(spark, seqs, budget=64, n_shards=2, epoch_weights={},
+    rel = build_release(seqs, budget=64, n_shards=2, epoch_weights={},
                         max_dup_frac=0.5, span_k=4, counters=counters)
     out = str(tmp_path / "rel_gated")
     write_release(rel, out, n_shards=2)
