@@ -54,7 +54,9 @@ def parse_weights(s: str | None) -> dict[str, float]:
 def build_release(seqs, budget: int = 2048, n_shards: int = 64,
                   epoch_weights: dict[str, float] | None = None,
                   max_dup_frac: float | None = None,
-                  span_k: int = 8, counters=None):
+                  span_k: int = 8, counters=None,
+                  checkpoint_dir: str | None = None,
+                  input_token: str = ""):
     """The composed release DataFrame: (doc_id, tokens, n_tok, source,
     split, epoch, pack_id, shard, shuffle_ord). Pure function of the input
     rows — deterministic across runs, partitionings, and cluster sizes.
@@ -78,7 +80,16 @@ def build_release(seqs, budget: int = 2048, n_shards: int = 64,
     fixed-budget bins, so the shard hash keys on the pack identity — every
     bin lands contiguous in exactly one shard file (sorted by the bin's
     hash, then pack key, then seq_no), and the permutation the reader sees
-    is a pseudo-random order over bins."""
+    is a pseudo-random order over bins.
+
+    ``checkpoint_dir`` commits the CLEANED stage (dedup + gate — the
+    expensive half at 100 TB) to a SnapshotTable keyed by a fingerprint of
+    (input_token, gate params): a rerun under the same fingerprint resumes
+    from the snapshot (dedup/gate counters restored from the manifest, not
+    recomputed); a changed gate or input recomputes into a new version —
+    the same contract as run_pipeline's parsed/routed stages. Splitting/
+    mixing/packing stay live: they're cheap expressions, and re-deriving
+    them from the snapshot keeps weight or budget changes checkpoint-free."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -91,6 +102,27 @@ def build_release(seqs, budget: int = 2048, n_shards: int = 64,
         raise ValueError(
             "release input must carry a unique seq_no column (the row id "
             "that makes dedup keepers and packing order deterministic)")
+
+    snap = clean_fp = None
+    if checkpoint_dir:
+        import hashlib
+        import os
+
+        from omnition_opentelemetry_service_spark.sinks.snapshot import (
+            SnapshotTable)
+
+        clean_fp = hashlib.md5(
+            f"{input_token}|dup={max_dup_frac}|k={span_k}".encode()
+        ).hexdigest()
+        snap = SnapshotTable(os.path.join(checkpoint_dir, "cleaned"))
+        manifest = snap.stage_manifest("cleaned", clean_fp)
+        if manifest is not None:
+            cleaned = snap.read(seqs.sparkSession)
+            if counters is not None:
+                for row in manifest.get("counters", []):
+                    counters.record(*row)
+            return _mix_pack_shard(cleaned, budget, n_shards, epoch_weights,
+                                   counters)
 
     # 1. exact token-array dedup: one keeper (min seq_no) per fingerprint.
     #    Rank-within-fingerprint instead of groupBy+join-back: one exchange.
@@ -126,13 +158,36 @@ def build_release(seqs, budget: int = 2048, n_shards: int = 64,
                 drop_predicate=F.col("_drop").isNotNull())
         deduped = gated.filter(F.col("_drop").isNull()).drop("_drop")
 
+    if snap is not None:
+        # commit the cleaned stage: the snapshot write IS the action that
+        # fills any pending observations; harvested counters ride in the
+        # manifest so a resume restores them without recomputing
+        fp_val = clean_fp
+        snap.write(deduped, stage="cleaned",
+                   meta=lambda: {"fingerprint": fp_val,
+                                 "counters": (counters.harvest()
+                                              if counters else [])})
+        deduped = snap.read(seqs.sparkSession)
+
+    return _mix_pack_shard(deduped, budget, n_shards, epoch_weights, counters)
+
+
+def _mix_pack_shard(cleaned, budget: int, n_shards: int,
+                    epoch_weights: dict[str, float] | None, counters):
+    """Stages 3-6 over the cleaned corpus (live whether cleaned was just
+    computed or read back from a checkpoint snapshot)."""
+    from pyspark.sql import functions as F
+
+    from omnition_opentelemetry_service_spark.operators import (
+        mixture, packing)
+
     # 3. deterministic split; 4. train-only epoch weighting, linearly: eval
     #    rows take a sentinel mix source that falls to the default weight 1
     #    (resampling an eval set would double-count it) — no union, the
     #    upstream is scanned once.
     if epoch_weights and "__eval__" in epoch_weights:
         raise ValueError("'__eval__' is the reserved eval-split mix source")
-    split = mixture.with_split(deduped)
+    split = mixture.with_split(cleaned)
     keyed_src = split.withColumn(
         "_mix_src", F.when(F.col("split") == "train", F.col("source"))
         .otherwise(F.lit("__eval__")))
@@ -189,6 +244,10 @@ def main() -> None:
     ap.add_argument("--max-dup-frac", type=float, default=None,
                     help="drop docs with > this fraction of corpus-duplicated "
                          "k-token windows (off when omitted)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="commit the cleaned (dedup+gate) stage to a "
+                         "snapshot table; reruns under the same input/gate "
+                         "fingerprint resume from it")
     ap.add_argument("--parallelism", type=int, default=None)
     args = ap.parse_args()
     if (args.n_rows is None) == (args.input_dir is None):
@@ -218,7 +277,11 @@ def main() -> None:
                             n_shards=args.shards,
                             epoch_weights=parse_weights(args.epoch_weights),
                             max_dup_frac=args.max_dup_frac,
-                            counters=counters)
+                            counters=counters,
+                            checkpoint_dir=args.checkpoint_dir,
+                            input_token=(f"n={args.n_rows}"
+                                         if args.n_rows is not None
+                                         else f"dir={args.input_dir}"))
         write_release(rel, args.out, args.shards)
         counters.harvest()
         spark.catalog.clearCache()  # release the gate's persist (cache rule)

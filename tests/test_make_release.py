@@ -218,3 +218,53 @@ def test_release_counters_with_gate(spark, tmp_path):
     assert got[("span_gate", "k=4")] == (3, 2)   # docs 0 and 2 gated
     assert got[("release_out", "rows")][0] == spark.read.parquet(out).count()
     spark.catalog.clearCache()
+
+
+def test_release_checkpoint_resume(spark, tmp_path):
+    """The cleaned stage commits to a snapshot: a rerun under the same
+    (input, gate) fingerprint reads it back — same release rows, restored
+    counters, no new snapshot version; a changed gate fingerprint
+    recomputes into a new version."""
+    import os
+    from omnition_opentelemetry_service_spark.metrics import StageCounters
+    from omnition_opentelemetry_service_spark.sinks.snapshot import (
+        SnapshotTable)
+
+    rows = [
+        (0, [1, 2, 3, 4, 5], "web", 0),
+        (1, [1, 2, 3, 4, 5], "web", 1),      # exact dup
+        (2, [1, 2, 3, 4, 5, 6], "web", 2),   # span-gated at 0.5
+        (3, [9, 8, 7, 6, 5, 4], "code", 3),
+    ]
+    seqs = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, source string, seq_no long"
+    ).withColumn("n_tok", F.size("tokens"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(dup):
+        c = StageCounters()
+        rel = build_release(seqs, budget=64, n_shards=2, epoch_weights={},
+                            max_dup_frac=dup, span_k=4, counters=c,
+                            checkpoint_dir=ckpt, input_token="t")
+        rows_out = sorted(map(tuple, rel.drop("tokens").collect()))
+        c.harvest()
+        return rows_out, c.rows
+
+    first_rows, first_counters = run(0.5)
+    snap = SnapshotTable(os.path.join(ckpt, "cleaned"))
+    v1 = snap.current_version()
+    assert v1 is not None
+
+    second_rows, second_counters = run(0.5)   # resume: same fingerprint
+    assert second_rows == first_rows
+    assert snap.current_version() == v1       # no recompute, no new version
+    # dedup/gate counters restored from the manifest on the resumed run
+    assert [r for r in second_counters if r[0] == "dedup_exact"] == \
+        [r for r in first_counters if r[0] == "dedup_exact"]
+    assert [r for r in second_counters if r[0] == "span_gate"] == \
+        [r for r in first_counters if r[0] == "span_gate"]
+
+    third_rows, _ = run(0.99)                 # different gate → recompute
+    assert snap.current_version() == v1 + 1
+    assert third_rows != first_rows           # doc 2 survives the loose gate
+    spark.catalog.clearCache()
