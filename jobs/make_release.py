@@ -2,7 +2,7 @@
 composed training-data tail that turns a cleaned token table into the thing
 a trainer reads, end-to-end in one DAG:
 
-    sequences (doc_id, tokens, n_tok, source[, seq_no])
+    sequences (doc_id, tokens, n_tok, source, seq_no — unique row id)
       → exact token-array dedup         (md5 fingerprint, keep min seq_no)
       → span-duplication gate           (drop docs whose k-token windows are
                                          mostly corpus-duplicated — Lee-et-al
@@ -28,7 +28,8 @@ zip via --py-files exactly like jobs/run_pipeline.py):
 
     python jobs/make_release.py --n-rows 100000 --out /tmp/release \
         [--budget 2048] [--shards 64] [--epoch-weights web=2.0,code=0.5] \
-        [--max-dup-frac 0.9] [--parallelism 32]
+        [--max-dup-frac 0.9] [--checkpoint-dir /tmp/release_ckpt] \
+        [--parallelism 32]
 """
 
 from __future__ import annotations
