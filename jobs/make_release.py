@@ -118,7 +118,9 @@ def build_release(seqs, budget: int = 2048, n_shards: int = 64,
         snap = SnapshotTable(os.path.join(checkpoint_dir, "cleaned"))
         manifest = snap.stage_manifest("cleaned", clean_fp)
         if manifest is not None:
-            cleaned = snap.read(seqs.sparkSession)
+            # version-pinned: CURRENT may have advanced past the matched
+            # fingerprint (a concurrent run with other gate params)
+            cleaned = snap.read(seqs.sparkSession, manifest["version"])
             if counters is not None:
                 for row in manifest.get("counters", []):
                     counters.record(*row)
@@ -164,11 +166,11 @@ def build_release(seqs, budget: int = 2048, n_shards: int = 64,
         # fills any pending observations; harvested counters ride in the
         # manifest so a resume restores them without recomputing
         fp_val = clean_fp
-        snap.write(deduped, stage="cleaned",
-                   meta=lambda: {"fingerprint": fp_val,
-                                 "counters": (counters.harvest()
-                                              if counters else [])})
-        deduped = snap.read(seqs.sparkSession)
+        m_new = snap.write(deduped, stage="cleaned",
+                           meta=lambda: {"fingerprint": fp_val,
+                                         "counters": (counters.harvest()
+                                                      if counters else [])})
+        deduped = snap.read(seqs.sparkSession, m_new["version"])
 
     return _mix_pack_shard(deduped, budget, n_shards, epoch_weights, counters)
 

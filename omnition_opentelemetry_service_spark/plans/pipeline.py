@@ -95,6 +95,41 @@ def config_fingerprint(cfg: PipelineConfig) -> str:
     return hashlib.md5(key.encode()).hexdigest()
 
 
+def load_inputs(spark: SparkSession, cfg: PipelineConfig,
+                sequences_only: bool = False):
+    """The ONE receiver-selection point: (payloads, seqs) for the config's
+    input kind. Shared by build_routed and the checkpoint-resume path — two
+    divergent copies of this branching is how a new receiver kind would
+    silently break resume.
+
+    - input_db: bucketed-by-doc_id catalog tables — the payload ⨝ sequences
+      join runs exchange-free on both sides
+      (fixtures.materialize_input_bucketed).
+    - input_dir(s): the scale path — scan the materialized token table
+      (Iceberg/parquet at 10^12 rows); filters and column pruning push into
+      the scan, and multiple dirs (multi-receiver fan-in) are ONE multi-path
+      scan so pushdown/pruning/AQE see a single unioned source, not N jobs.
+    - neither: deterministic generated fixtures.
+
+    ``sequences_only`` skips building the payloads side (the resume path
+    reads parsed payloads from the snapshot instead)."""
+    if cfg.input_db:
+        payloads = (None if sequences_only
+                    else spark.table(f"{cfg.input_db}.payloads"))
+        seqs = spark.table(f"{cfg.input_db}.sequences")
+    elif cfg.input_dir:
+        dirs = cfg.input_dirs
+        payloads = (None if sequences_only else
+                    spark.read.parquet(*[f"{d}/payloads" for d in dirs]))
+        seqs = spark.read.parquet(*[f"{d}/sequences" for d in dirs])
+    else:
+        n = cfg.n
+        payloads = (None if sequences_only else
+                    fixtures.raw_payloads(spark, n, cfg.num_partitions))
+        seqs = fixtures.sequences(spark, n, cfg.num_partitions)
+    return payloads, seqs
+
+
 def build_routed(spark: SparkSession, cfg: PipelineConfig,
                  counters: "StageCounters | None" = None) -> dict[str, DataFrame]:
     """Compose the full DAG lazily; returns named stage DataFrames.
@@ -105,23 +140,7 @@ def build_routed(spark: SparkSession, cfg: PipelineConfig,
     the input (the obsreport design intent, metrics.py:8-10)."""
     cfg.validate()
 
-    if cfg.input_db:
-        # Bucketed-by-doc_id catalog tables: the payload ⨝ sequences join
-        # runs exchange-free on both sides (fixtures.materialize_input_bucketed).
-        payloads = spark.table(f"{cfg.input_db}.payloads")
-        seqs = spark.table(f"{cfg.input_db}.sequences")
-    elif cfg.input_dir:
-        # The scale path: scan the materialized token table (Iceberg/parquet
-        # at 10^12 rows) — filters and column pruning push into the scan.
-        # Multiple dirs (multi-receiver fan-in) are ONE multi-path scan, so
-        # pushdown/pruning/AQE see a single unioned source, not N jobs.
-        dirs = cfg.input_dirs
-        payloads = spark.read.parquet(*[f"{d}/payloads" for d in dirs])
-        seqs = spark.read.parquet(*[f"{d}/sequences" for d in dirs])
-    else:
-        n = cfg.n
-        payloads = fixtures.raw_payloads(spark, n, cfg.num_partitions)
-        seqs = fixtures.sequences(spark, n, cfg.num_partitions)
+    payloads, seqs = load_inputs(spark, cfg)
     dim = fixtures.source_dim(spark)
     rules = fixtures.route_rules(spark)
 
@@ -206,7 +225,11 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
         t_parsed = SnapshotTable(os.path.join(cfg.checkpoint_dir, "parsed"))
         m_parsed = t_parsed.stage_manifest("parsed", fp)
         if m_parsed:
-            parsed = t_parsed.read(spark)  # resume: skip the parse stage
+            # read the MATCHED version, not CURRENT: a concurrent run under
+            # a different fingerprint may have committed (and advanced
+            # CURRENT) after our match — reading CURRENT would silently
+            # bypass the fingerprint guard and resume foreign data
+            parsed = t_parsed.read(spark, m_parsed["version"])
             for row in m_parsed.get("counters", []):
                 counters.record(*row)  # counters restored, not recomputed
         else:
@@ -214,19 +237,14 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
             # The snapshot write IS the action — it fills the parse
             # Observation, and the harvested counters commit with the
             # manifest (meta evaluated post-write).
-            t_parsed.write(
+            m_new = t_parsed.write(
                 stages0["parsed"], stage="parsed",
                 meta=lambda: {"fingerprint": fp,
                               "counters": counters.harvest()})
-            parsed = t_parsed.read(spark)
+            parsed = t_parsed.read(spark, m_new["version"])
         if fail_after == "parsed":
             raise RuntimeError("injected failure after stage: parsed")
-        n_parts = cfg.num_partitions
-        seqs = (spark.table(f"{cfg.input_db}.sequences") if cfg.input_db
-                else spark.read.parquet(
-                    *[f"{d}/sequences" for d in cfg.input_dirs])
-                if cfg.input_dir
-                else fixtures.sequences(spark, cfg.n, n_parts))
+        _, seqs = load_inputs(spark, cfg, sequences_only=True)
         stages = build_from_parsed(spark, parsed, seqs,
                                    fixtures.source_dim(spark),
                                    fixtures.route_rules(spark))
@@ -236,12 +254,14 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
     routed = stages["routed"]
     if cfg.checkpoint_dir:
         table = SnapshotTable(os.path.join(cfg.checkpoint_dir, "routed"))
-        if table.has_stage("routed", fp):
-            routed = table.read(spark)  # resume: skip recompute
+        m_routed = table.stage_manifest("routed", fp)
+        if m_routed:
+            # version-pinned resume — same rationale as the parsed stage
+            routed = table.read(spark, m_routed["version"])
         else:
-            table.write(routed, stage="routed", partition_by=["sink"],
-                        meta={"fingerprint": fp})
-            routed = table.read(spark)
+            m_new = table.write(routed, stage="routed", partition_by=["sink"],
+                                meta={"fingerprint": fp})
+            routed = table.read(spark, m_new["version"])
         if fail_after == "routed":
             raise RuntimeError("injected failure after stage: routed")
 

@@ -94,6 +94,9 @@ class SnapshotTable:
         writer.save(staged)
         m = meta() if callable(meta) else meta
 
+        import errno
+        import shutil
+
         for _ in range(64):  # re-allocate on version loss; never same-version
             version = self._next_version()
             data_dir = os.path.join(self.root, f"v_{version}")
@@ -102,8 +105,15 @@ class SnapshotTable:
                 # the target present (a concurrent winner or a crash
                 # orphan) — retry at the next free number.
                 os.rename(staged, data_dir)
-            except OSError:
-                continue
+            except OSError as e:
+                # ONLY target-exists errors mean "lost the race"; anything
+                # else (EXDEV staging/root on different filesystems, perms)
+                # is persistent — retrying 64 times would blame concurrency
+                # for an environment fault and leak the staged data dir.
+                if e.errno in (errno.EEXIST, errno.ENOTEMPTY, errno.EISDIR):
+                    continue
+                shutil.rmtree(staged, ignore_errors=True)
+                raise
 
             manifest = {
                 "version": version,
@@ -128,28 +138,41 @@ class SnapshotTable:
                 f.write(str(version))
             os.replace(tmp_cur, self._current_path())
             return manifest
+        shutil.rmtree(staged, ignore_errors=True)
         raise RuntimeError(
             f"could not commit stage {stage!r} under {self.root}: lost the "
             "version race 64 times")
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read a committed snapshot. Pass the ``version`` from the manifest
+        your resume check matched — CURRENT may have advanced past it (e.g.
+        a concurrent run under a different fingerprint committed later), and
+        reading CURRENT then would bypass the fingerprint guard entirely.
+        The data format comes from that version's manifest (write() records
+        ``fmt``), not an assumption of parquet."""
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
-        return spark.read.parquet(os.path.join(self.root, f"v_{v}"))
+        m = self.manifest(v) or {}
+        return (spark.read.format(m.get("format", "parquet"))
+                .load(os.path.join(self.root, f"v_{v}")))
 
     def stage_manifest(self, stage: str,
                        fingerprint: str | None = None) -> dict | None:
-        """Latest committed manifest for ``stage`` — or None. When a
-        ``fingerprint`` is given, a snapshot committed under a DIFFERENT
-        config/input fingerprint does not count: resuming it against a
-        changed config would silently join stale data with fresh inputs."""
+        """Latest committed manifest for ``stage`` (and, when given, the
+        exact ``fingerprint``) — or None. A snapshot committed under a
+        DIFFERENT config/input fingerprint never matches (resuming it
+        against a changed config would silently join stale data with fresh
+        inputs), but the walk CONTINUES below it: two configs alternating
+        over one checkpoint dir each resume their own latest version.
+        Pair the returned manifest's ``version`` with ``read(version=...)``
+        — CURRENT may advance between the match and the read."""
         v = self.current_version()
         while v:
             m = self.manifest(v)
-            if m and m.get("stage") == stage:
-                if fingerprint is not None and m.get("fingerprint") != fingerprint:
-                    return None
+            if m and m.get("stage") == stage and (
+                    fingerprint is None
+                    or m.get("fingerprint") == fingerprint):
                 return m
             v -= 1
         return None

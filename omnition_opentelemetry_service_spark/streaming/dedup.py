@@ -47,6 +47,10 @@ def dedup_stream(stream: DataFrame,
 def with_event_time_from_ts(df: DataFrame,
                             ts_col: str = "ts_str",
                             out: str = "event_time") -> DataFrame:
-    """ISO-8601 string → TimestampType for watermarking (the payload table
-    carries ts_str; watermarks need a real timestamp column)."""
-    return df.withColumn(out, F.to_timestamp(ts_col))
+    """ISO-8601 string → TimestampType for watermarking, via the engine's
+    ONE timestamp pattern (functions/parse.with_event_time). A bare
+    to_timestamp would treat the trailing 'Z' as a UTC offset while every
+    other stage parses it as a literal in session time — identical only
+    under the pinned UTC session, silently skewed in any other."""
+    return df.withColumn(
+        out, F.to_timestamp(ts_col, "yyyy-MM-dd'T'HH:mm:ss'Z'"))

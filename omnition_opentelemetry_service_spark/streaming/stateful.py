@@ -50,19 +50,22 @@ def running_source_counts(seq_stream: DataFrame) -> DataFrame:
 
 
 def run_counts_once(spark, input_dir: str, checkpoint_dir: str,
-                    out_table: str = "running_counts",
                     max_files_per_trigger: int = 2) -> DataFrame:
     """Drain the sequences table as micro-batches, maintaining the running
     counters; returns the final per-source rows.
 
-    The emitted updates are persisted to a parquet log BESIDE the
-    checkpoint, not to a per-run memory sink: update mode only emits for
-    keys that saw input in THIS run, so a resumed run with no (or partial)
-    new data would report empty/partial totals from a memory table even
-    though the true counters live on in the state store. The counters are
-    monotone non-decreasing per source, so the final value per source is
-    the max over the WHOLE log — re-runs and crash-redelivered batches
-    only append dominated or duplicate rows, which the max ignores."""
+    The emitted updates are persisted to a parquet log INSIDE the
+    checkpoint directory, not to a per-run memory sink: update mode only
+    emits for keys that saw input in THIS run, so a resumed run with no (or
+    partial) new data would report empty/partial totals from a memory table
+    even though the true counters live on in the state store. The counters
+    are monotone non-decreasing per source, so the final value per source
+    is the max over the WHOLE log — re-runs and crash-redelivered batches
+    only append dominated or duplicate rows, which the max ignores. The
+    max-over-log rule is only sound while the log and the state store share
+    a lifetime, which is WHY the log lives inside the checkpoint dir: a
+    sibling path would survive a checkpoint reset and leak the old
+    generation's (larger) counters into the fresh run's result."""
     import os
 
     from pyspark.sql import functions as F
@@ -75,7 +78,9 @@ def run_counts_once(spark, input_dir: str, checkpoint_dir: str,
         .parquet(f"{input_dir}/sequences")
     )
     counts = running_source_counts(stream.select("source", "n_tok"))
-    updates_dir = checkpoint_dir.rstrip("/") + "_updates"
+    # inside the checkpoint dir (Spark only reads its own subdirs there), so
+    # `rm -rf checkpoint_dir` resets state store and log TOGETHER
+    updates_dir = os.path.join(checkpoint_dir, "_updates")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(updates_dir)

@@ -156,6 +156,7 @@ def run_stream_once(spark: SparkSession, input_dir: str,
         .start()
     )
     q.awaitTermination()
+    q.stop()  # release the checkpoint registration (same as the siblings)
     return spark.table(out_table)
 
 
@@ -173,8 +174,20 @@ def run_stream_to_sinks(spark: SparkSession, input_dir: str,
     streaming twin of the queued-retry/snapshot commit. Returns the number
     of micro-batches."""
     import os
+    import shutil
 
     from ..operators.translate import encode_envelope
+
+    # The per-batch overwrite is idempotent only WITHIN one checkpoint
+    # lifetime: a fresh checkpoint restarts batch ids at 0, so batch_id=N
+    # dirs from a previous generation would survive (and a whole-directory
+    # read would double-count). On a fresh checkpoint, clear stale batch
+    # dirs first.
+    if not os.path.exists(os.path.join(checkpoint_dir, "commits")) \
+            and os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith("batch_id="):
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
 
     routed = build_routed_stream(spark, input_dir)
     n_batches = {"n": 0}

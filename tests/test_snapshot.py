@@ -179,3 +179,32 @@ def test_writers_stage_in_private_dirs_and_clean_up(spark, tmp_path):
     leftovers = [n for n in os.listdir(root) if n.startswith(".staged-")]
     assert leftovers == []
     assert {t.manifest(1)["stage"], t.manifest(2)["stage"]} == {"a", "b"}
+
+
+def test_read_version_pins_past_concurrent_commits(spark, tmp_path):
+    """Resume must read the MATCHED manifest's version, not CURRENT: after a
+    run under a different fingerprint commits (advancing CURRENT), the
+    fingerprint-matched manifest still points at its own data."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    a = spark.createDataFrame([(1, "A")], "id long, tag string")
+    b = spark.createDataFrame([(2, "B")], "id long, tag string")
+    t.write(a, stage="parsed", meta={"fingerprint": "fpA"})
+    t.write(b, stage="parsed", meta={"fingerprint": "fpB"})  # CURRENT → B
+
+    m = t.stage_manifest("parsed", "fpA")
+    assert m is not None
+    rows = t.read(spark, m["version"]).collect()
+    assert [(r.id, r.tag) for r in rows] == [(1, "A")]
+    # unpinned read sees CURRENT (B) — the trap the version arg closes
+    assert t.read(spark).collect()[0].tag == "B"
+
+
+def test_read_honors_manifest_format(spark, tmp_path):
+    """A snapshot committed with fmt != parquet must read back through the
+    format its manifest records."""
+    t = SnapshotTable(str(tmp_path / "fmt"))
+    df = spark.createDataFrame([(1, "x")], "id long, tag string")
+    m = t.write(df, stage="s", fmt="json")
+    back = t.read(spark, m["version"])
+    assert [(r.id, r.tag) for r in back.select("id", "tag").collect()] \
+        == [(1, "x")]

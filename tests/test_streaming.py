@@ -70,7 +70,7 @@ def test_stateful_running_counts_equal_batch(spark, input_dir, tmp_path):
         r.source: (r.received, r.sum_n_tok)
         for r in stateful.run_counts_once(
             spark, input_dir, str(tmp_path / "ckpt_state"),
-            out_table="rc1", max_files_per_trigger=1).collect()
+            max_files_per_trigger=1).collect()
     }
     batch = {
         r.source: (r.cnt, r.s)
@@ -279,3 +279,51 @@ def test_session_windows_equal_batch_sessionize(spark, input_dir, tmp_path):
     assert stream_rows == batch_rows
     n_sources = len({r[0] for r in batch_rows})
     assert len(batch_rows) > n_sources  # some source split into >1 session
+
+
+def test_stateful_counters_reset_with_checkpoint(spark, input_dir, tmp_path):
+    """The updates log lives INSIDE the checkpoint dir: wiping the
+    checkpoint to reprocess a smaller corrected input must NOT leak the old
+    generation's larger counters through the max-over-log rule."""
+    import shutil
+
+    from omnition_opentelemetry_service_spark.streaming import stateful
+
+    small_dir = str(tmp_path / "small_in")
+    fx.materialize_input(spark, 100, small_dir, num_partitions=2)
+    ckpt = str(tmp_path / "ckpt_reset")
+
+    big = {r.source: r.received for r in
+           stateful.run_counts_once(spark, input_dir, ckpt).collect()}
+    shutil.rmtree(ckpt)  # reset: reprocess from scratch with NEW input
+    small = {r.source: r.received for r in
+             stateful.run_counts_once(spark, small_dir, ckpt).collect()}
+    batch_small = {r.source: r.cnt for r in
+                   spark.read.parquet(f"{small_dir}/sequences")
+                   .groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+                   .collect()}
+    assert small == batch_small          # not inflated by generation 1
+    assert sum(small.values()) < sum(big.values())
+
+
+def test_sink_writes_fresh_checkpoint_clears_stale_batches(
+        spark, input_dir, tmp_path):
+    """foreachBatch overwrite is idempotent only within one checkpoint
+    lifetime — a fresh checkpoint must clear batch_id dirs left by a
+    previous generation or whole-directory reads double-count."""
+    import os
+
+    out = str(tmp_path / "sinks_out")
+    stale = os.path.join(out, "batch_id=99")
+    os.makedirs(stale)
+    spark.createDataFrame([("junk", "x", "sink_oc")],
+                          "doc_id string, payload string, sink string") \
+        .write.parquet(os.path.join(stale, "sink=sink_oc"))
+
+    n = sp.run_stream_to_sinks(spark, input_dir,
+                               str(tmp_path / "ckpt_fresh"), out)
+    assert n > 0
+    assert not os.path.exists(stale)
+    total = spark.read.option("basePath", out).parquet(out).count()
+    st = pl.build_routed(spark, pl.PipelineConfig(input_dir=input_dir))
+    assert total == st["routed"].count()
