@@ -211,9 +211,12 @@ def parse_zipkin_gateway(df: DataFrame, payload_col: str = "payload") -> DataFra
 
 def quarantine_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, quarantined) — quarantined rows keep doc_id + raw context for
-    the dropped-spans counter path (obsreport analog, SURVEY.md §2.4)."""
-    good = parsed.filter(F.col("valid")).drop("valid")
-    bad = parsed.filter(~F.col("valid")).drop("valid")
+    the dropped-spans counter path (obsreport analog, SURVEY.md §2.4).
+    A NULL `valid` quarantines (coalesce to false): a three-valued split
+    would silently drop the row from BOTH outputs."""
+    valid = F.coalesce(F.col("valid"), F.lit(False))
+    good = parsed.filter(valid).drop("valid")
+    bad = parsed.filter(~valid).drop("valid")
     return good, bad
 
 

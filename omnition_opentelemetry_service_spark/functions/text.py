@@ -152,21 +152,29 @@ def char_shingles(col: str = "text", k: int = 5) -> Column:
     return F.array_distinct(_shingles_expr(col, k))
 
 
-def _shingles_expr(col: str, k: int) -> Column:
-    # Overlapping shingles via a zero-width-lookahead regex: ONE pass over
-    # the normalized text. The transform(sequence(...), j -> substring(norm,
-    # ...)) formulation re-evaluates `norm` (a regexp_replace) once PER
-    # SHINGLE — O(len²) regex work per document; at ~200 shingles/doc that
-    # was ~25s for 5k docs vs <2s for this form. Same output values.
-    # (?s) DOTALL: Java '.' excludes U+0085/U+2028/U+2029 which the '\s+'
-    # normalization does NOT remove — without DOTALL, shingles spanning those
-    # characters are silently dropped, diverging from the oracle's substring
-    # semantics (which has no such exclusion).
+def _norm_grams_sql(col: str, k: int) -> str:
+    """THE normalized overlapping-k-gram SQL — one definition, used by both
+    the shingle path and the winnowing fingerprint path (a fix applied to
+    one copy must reach both; the DOTALL subtlety below bit exactly once).
+
+    Overlapping grams via a zero-width-lookahead regex: ONE pass over the
+    normalized text. The transform(sequence(...), j -> substring(norm, ...))
+    formulation re-evaluates `norm` (a regexp_replace) once PER GRAM —
+    O(len²) regex work per document; at ~200 grams/doc that was ~25s for 5k
+    docs vs <2s for this form. Same output values.
+    (?s) DOTALL: Java '.' excludes U+0085/U+2028/U+2029 which the '\\s+'
+    normalization does NOT remove — without DOTALL, grams spanning those
+    characters are silently dropped, diverging from the oracle's substring
+    semantics (which has no such exclusion)."""
     norm = f"lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
-    return F.expr(
+    return (
         f"CASE WHEN length({norm}) < {k} THEN array({norm}) "
         f"ELSE regexp_extract_all({norm}, '(?s)(?=(.{{{k}}}))', 1) END"
     )
+
+
+def _shingles_expr(col: str, k: int) -> Column:
+    return F.expr(_norm_grams_sql(col, k))
 
 
 def char_shingles_sql_duck(col: str = "text", k: int = 5) -> str:
@@ -187,7 +195,15 @@ def char_shingles_sql_duck(col: str = "text", k: int = 5) -> str:
 # also matches), then phones.
 PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IP_RX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PII_PHONE_RX = r"\+?\d[\d\s().-]{7,}\d"
+# Phone shape: ≥9 digits (dates have 8 — '2026-01-01' must NOT redact),
+# ≤15 (E.164 max), at most TWO of [ ().-] between digits ('1 (415' has the
+# two-char ' (' gap; the old [\d\s().-]{7,} run matched ISO dates outright
+# and its \s let a match span newlines, joining unrelated digit runs into
+# one <PHONE>). Lookaround is unavailable (DuckDB is RE2), so this stays a
+# digit-count heuristic: a date immediately followed by more digits
+# ('2026-01-01 10...') still redacts — over-redaction is the safe
+# direction for a PII pass.
+PII_PHONE_RX = r"\+?\d(?:[ ().-]{0,2}\d){8,14}"
 
 
 def scrub_pii(col: str = "text") -> Column:
@@ -229,9 +245,7 @@ def winnowing_fingerprints(col: str = "text", k: int = 5, w: int = 4) -> Column:
 
 
 def _winnowing_sql(col: str, k: int, w: int) -> str:
-    norm = f"lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
-    grams = (f"CASE WHEN length({norm}) < {k} THEN array({norm}) "
-             f"ELSE regexp_extract_all({norm}, '(?s)(?=(.{{{k}}}))', 1) END")
+    grams = _norm_grams_sql(col, k)  # the ONE gram definition (see its doc)
     # hash each k-gram once: first 8 md5 hex chars → bigint
     hashes = (f"transform({grams}, "
               f"g -> CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT))")

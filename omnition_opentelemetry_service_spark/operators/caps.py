@@ -30,6 +30,11 @@ def truncatable(col: str, max_len: int, out_value: str = None,
 
 def reject_oversized(df: DataFrame, size_col: str, max_size: int) -> tuple[DataFrame, DataFrame]:
     """(kept, rejected) split on a size cap — MaxBytesPerSpan semantics:
-    the oversized row is dropped whole and counted, never truncated."""
-    keep = F.col(size_col) <= F.lit(max_size)
+    the oversized row is dropped whole and counted, never truncated.
+
+    A NULL size routes to REJECTED: `keep` is NULL for it, and both
+    filter(keep) and filter(~keep) drop NULL-predicate rows, so without the
+    coalesce the row would vanish from BOTH outputs — an uncounted loss,
+    the exact thing this split exists to prevent."""
+    keep = F.coalesce(F.col(size_col) <= F.lit(max_size), F.lit(False))
     return df.filter(keep), df.filter(~keep)

@@ -97,14 +97,22 @@ def media_chunks(media: DataFrame, chunk_chars: int = 64) -> DataFrame:
 
         for pdf in it:
             text = pdf["media"].map(lambda b: bytes(b).decode("utf-8"))
+            # chunk_id is the index WITHIN this row's findall list — a pure
+            # per-row property. A groupby(doc_id).cumcount() here would be
+            # batch-dependent state: a doc_id appearing twice (union of
+            # receiver branches, resampled corpus) would get interleaved or
+            # colliding (doc_id, chunk_id) pairs depending on which Arrow
+            # batch each copy landed in.
+            found = text.str.findall(pat)
             exploded = pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "ch": text.str.findall(pat),
-            }).explode("ch")
+                "ch": found,
+                "ids": found.map(lambda cs: list(range(len(cs)))),
+            }).explode(["ch", "ids"])
             exploded = exploded[exploded["ch"].notna()]
             out = pd.DataFrame()
             out["doc_id"] = exploded["doc_id"].astype("int64")
-            out["chunk_id"] = exploded.groupby("doc_id").cumcount().astype("int32")
+            out["chunk_id"] = exploded["ids"].astype("int32")
             out["chunk_len"] = exploded["ch"].str.len().astype("int32")
             out["chunk_md5"] = exploded["ch"].map(
                 lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
@@ -121,6 +129,11 @@ def sample_frames(chunks: DataFrame, every_k: int = 4,
     second Python pass. At scale the filter composes with the explode in
     one stage; pushing the sample INTO the decoder (decode only sampled
     frames) is the real-decoder optimization the stub can't show."""
+    if not 0 <= offset < every_k:
+        raise ValueError(
+            f"offset must be in [0, every_k): got offset={offset}, "
+            f"every_k={every_k} — chunk_id % {every_k} never equals "
+            f"{offset}, so the sample would be silently empty")
     return chunks.filter((F.col("chunk_id") % every_k) == offset)
 
 

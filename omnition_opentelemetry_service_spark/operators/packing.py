@@ -80,17 +80,42 @@ def with_pack_id_ffd(seqs: DataFrame, budget: int = 2048,
         pdf = pdf.sort_values(["n_tok", order], ascending=[False, True],
                               kind="mergesort")
         n = pdf["n_tok"].to_numpy()
-        bins: list[int] = []  # remaining capacity per open bin
+        # First-fit via a max-capacity segment tree over bin indexes:
+        # "lowest-index open bin with remaining >= tok" descends left-first
+        # in O(log bins) — the naive per-row scan of every open bin is
+        # O(rows x bins) (~10^8+ interpreter steps at shard_rows=100k,
+        # minutes of single-core time); the tree gives IDENTICAL
+        # assignments (first fit, not best fit) in O(rows log rows).
+        size = 1
+        while size < max(len(n), 1):
+            size <<= 1
+        tree = np.full(2 * size, -1, dtype="int64")  # -1 = bin not open
+        n_open = 0
         assign = np.empty(len(n), dtype="int64")
+
+        def _update(leaf: int, rem: int) -> None:
+            i = size + leaf
+            tree[i] = rem
+            i >>= 1
+            while i:
+                tree[i] = tree[2 * i] if tree[2 * i] >= tree[2 * i + 1] \
+                    else tree[2 * i + 1]
+                i >>= 1
+
         for i, tok in enumerate(n):
-            for b, rem in enumerate(bins):
-                if rem >= tok:
-                    bins[b] = rem - tok
-                    assign[i] = b
-                    break
+            tok = int(tok)
+            if tree[1] >= tok:  # some open bin fits: walk to the FIRST one
+                node = 1
+                while node < size:
+                    node = 2 * node if tree[2 * node] >= tok \
+                        else 2 * node + 1
+                b = node - size
+                _update(b, tree[node] - tok)
+                assign[i] = b
             else:
-                bins.append(max(budget - int(tok), 0))
-                assign[i] = len(bins) - 1
+                _update(n_open, max(budget - tok, 0))
+                assign[i] = n_open
+                n_open += 1
         shard = int(pdf["_shard"].iloc[0])
         if shard >= 1 << 30:
             raise ValueError(
@@ -131,6 +156,10 @@ def chunk_sequences(seqs: DataFrame, window: int = 512,
     return (
         seqs.select("doc_id", "source", "n_tok",
                     F.posexplode(chunks).alias("chunk_no", "chunk_tokens"))
-        .filter(F.size("chunk_tokens") > 0)
+        # the only empty slice a valid start can produce is the single
+        # chunk of an EMPTY sequence — keep that one row (the doc must not
+        # silently vanish between the sequence and chunk tables; 'short
+        # sequences yield exactly one chunk' includes length 0)
+        .filter((F.size("chunk_tokens") > 0) | (F.col("n_tok") == 0))
         .withColumn("chunk_len", F.size("chunk_tokens"))
     )

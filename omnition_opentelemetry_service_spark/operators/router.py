@@ -25,8 +25,14 @@ from ..fixtures import SAMPLE_MOD, sample_hash_sql
 def sampler_pass(seq_col: str = "seq_no", rule_col: str = "rule_id",
                  pct_col: str = "sample_pct"):
     """Deterministic sampler predicate: keep iff LCG-hash(seq, rule) scaled
-    to [0,10000) < pct*100. Engine-portable (same arithmetic in DuckDB)."""
-    return F.expr(f"{sample_hash_sql(seq_col, rule_col)} < CAST({pct_col} * {SAMPLE_MOD / 100.0:.0f} AS BIGINT)")
+    to [0,10000) < floor(pct*100). Engine-portable (same arithmetic in
+    DuckDB) — floor BEFORE the cast: Spark's double→bigint cast truncates
+    while DuckDB's rounds half-up, so a non-integral pct*100 (e.g.
+    0.29*100 = 28.999999999999996) would keep one more hash bucket in the
+    oracle than in Spark without it."""
+    return F.expr(
+        f"{sample_hash_sql(seq_col, rule_col)} < "
+        f"CAST(floor({pct_col} * {SAMPLE_MOD / 100.0:.0f}) AS BIGINT)")
 
 
 def route(facts: DataFrame, rules: DataFrame) -> DataFrame:
@@ -55,9 +61,17 @@ def sink_counts(routed: DataFrame) -> DataFrame:
 def write_sinks(routed: DataFrame, base_path: str, fmt: str = "parquet") -> None:
     """Materialize every sink in ONE job: dynamic partition write by sink.
     (vs N filtered writes: N full scans — only acceptable with a cached DF;
-    at 100 TB the partitioned single pass wins.)"""
+    at 100 TB the partitioned single pass wins.)
+
+    The exchange keys on (sink, doc_id), NOT sink alone: a bare
+    repartition("sink") caps the whole write at #distinct-sinks tasks
+    (~5 here) and serializes the hot sink's tens of TB through one task.
+    Salting with doc_id spreads each sink across the full task set;
+    partitionBy still segregates the output directories."""
+    spark = routed.sparkSession
     (
-        routed.repartition("sink")
+        routed.repartition(spark.sparkContext.defaultParallelism,
+                           "sink", "doc_id")
         .write.mode("overwrite")
         .partitionBy("sink")
         .format(fmt)

@@ -115,10 +115,14 @@ def encode_envelope(routed: DataFrame) -> DataFrame:
 
 def write_sinks_translated(routed: DataFrame, base_path: str,
                            fmt: str = "parquet") -> None:
-    """Materialize every sink in its wire format in ONE job."""
+    """Materialize every sink in its wire format in ONE job. Exchange keyed
+    (sink, doc_id) — not sink alone, which would cap the write at
+    #sinks tasks (see router.write_sinks)."""
+    spark = routed.sparkSession
     (
         encode_envelope(routed)
-        .repartition("sink")
+        .repartition(spark.sparkContext.defaultParallelism,
+                     "sink", "doc_id")
         .write.mode("overwrite")
         .partitionBy("sink")
         .format(fmt)

@@ -85,7 +85,7 @@ def duck_prelude(n: int = ORACLE_N) -> str:
     LEFT JOIN dim d ON s.source = d.source
     JOIN rules r ON (r.predicate_source = '*' OR r.predicate_source = s.source)
                AND s.n_tok >= r.min_n_tok
-    WHERE {fx.sample_hash_sql('s.seq_no', 'r.rule_id')} < CAST(r.sample_pct * 100 AS BIGINT)
+    WHERE {fx.sample_hash_sql('s.seq_no', 'r.rule_id')} < CAST(floor(r.sample_pct * 100) AS BIGINT)
     """
     return (
         f"WITH seq AS ({fx.sequences_sql_duck(n)}), "

@@ -374,3 +374,33 @@ def test_doc_gram_counts_exploded_parity(spark):
     b = sorted(map(tuple,
                    corpus.doc_gram_counts_exploded(docs, n=3).collect()))
     assert a == b and len(a) > 0
+
+
+def test_scrub_pii_preserves_dates(spark):
+    """The phone heuristic must not eat ISO dates or short digit runs
+    (8 digits), must still catch 9-15-digit phone shapes, and must not
+    join digit runs across newlines."""
+    from omnition_opentelemetry_service_spark.functions import text as tx
+
+    rows = [
+        (1, "released on 2026-01-01 to users"),
+        (2, "order 1234567 shipped"),              # 7 digits: not a phone
+        (3, "line one 123\nline two 456-789"),      # newline must split runs
+        (4, "dial 555-123-4567 now"),               # 10 digits: phone
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.clean for r in
+           df.select("doc_id", tx.scrub_pii("text").alias("clean")).collect()}
+    assert got[1] == rows[0][1]
+    assert got[2] == rows[1][1]
+    assert got[3] == rows[2][1]
+    assert got[4] == "dial <PHONE> now"
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in
+                     [(i, t.replace("\n", "' || chr(10) || '"))
+                      for i, t in rows])
+    oracle = dict(con.execute(
+        f"SELECT doc_id, {tx.scrub_pii_sql_duck('text')} AS clean "
+        f"FROM (VALUES {vals}) AS t(doc_id, text)").fetchall())
+    assert got == oracle
