@@ -15,12 +15,14 @@ from pyspark.sql import functions as F
 
 
 def batch_by_key(df: DataFrame, key: str = "source", num_partitions: int | None = None,
-                 salt_buckets: int = 0) -> DataFrame:
+                 salt_buckets: int = 0, salt_col: str = "doc_id") -> DataFrame:
     """Repartition by key; with salt_buckets > 0 the hot key is spread over
-    N sub-buckets (batch size cap analog: no single task owns all of 'web')."""
+    N sub-buckets (batch size cap analog: no single task owns all of 'web').
+    ``salt_col`` is the row-identity column the salt hashes — parameterized
+    so the operator works on any table, not just ones carrying doc_id."""
     if salt_buckets > 0:
         salted = df.withColumn(
-            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)).cast("int")
+            "_salt", F.pmod(F.xxhash64(salt_col), F.lit(salt_buckets)).cast("int")
         )
         out = (salted.repartition(num_partitions, key, "_salt")
                if num_partitions else salted.repartition(key, "_salt"))
@@ -41,7 +43,7 @@ def node_batches(df: DataFrame, batch_size: int = 100,
     w = Window.partitionBy(key).orderBy(order)
     return df.select("doc_id", key, order).withColumn(
         "batch_no",
-        ((F.row_number().over(w) - 1) / batch_size).cast("int"))
+        ((F.row_number().over(w) - 1) / batch_size).cast("bigint"))
 
 
 def node_batches_scalable(df: DataFrame, batch_size: int = 100,
@@ -73,8 +75,11 @@ def node_batches_scalable(df: DataFrame, batch_size: int = 100,
     return (
         ranked.join(offsets, [key, "_slice"])
         .withColumn("batch_no",
+                    # bigint: a single stream past ~2.1e11 rows at
+                    # batch_size=100 overflows int32 — ANSI raises, non-ANSI
+                    # silently wraps to negative batch ids
                     ((F.col("_off") + F.col("_rk") - 1) / batch_size)
-                    .cast("int"))
+                    .cast("bigint"))
         .drop("_slice", "_rk", "_off")
     )
 
@@ -90,27 +95,31 @@ def node_batches_grouped(df: DataFrame, batch_size: int = 100,
         import numpy as np
 
         pdf = pdf.sort_values(order)
-        pdf["batch_no"] = (np.arange(len(pdf)) // batch_size).astype("int32")
+        pdf["batch_no"] = (np.arange(len(pdf)) // batch_size).astype("int64")
         return pdf[["doc_id", key, order, "batch_no"]]
 
     return df.groupBy(key).applyInPandas(
         assign,
-        schema=f"doc_id string, {key} int, {order} int, batch_no int")
+        schema=f"doc_id string, {key} int, {order} int, batch_no bigint")
 
 
-def salted_counts(df: DataFrame, key: str = "source", salt_buckets: int = 32) -> DataFrame:
+def salted_counts(df: DataFrame, key: str = "source", salt_buckets: int = 32,
+                  salt_col: str = "doc_id",
+                  sum_col: str = "n_tok") -> DataFrame:
     """Two-phase aggregate for hot keys: partial per (key, salt) → final per
     key. Results are identical to a plain groupBy (validated by oracle); the
     point is that phase-1 spreads the hot key across `salt_buckets` tasks.
+    ``salt_col``/``sum_col`` parameterize the row identity and measure so
+    the operator isn't welded to the token-table schema.
 
     (Spark's hash aggregate already does map-side partials; explicit salting
     additionally splits the *reduce* side of a hot key, which partials can't.)
     """
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)).cast("int")
+        "_salt", F.pmod(F.xxhash64(salt_col), F.lit(salt_buckets)).cast("int")
     )
     partial = salted.groupBy(key, "_salt").agg(
-        F.count("*").alias("_c"), F.sum("n_tok").alias("_s")
+        F.count("*").alias("_c"), F.sum(sum_col).alias("_s")
     )
     return partial.groupBy(key).agg(
         F.sum("_c").alias("n_rows"), F.sum("_s").alias("sum_n_tok")

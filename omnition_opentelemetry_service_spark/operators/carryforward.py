@@ -87,8 +87,13 @@ def carry_forward_scalable(
                 .alias("_carry"))
     )
 
+    # No broadcast HINT: the carry table is rows/slice_rows — it grows
+    # linearly with the data (at 10^12 rows it's ~1.5e7 entries), so forcing
+    # a driver-side broadcast build would OOM exactly at the scale this
+    # function exists for. AQE broadcasts it when it measures small and
+    # shuffle-joins on (stream, _slice) when it doesn't.
     return (
-        local.join(F.broadcast(carry), [stream_col, "_slice"], "left")
+        local.join(carry, [stream_col, "_slice"], "left")
         .withColumn(out_col, F.coalesce("_local_fill", "_carry"))
         .drop("_slice", "_local_fill", "_carry")
     )

@@ -46,7 +46,12 @@ def attrs_add(attrs_col: str | Column, kv: dict[str, str]) -> Column:
         for k, v in kv.items()
     ])
     keys = F.array(*[F.lit(k) for k in kv])
-    kept = F.filter(c, lambda e: ~F.array_contains(keys, e["key"]))
+    # coalesce: array_contains(keys, NULL) is NULL and a NULL predicate
+    # DROPS the entry from F.filter — a null-keyed attribute must survive
+    # (add/overwrite semantics never delete unrelated entries)
+    kept = F.filter(
+        c, lambda e: F.coalesce(~F.array_contains(keys, e["key"]),
+                                F.lit(True)))
     return F.concat(kept, added)
 
 

@@ -91,10 +91,21 @@ class MemoryLimiter:
 
     def consume(self, df: DataFrame, n_rows: int | None = None) -> DataFrame:
         """Batch gate: whole-batch drop with counters (memorylimiter.go:
-        114-129 drops the entire TraceData, not a subset)."""
+        114-129 drops the entire TraceData, not a subset).
+
+        When ``n_rows`` is not supplied, the drop is counted as one batch
+        with spans UNKNOWN (spans_dropped unchanged) — the gate fires
+        because memory is critically high, so running df.count() (the full
+        upstream job: scans, shuffles — the very work being shed) to size
+        the counter would be load-shedding that ADDS load. The reference
+        counts the already-materialized batch for free
+        (memorylimiter.go:119-127); callers with the row count in hand pass
+        it, others get an honest batches_dropped without a fabricated
+        spans figure."""
         if self.forcing_drop():
             self.batches_dropped += 1
-            self.spans_dropped += n_rows if n_rows is not None else df.count()
+            if n_rows is not None:
+                self.spans_dropped += n_rows
             raise RuntimeError(ERR_FORCED_DROP)
         return self.next_stage(df)
 

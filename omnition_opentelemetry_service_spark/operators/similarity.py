@@ -124,20 +124,50 @@ def brute_force_topk_pandas(emb: DataFrame, n_queries: int = 8,
         return acc
 
     def _round6_half_away(x):
-        """round(x, 6) with halves away from zero — Spark F.round and
-        DuckDB round() semantics. np.round is half-even AND suffers the
-        scaled-multiply artifact (np.round(2.675, 2) == 2.67)."""
+        """round(x, 6) exactly as Spark F.round / DuckDB round(): HALF_UP on
+        the value's SHORTEST-DECIMAL representation (Java rounds
+        BigDecimal(Double.toString(x)); Python's repr is the same shortest
+        round-trip decimal). A pure scaled-binary rule (floor(x*1e6 ± .5))
+        disagrees whenever the shortest decimal and the scaled double fall
+        on opposite sides of the .5 boundary — e.g. F.round
+        (0.7072174999999999, 6) = 0.707217 (the decimal 17 digits end
+        ...4999…) but 0.7072174999999999*1e6 = 707217.5000000001. So: the
+        vectorized rule everywhere, with boundary-suspect values (scaled
+        fraction within 1e-6 of .5) redone through decimal.Decimal(repr)."""
+        from decimal import ROUND_HALF_UP, Decimal
+
         y = x * 1e6
         ay = np.abs(y)
         fl = np.floor(ay)
-        r = np.where(ay - fl >= 0.5, fl + 1.0, fl)
-        return np.copysign(r, y) / 1e6
+        frac = ay - fl
+        r = np.where(frac >= 0.5, fl + 1.0, fl)
+        out = np.copysign(r, y) / 1e6
+        suspect = np.abs(frac - 0.5) < 1e-6
+        if suspect.any():
+            q = Decimal("0.000001")
+            flat = out.ravel()
+            xf = np.asarray(x, dtype=np.float64).ravel()
+            for i in np.flatnonzero(suspect.ravel()):
+                flat[i] = float(Decimal(repr(float(xf[i])))
+                                .quantize(q, rounding=ROUND_HALF_UP))
+        return out
 
     q_rows = (emb.filter(F.col("vec_id") < n_queries)
               .select("vec_id", "embedding").collect())
     qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    if len(q_rows) == 0:
+        # no queries → empty result with the contract schema (the expr twin
+        # returns empty too; an unguarded 1-D qmat would crash _fold_dot)
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, rnk int, neighbor_id long, cosine double")
     qmat = np.array([r.embedding for r in q_rows], dtype=np.float64)
     qnorm = np.sqrt(_fold_dot(qmat, qmat))
+    if (qnorm == 0).any():
+        # the expression twin raises DIVIDE_BY_ZERO under the session's
+        # ANSI default; numpy would silently produce NaN scores — fail the
+        # same way the twin does rather than silently diverge
+        raise ValueError("zero-norm query embedding: cosine undefined "
+                         "(the JVM expression twin raises here too)")
 
     def score(batches):
         for pdf in batches:
@@ -146,6 +176,10 @@ def brute_force_topk_pandas(emb: DataFrame, n_queries: int = 8,
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             cmat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             cn = np.sqrt(_fold_dot(cmat, cmat))
+            if (cn == 0).any():
+                raise ValueError(
+                    "zero-norm corpus embedding: cosine undefined (the JVM "
+                    "expression twin raises DIVIDE_BY_ZERO here too)")
             dots = np.empty((len(cmat), len(qids)), dtype=np.float64)
             for j in range(len(qids)):
                 dots[:, j] = _fold_dot(cmat, np.broadcast_to(
@@ -209,9 +243,12 @@ def near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
     scale, OR several independent plane banks — IMPLEMENTED as
     near_dup_pairs_lsh_banked (this single-bank form ≡ its bank 0) —
     near_dup_pairs is the exact verification twin."""
+    # persist before the self-join: without the barrier, projection
+    # collapse inlines the n_planes·dim bucket dot products into both join
+    # sides (caller releases the cache, module convention)
     b = emb.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("e"),
-        lsh_bucket_expr("embedding", n_planes, dim).alias("bk"))
+        lsh_bucket_expr("embedding", n_planes, dim).alias("bk")).persist()
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, (F.col("l.bk") == F.col("r.bk"))
@@ -239,20 +276,24 @@ def near_dup_pairs_lsh_banked(emb: DataFrame, threshold: float = 0.4,
     vector — one equi-join on the tagged key (bank collisions can't cross
     banks because the bank index prefixes the key), pair-DISTINCT before
     the exact-cosine verify so each candidate pays the dot product once
-    however many banks it collides in."""
+    however many banks it collides in.
+
+    The bank-keyed table is PERSISTED before the self-join (caller releases
+    — registry.release_caches / clearCache): projection collapse would
+    otherwise inline the n_banks·n_planes·dim dot products into BOTH join
+    sides, doubling the bucketing work per scan — the same barrier
+    minhash_candidates and simhash_band_pairs place before their
+    self-joins."""
     all_planes = lsh_planes(n_banks * n_planes, dim)
-    keys = []
-    for bank in range(n_banks):
-        bits = []
-        for p in all_planes[bank * n_planes:(bank + 1) * n_planes]:
-            lit = "array(" + ", ".join(str(v) for v in p) + ")"
-            bits.append(
-                f"CASE WHEN {_dot_expr('embedding', lit)} >= 0 "
-                f"THEN '1' ELSE '0' END")
-        keys.append(f"concat('{bank}:', {', '.join(bits)})")
+    keys = [
+        "concat('" + str(bank) + ":', " + _sign_bits_sql(
+            "embedding",
+            all_planes[bank * n_planes:(bank + 1) * n_planes]) + ")"
+        for bank in range(n_banks)
+    ]
     keyed = emb.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("e"),
-        F.explode(F.expr(f"array({', '.join(keys)})")).alias("bk"))
+        F.explode(F.expr(f"array({', '.join(keys)})")).alias("bk")).persist()
     l, r = keyed.alias("l"), keyed.alias("r")
     cand = (
         l.join(r, (F.col("l.bk") == F.col("r.bk"))
@@ -305,15 +346,23 @@ def lsh_planes(n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> list[list[int]
     ]
 
 
-def lsh_bucket_expr(emb_col: str = "embedding",
-                    n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> F.Column:
-    """Bucket key = sign-bit string of the embedding against each plane."""
-    planes = lsh_planes(n_planes, dim)
+def _sign_bits_sql(emb_col: str, planes: list[list[int]]) -> str:
+    """THE sign-bit bucket-key SQL over an explicit plane list — one
+    definition for the single-bucket form and every bank slice (the banked
+    superset guarantee 'bank 0 ≡ the single-bank planes' holds by
+    construction, not by keeping two copies in sync)."""
     bits = []
     for p in planes:
         lit = "array(" + ", ".join(str(v) for v in p) + ")"
-        bits.append(f"CASE WHEN {_dot_expr(emb_col, lit)} >= 0 THEN '1' ELSE '0' END")
-    return F.expr("concat(" + ", ".join(bits) + ")")
+        bits.append(
+            f"CASE WHEN {_dot_expr(emb_col, lit)} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def lsh_bucket_expr(emb_col: str = "embedding",
+                    n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> F.Column:
+    """Bucket key = sign-bit string of the embedding against each plane."""
+    return F.expr(_sign_bits_sql(emb_col, lsh_planes(n_planes, dim)))
 
 
 def lsh_bucket_sql_duck(emb_col: str = "embedding",

