@@ -44,7 +44,6 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 from omnition_opentelemetry_service_spark import registry  # noqa: E402
 from omnition_opentelemetry_service_spark import fixtures as fx  # noqa: E402
-from omnition_opentelemetry_service_spark.plans import pipeline as pl  # noqa: E402
 from omnition_opentelemetry_service_spark.session import get_spark  # noqa: E402
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -134,6 +133,12 @@ def _scale_input_dir() -> str:
         spark.stop()
         with open(marker, "w") as f:
             f.write(str(SCALE_N))
+    # warehouses materialized before the _BUCKETS marker existed: backfill
+    # (this path always materializes with buckets=16)
+    bmarker = os.path.join(wh, "bench.db", "_BUCKETS")
+    if not os.path.exists(bmarker):
+        with open(bmarker, "w") as f:
+            f.write("16")
     os.environ["SPARK_GRAFT_WAREHOUSE"] = wh
     return "db:bench"
 
@@ -175,10 +180,18 @@ def _host_parallel_speedup(low: int, high: int, n: int = 20_000_000) -> float:
     import multiprocessing as mp
 
     def thr(procs: int) -> float:
-        t0 = time.perf_counter()
+        # Pool creation/teardown and fork cost stay OUTSIDE the timed
+        # window (and a tiny warm map primes the workers): thr(high) pays
+        # `high` forks vs thr(low)'s one, so timing them biases the ceiling
+        # LOW in every sample — a bias the pre/post-MAX bracket cannot
+        # remove because it is in both legs — inflating vs-ceiling
+        # efficiency, the number the early stop gates on.
         with mp.Pool(procs) as p:
+            p.map(_burn, [1] * procs)  # warm forks + import state
+            t0 = time.perf_counter()
             p.map(_burn, [n] * procs)
-        return procs / (time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+        return procs / dt
 
     return thr(high) / thr(low)
 
@@ -197,7 +210,7 @@ def _prev_bench_queries() -> dict[str, float]:
             with open(p) as f:
                 parsed = json.load(f).get("parsed") or {}
             q = parsed.get("queries") or {}
-        except (OSError, json.JSONDecodeError):
+        except (OSError, json.JSONDecodeError, AttributeError):
             continue
         n = int(m.group(1))
         if q and (best is None or n > best[0]):
@@ -300,7 +313,9 @@ def measure_scaling(input_dir: str,
     # the host itself sagged to 3.1× but Spark still delivered 2.9×).
     best_vc = max(rounds, key=lambda r: r["efficiency_vs_host_ceiling"] or 0)
     effs = sorted(r["efficiency"] for r in rounds)
-    median_eff = effs[len(effs) // 2]
+    mid = len(effs) // 2
+    median_eff = (effs[mid] if len(effs) % 2
+                  else round((effs[mid - 1] + effs[mid]) / 2, 3))
     spread = round((effs[-1] - effs[0]) / effs[-1], 3) if effs[-1] else None
     return {
         "criterion": "scaling efficiency >= 0.8 from N to 4N cores, raw "

@@ -25,6 +25,13 @@ from pyspark.sql import functions as F
 TOKEN_A = 2654435761  # Knuth multiplicative-hash constant
 TOKEN_B = 40503
 VOCAB = 50257  # GPT-2-ish vocab size
+# Token expressions reduce i mod VOCAB BEFORE the multiply — identical
+# values ((i*A)%V == ((i%V)*A)%V) but (V-1)*A ≈ 1.3e14 never overflows
+# int64, where the unreduced product does at i ≥ ~3.47e9 (ANSI raises in
+# BOTH engines). The trace-id hex(i*A+17) keeps the full product (its hex
+# IS the value, so no value-preserving reduction exists): generator ids
+# are valid to that same ~3.47e9 bound and fail LOUDLY past it — the
+# at-scale job reads materialized tables, never generates at 10^12.
 N_TOK_MIN = 16
 N_TOK_MOD = 241
 SAMPLE_A = 1103515245  # glibc LCG constants — deterministic sampler hash
@@ -66,14 +73,24 @@ LEVEL_CASE_SQL = (
 )
 
 
+def _indexed_range(spark: SparkSession, n: int,
+                   num_partitions: int | None = None,
+                   start: int = 0) -> DataFrame:
+    """The shared generator prologue: an `i` index column over
+    [start, n) at the requested (default: session) parallelism — one
+    definition for every fixture generator."""
+    df = spark.range(start, n, 1,
+                     num_partitions or spark.sparkContext.defaultParallelism)
+    return df.withColumnRenamed("id", "i")
+
+
 def raw_json_payloads(spark: SparkSession, n: int,
                       num_partitions: int | None = None) -> DataFrame:
     """(doc_id, payload) — JSON-encoded rows, the HTTP/JSON gateway analog
     (reference POST /v1/trace JSON bodies, opencensusreceiver/opencensus.go:
     261-268; field shapes opencensus_test.go:75-92). Built by string concat
     (not to_json) so both engines produce byte-identical payloads."""
-    df = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
-    df = df.withColumnRenamed("id", "i")
+    df = _indexed_range(spark, n, num_partitions)
     ts = (f"date_format(timestamp_seconds({EPOCH0} + i), "
           "\"yyyy-MM-dd'T'HH:mm:ss'Z'\")")
     payload = (
@@ -107,8 +124,7 @@ def raw_zipkin_payloads(spark: SparkSession, n: int,
     tag map, epoch-micros timestamp — a structurally different wire shape
     from both the grok lines and the flat JSON gateway. Built by string
     concat so both engines produce byte-identical payloads."""
-    df = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
-    df = df.withColumnRenamed("id", "i")
+    df = _indexed_range(spark, n, num_partitions)
     ts_us = f"CAST(({EPOCH0} + i) AS BIGINT) * 1000000"
     payload = (
         "concat('{\"traceId\":\"', lpad(lower(hex(i * " + str(TOKEN_A) + " + 17)), 32, '0'), "
@@ -166,12 +182,20 @@ def materialize_input_bucketed(spark: SparkSession, n: int, db: str = "bench",
     bucket key first (same hash family as bucketBy) gives exactly one
     sorted file per bucket: the join is then a pure streaming merge — no
     exchange, no sort, no broadcast build."""
+    import os
+
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     for name, df in (("payloads", raw_payloads(spark, n, num_partitions)),
                      ("sequences", sequences(spark, n, num_partitions))):
         (df.repartition(buckets, "doc_id").write.mode("overwrite")
          .bucketBy(buckets, "doc_id").sortBy("doc_id")
          .format("parquet").saveAsTable(f"{db}.{name}"))
+    # persist the bucket count next to the data: a fresh session that
+    # re-registers these tables MUST declare the same count — a mismatch
+    # makes bucket-pruned scans read the wrong files silently
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    with open(os.path.join(wh, f"{db}.db", "_BUCKETS"), "w") as f:
+        f.write(str(buckets))
 
 
 BUCKETED_SCHEMAS = {
@@ -183,13 +207,33 @@ BUCKETED_SCHEMAS = {
 
 
 def register_bucketed_input(spark: SparkSession, db: str = "bench",
-                            buckets: int = 16) -> None:
+                            buckets: int | None = None) -> None:
     """Re-register the bucketed tables written by materialize_input_bucketed
     in a NEW session's catalog (the default in-memory catalog does not
     persist table metadata across processes; the files + bucket layout do).
-    No-op if the tables already exist in this session."""
+    No-op if the tables already exist in this session.
+
+    The bucket count comes from the _BUCKETS marker the materializer wrote
+    beside the tables — declaring a DIFFERENT count than the files were
+    hashed with would make bucket-pruned scans read the wrong bucket and
+    silently drop rows. An explicit ``buckets`` overrides (for layouts
+    produced by other writers); with neither, registration fails loudly."""
+    import os
+
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     wh = spark.conf.get("spark.sql.warehouse.dir")
+    if buckets is None:
+        marker = os.path.join(wh.removeprefix("file:"), f"{db}.db",
+                              "_BUCKETS")
+        try:
+            with open(marker) as f:
+                buckets = int(f.read().strip())
+        except (FileNotFoundError, ValueError) as e:
+            raise ValueError(
+                f"register_bucketed_input: no _BUCKETS marker under "
+                f"{marker} and no explicit buckets= given — declaring a "
+                "guessed count would silently mis-prune bucketed scans"
+            ) from e
     for name, schema in BUCKETED_SCHEMAS.items():
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {db}.{name} ({schema}) "
@@ -217,13 +261,12 @@ def sequences(spark: SparkSession, n: int, num_partitions: int | None = None,
     ``start`` lets two generator branches cover disjoint index ranges (the
     multi-receiver union analog).
     """
-    df = spark.range(start, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
-    df = df.withColumnRenamed("id", "i")
+    df = _indexed_range(spark, n, num_partitions, start)
     return df.select(
         F.expr(DOC_ID_SQL).alias("doc_id"),
         F.expr(
             f"transform(sequence(0, {N_TOK_SQL} - 1), "
-            f"k -> CAST((i * {TOKEN_A} + k * {TOKEN_B}) % {VOCAB} AS INT))"
+            f"k -> CAST(((i % {VOCAB}) * {TOKEN_A} + k * {TOKEN_B}) % {VOCAB} AS INT))"
         ).alias("tokens"),
         F.expr(N_TOK_SQL).alias("n_tok"),
         F.expr(SOURCE_CASE_SQL).alias("source"),
@@ -237,7 +280,7 @@ def sequences_sql_duck(n: int) -> str:
     SELECT
       {DOC_ID_SQL_DUCK} AS doc_id,
       list_transform(range({N_TOK_SQL}),
-                     k -> CAST((i * {TOKEN_A} + k * {TOKEN_B}) % {VOCAB} AS INTEGER)) AS tokens,
+                     k -> CAST(((i % {VOCAB}) * {TOKEN_A} + k * {TOKEN_B}) % {VOCAB} AS INTEGER)) AS tokens,
       {N_TOK_SQL} AS n_tok,
       {SOURCE_CASE_SQL} AS source,
       i AS seq_no
@@ -277,8 +320,7 @@ def raw_payloads(spark: SparkSession, n: int, num_partitions: int | None = None)
     ``node_host`` is NULL except every 16th message per stream — the Node
     carry-forward ("node multiplexing") input, octrace/opencensus.go:149-175.
     """
-    df = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
-    df = df.withColumnRenamed("id", "i")
+    df = _indexed_range(spark, n, num_partitions)
     payload_full = _PAYLOAD_SPARK.format(
         epoch=EPOCH0, hosts=N_HOSTS, lvl=f"({LEVEL_CASE_SQL})",
         src=f"({SOURCE_CASE_SQL})", ntok=N_TOK_SQL, ta=TOKEN_A,

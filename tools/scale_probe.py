@@ -124,6 +124,16 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
         routed = sum(r["n"] for r in counts)
     spark.stop()
+    if routed <= 0:
+        # zero routed rows means the input is misregistered (e.g. a db:
+        # token without SPARK_GRAFT_WAREHOUSE registers empty external
+        # tables at the cwd-default warehouse) — a 0.0 rows/sec "success"
+        # would grind the whole bench through every retry round at
+        # efficiency 0 instead of surfacing the misconfiguration
+        raise SystemExit(
+            f"scale probe routed 0 rows from {input_dir!r} — input "
+            "missing or misregistered (is SPARK_GRAFT_WAREHOUSE set for "
+            "db: inputs?)")
     print(json.dumps({"cores": cores, "routed_rows": routed,
                       "wall_sec": round(best, 3),
                       "rows_per_sec": round(routed / best, 1)}))
