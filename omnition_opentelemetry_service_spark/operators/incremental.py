@@ -215,6 +215,7 @@ def incremental_dedup(batch_docs: DataFrame, history: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
                       est_threshold: float = 0.5,
                       prune_buckets: list[int] | None = None,
+                      batch_store: DataFrame | None = None,
                       ) -> tuple[DataFrame, DataFrame]:
     """Full drop-processing step: (survivor_store_rows, near_dup_flags).
 
@@ -227,8 +228,12 @@ def incremental_dedup(batch_docs: DataFrame, history: DataFrame,
     The batch store is persisted: it feeds three consumers (exact path,
     near path, survivor projection) and recomputing md5 shingles three
     times would triple the dominant cost. Caller owns release
-    (registry.release_caches / catalog.clearCache), per repo convention."""
-    bstore = signature_store(batch_docs, id_col, text_col).persist()
+    (registry.release_caches / catalog.clearCache), per repo convention.
+    ``batch_store``: pass a prebuilt (already persisted) signature store to
+    skip the signature pass — callers that derived prune_buckets already
+    have one (jobs/process_drop.py)."""
+    bstore = (batch_store if batch_store is not None
+              else signature_store(batch_docs, id_col, text_col).persist())
     exact_new = batch_exact_survivors(bstore, history, prune_buckets)
     near = incremental_near_dups(exact_new, history, est_threshold)
     survivors = exact_new.join(
