@@ -39,7 +39,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.text import (
     _norm_grams_sql,
@@ -120,8 +119,14 @@ def read_signature_store(spark: SparkSession, path: str) -> DataFrame:
 def batch_exact_survivors(batch_store: DataFrame,
                           history: DataFrame,
                           prune_buckets: list[int] | None = None) -> DataFrame:
-    """Batch rows that are FIRST of their fingerprint within the batch AND
-    whose fingerprint is absent from history.
+    """Batch rows that are FIRST (min id) of their fingerprint within the
+    batch AND whose fingerprint is absent from history.
+
+    The within-batch collapse is ``groupBy(fp).agg(min_by(row, id))`` —
+    NOT a window: partial aggregation collapses a hot fingerprint (think a
+    crawl drop that is 40% one boilerplate page) map-side before the
+    exchange, where ``row_number() over (partition by fp)`` would serialize
+    the whole hot group onto one task.
 
     ``prune_buckets``: the batch's distinct fpb set (bounded ≤256 — collect
     it driver-side via ``batch_bucket_list``); when given, the history scan
@@ -131,9 +136,9 @@ def batch_exact_survivors(batch_store: DataFrame,
     full store)."""
     firsts = (
         batch_store
-        .withColumn("rk", F.row_number().over(
-            Window.partitionBy("fp").orderBy("id")))
-        .filter(F.col("rk") == 1).drop("rk")
+        .groupBy("fp")
+        .agg(F.min_by(F.struct("id", "minhash", "fpb"), F.col("id")).alias("r"))
+        .select("fp", "r.id", "r.minhash", "r.fpb")
     )
     hist = history
     if prune_buckets is not None:
