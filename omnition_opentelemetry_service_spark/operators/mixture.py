@@ -48,6 +48,28 @@ def mix_hash_sql_duck(col: str, salt: str) -> str:
     return _H_DUCK.format(col=col, salt=salt)
 
 
+# Wide variant for ORDERING (shuffle_ord): 12 md5 hex chars → uniform on
+# [0, 2^48), exact in int64 in both engines. The mod-1e6 hash is right for
+# FRACTION decisions (split/epoch) but wrong as a sort key at corpus scale:
+# 10^12 rows over 10^6 distinct values = ~10^6-row tie runs whose tiebreak
+# (sequential id / pack_id) would re-introduce exactly the locality a
+# global shuffle exists to destroy. 2^48 values make ties ~N²/2^49 rare;
+# the unique-key tiebreak stays purely for byte-identical reruns.
+_HW_SPARK = ("CAST(conv(substring(md5(concat(CAST({col} AS STRING), '|', "
+             "'{salt}')), 1, 12), 16, 10) AS BIGINT)")
+_HW_DUCK = ("CAST(concat('0x', substr(md5(concat(CAST({col} AS VARCHAR), "
+            "'|', '{salt}')), 1, 12)) AS BIGINT)")
+
+
+def mix_hash_wide(col: str, salt: str) -> F.Column:
+    """Uniform [0, 2^48) hash — the shuffle SORT key (tie-free in practice)."""
+    return F.expr(_HW_SPARK.format(col=col, salt=salt))
+
+
+def mix_hash_wide_sql_duck(col: str, salt: str) -> str:
+    return _HW_DUCK.format(col=col, salt=salt)
+
+
 def _split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
     """(name, exclusive upper hash bound) per split, cumulative; the LAST
     split absorbs rounding remainder so the cover is exact and total."""
@@ -168,13 +190,15 @@ def epoch_resample_sql_duck(table: str, weights: dict[str, float],
 def shuffle_shards(df: DataFrame, n_shards: int = 1024,
                    id_col: str = "doc_id", seed: str = "s0") -> DataFrame:
     """Deterministic global shuffle: adds `shard` (hash mod n_shards) and
-    `shuffle_ord` (the full hash — the within-shard sort key). Reading shards
-    in order 0..n-1, each sorted by shuffle_ord, yields one fixed
-    pseudo-random permutation of the corpus regardless of input layout or
-    cluster size. Change `seed` to get an independent permutation per epoch."""
+    `shuffle_ord` (the 48-bit wide hash — the within-shard sort key; see
+    mix_hash_wide for why the mod-1e6 hash must NOT order a 10^12-row
+    corpus). Reading shards in order 0..n-1, each sorted by shuffle_ord,
+    yields one fixed pseudo-random permutation of the corpus regardless of
+    input layout or cluster size. Change `seed` for an independent
+    permutation per epoch."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    h = mix_hash(id_col, f"shuffle-{seed}")
+    h = mix_hash_wide(id_col, f"shuffle-{seed}")
     return (df.withColumn("shuffle_ord", h)
               .withColumn("shard", F.pmod("shuffle_ord", F.lit(n_shards))))
 
@@ -182,7 +206,7 @@ def shuffle_shards(df: DataFrame, n_shards: int = 1024,
 def shuffle_shard_sql_duck(n_shards: int = 1024, id_col: str = "doc_id",
                            seed: str = "s0") -> tuple[str, str]:
     """(shuffle_ord, shard) expression twins for the oracle."""
-    h = mix_hash_sql_duck(id_col, f"shuffle-{seed}")
+    h = mix_hash_wide_sql_duck(id_col, f"shuffle-{seed}")
     return h, f"({h}) % {n_shards}"
 
 

@@ -146,6 +146,20 @@ def test_shuffle_is_permutation_and_spread(spark):
     assert joined.filter(F.col("a") != F.col("b")).count() > 0
 
 
+def test_shuffle_ord_is_wide_and_tie_free(spark):
+    """The sort key must be the 48-bit hash, not the mod-1e6 fraction hash:
+    tie runs in shuffle_ord fall back to sequential-id order — exactly the
+    locality the shuffle must destroy. At 500 docs the wide hash collides
+    with probability ~5e-9; any collision here means the wrong hash."""
+    docs = load(spark, SF, "documents")
+    out = mx.shuffle_shards(docs, n_shards=8)
+    n = out.count()
+    assert out.select("shuffle_ord").distinct().count() == n
+    mx_ord = out.agg(F.max("shuffle_ord")).collect()[0][0]
+    assert mx_ord >= mx.MIX_MOD  # wide range actually in use
+    assert mx_ord < 1 << 48
+
+
 def test_write_shuffled_roundtrip(spark, tmp_path):
     docs = load(spark, SF, "documents").limit(100)
     path = str(tmp_path / "shuffled")
