@@ -648,20 +648,22 @@ def corpus_filter_full(docs: DataFrame, quality_min: float = 0.5,
     )
     gated = scored.filter(
         (F.col("quality") >= quality_min) & (F.col("lang") != "und"))
-    # keep_fp rename: keepers derives from gated, so keepers["fp"] and
-    # gated["fp"] share attribute lineage and a df["fp"]==df["fp"] join
-    # condition resolves trivially true (Spark self-join ambiguity).
-    keepers = gated.groupBy("fp").agg(F.min(id_col).alias("keep_id")) \
-        .withColumnRenamed("fp", "keep_fp")
-    # Persist the exact-collapse survivors: three consumers read them (the
-    # shingle table, the keep-list propagation, and the final keep join),
-    # and each would otherwise re-run the full scan + quality/lang/
-    # fingerprint regex scoring. Caller-released, like `sh` below.
+    # Exact collapse as ONE min_by aggregation — no keeper join. A keeper
+    # table is one row per DISTINCT fingerprint (corpus-sized at 10^12
+    # docs), so the old broadcast(keepers) join was a scale bug; min_by
+    # also collapses hot fingerprints map-side before the exchange.
+    # Persist the survivors: three consumers read them (the shingle table,
+    # the keep-list propagation, and the final keep join), and each would
+    # otherwise re-run the full scan + quality/lang/fingerprint scoring.
+    # Caller-released, like `sh` below.
     exact = (
-        gated.join(broadcast(keepers),
-                   (F.col("fp") == F.col("keep_fp"))
-                   & (F.col(id_col) == F.col("keep_id")))
-        .select(gated[id_col], gated[text_col], "lang", "quality")
+        gated.groupBy("fp")
+        .agg(F.min_by(F.struct(id_col, text_col, "lang", "quality"),
+                      F.col(id_col)).alias("r"))
+        .select(F.col(f"r.{id_col}").alias(id_col),
+                F.col(f"r.{text_col}").alias(text_col),
+                F.col("r.lang").alias("lang"),
+                F.col("r.quality").alias("quality"))
         .persist()
     )
     sh = exact.select(F.col(id_col),

@@ -476,26 +476,25 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical training-data cleaning pass, composed from the text +
     dedup operators: keep documents that (a) pass the quality gate, (b) are
     identified as a known language, and (c) are the keeper of their exact-
-    duplicate group. One scan + one agg-join; the anti-join is on the tiny
-    duplicate-group table (broadcast)."""
+    duplicate group. One scan + ONE exchange: the exact collapse is
+    groupBy(fp).min_by — no keeper join at all. (The earlier broadcast-join
+    form was a scale bug: the keeper table is one row per DISTINCT
+    fingerprint, i.e. corpus-sized at 10^12 docs — never broadcastable.
+    min_by also collapses a hot fingerprint map-side.)"""
     docs = load(spark, sf_dir, "documents")
     scored = docs.select(
-        "doc_id", "text",
+        "doc_id",
         tx.quality_score("text").alias("quality"),
         tx.lang_id("text").alias("lang"),
         tx.fingerprint("text").alias("fp"),
     )
-    # keep_fp rename: keepers derives from scored, so scored["fp"] ==
-    # keepers["fp"] resolves to a trivially-true self-compare (Spark
-    # self-join ambiguity) and the fp condition silently drops out.
-    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("keep_id")) \
-        .withColumnRenamed("fp", "keep_fp")
     return (
-        scored.join(broadcast(keepers),
-                    (F.col("fp") == F.col("keep_fp"))
-                    & (F.col("doc_id") == F.col("keep_id")))
+        scored.groupBy("fp")
+        .agg(F.min_by(F.struct("doc_id", "quality", "lang"), F.col("doc_id"))
+             .alias("r"))
+        .select(F.col("r.doc_id").alias("doc_id"), F.col("r.lang").alias("lang"),
+                F.col("r.quality").alias("quality"))
         .filter((F.col("quality") >= 0.5) & (F.col("lang") != "und"))
-        .select("doc_id", "lang", "quality")
     )
 
 
