@@ -377,8 +377,10 @@ def lsh_bucket_sql_duck(emb_col: str = "embedding",
 
 # -- IVF (inverted-file) ANN ---------------------------------------------------
 # Deterministic IVF-flat: coarse "centroids" are a fixed arithmetic sample of
-# the corpus (vec_id ≡ RESIDUE mod MOD — the deterministic stand-in for
-# k-means training; the index structure and query path are the real thing).
+# the corpus (vec_id ≡ RESIDUE mod MOD — the deterministic FIXTURE centroids
+# for the cross-engine oracle; real Lloyd's training lives in
+# operators/kmeans.py, whose trained_centroids_df emits this same schema and
+# drops into ivf_assign/ivf_ann_topk unchanged).
 IVF_CENTROID_MOD = 97
 IVF_CENTROID_RESIDUE = 3
 
