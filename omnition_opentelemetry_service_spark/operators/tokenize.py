@@ -1,0 +1,86 @@
+"""Text → token-id ingest: turn the raw documents table into the
+north-star pre-tokenized sequence shape (doc_id, tokens array<int>,
+n_tok int, source) — the step that FEEDS the parse→enrich→route pipeline
+and the release job (BASELINE.json input_hint names exactly this table).
+
+Tokenization = the SAME GPT-2-style pre-tokenizer segmentation the quality
+metrics already use (functions/text.bpe_token_estimate — one regex
+definition per engine, per the repo's identical-character-classes rule),
+followed by a hash vocabulary: token id = md5-prefix of the piece mod
+``vocab_size``. A hash vocab is the deterministic, training-free stand-in
+for a learned BPE merge table (feature hashing); the segmentation, the id
+arithmetic, and the output schema are the production shape — swapping in a
+learned vocab changes one lookup, not the pipeline. Both engines compute
+identical ids (md5 prefix < 2^32 fits int64 exactly; mod then casts to
+int32 losslessly since vocab_size < 2^31).
+
+Shape at scale: pure per-row expressions — one scan, zero shuffle, whole-
+stage codegen; the regex segmentation is the dominant cost and it is one
+pass per document. NULL text → NULL tokens (a parse-quarantine row, not a
+silent empty sequence); empty/whitespace text → empty array (a real,
+zero-length document).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# THE segmentation pattern — shared shape with functions/text.py
+# bpe_token_estimate (words | digit runs | single non-space symbol).
+# RE2-safe (no lookaround), so Spark (java.util.regex) and DuckDB (RE2)
+# match identically.
+PIECE_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+VOCAB_SIZE = 65_536
+
+
+def tokens_expr(text_col: str = "text",
+                vocab_size: int = VOCAB_SIZE) -> F.Column:
+    """array<int> of hash-vocab token ids (see module docstring)."""
+    # Spark's SQL parser consumes one level of backslash escaping inside a
+    # quoted literal ('\s' → 's', silently turning the char class into
+    # [^A-Za-z0-9s] — spaces become pieces); DuckDB's quoted strings do
+    # not. ONE shared pattern, engine-specific quoting.
+    spark_rx = PIECE_RX.replace("\\", "\\\\")
+    return F.expr(
+        f"transform(regexp_extract_all({text_col}, '{spark_rx}', 0), "
+        f"p -> CAST(CAST(conv(substring(md5(p), 1, 8), 16, 10) AS BIGINT) "
+        f"% {vocab_size} AS INT))"
+    )
+
+
+def tokens_sql_duck(text_col: str = "text",
+                    vocab_size: int = VOCAB_SIZE) -> str:
+    return (
+        f"list_transform(regexp_extract_all({text_col}, '{PIECE_RX}'), "
+        f"p -> CAST(CAST(concat('0x', substr(md5(p), 1, 8)) AS BIGINT) "
+        f"% {vocab_size} AS INT))"
+    )
+
+
+def tokenize_documents(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", source_col: str = "source",
+                       vocab_size: int = VOCAB_SIZE) -> DataFrame:
+    """documents → (doc_id, tokens, n_tok, source): the BASELINE.json
+    input-table shape, ready for packing/release/pipeline consumption."""
+    toks = tokens_expr(text_col, vocab_size)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        (F.col(source_col) if source_col in docs.columns
+         else F.lit("docs")).alias("source"),
+    )
+
+
+def tokenize_documents_sql_duck(rel: str = "documents",
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                source_col: str | None = "source",
+                                vocab_size: int = VOCAB_SIZE) -> str:
+    toks = tokens_sql_duck(text_col, vocab_size)
+    src = source_col if source_col else "'docs'"
+    return (
+        f"SELECT {id_col} AS doc_id, {toks} AS tokens, "
+        f"CAST(len({toks}) AS INT) AS n_tok, {src} AS source FROM {rel}"
+    )
