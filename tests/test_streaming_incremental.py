@@ -1,0 +1,85 @@
+"""Streaming incremental dedup (streaming/incremental.py): micro-batches
+dedup against the persisted signature store; survivors commit idempotently
+per batch id; later drops dedup against earlier drops' survivors."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from omnition_opentelemetry_service_spark.operators import incremental as inc
+from omnition_opentelemetry_service_spark.streaming import incremental as sinc
+
+SCHEMA = "doc_id long, text string"
+
+
+def _write_drop(spark, rows, in_dir, name):
+    (spark.createDataFrame(rows, SCHEMA).coalesce(1)
+     .write.mode("overwrite").parquet(os.path.join(in_dir, name)))
+
+
+def _run_once(spark, in_dir, store, ckpt):
+    stream = spark.readStream.schema(SCHEMA).option(
+        "pathGlobFilter", "*.parquet").parquet(in_dir + "/*")
+    q = sinc.run_dedup_stream(stream, store, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def _kept_ids(spark, store):
+    bdir = sinc.batches_dir(store)
+    if not os.path.isdir(bdir):
+        return []
+    return sorted(r.id for r in spark.read.parquet(bdir).select("id").collect())
+
+
+@pytest.mark.slow
+def test_streaming_drops_dedup_against_store_and_each_other(spark, tmp_path):
+    corpus = [(i, f"retained corpus document {i} topic {i % 3}")
+              for i in range(20)]
+    store = str(tmp_path / "store")
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    inc.write_signature_store(
+        inc.signature_store(spark.createDataFrame(corpus, SCHEMA)), store)
+
+    # drop 1: two exact dups of the corpus + three fresh docs
+    drop1 = [(100, corpus[0][1]), (101, corpus[5][1]),
+             (102, "fresh stream doc alpha"), (103, "fresh stream doc beta"),
+             (104, "fresh stream doc gamma")]
+    _write_drop(spark, drop1, in_dir, "drop1")
+    _run_once(spark, in_dir, store, ckpt)
+    assert _kept_ids(spark, store) == [102, 103, 104]
+
+    # drop 2: dups of drop-1 SURVIVORS (cross-batch dedup must see them)
+    # + a corpus dup + one genuinely new doc
+    drop2 = [(200, "fresh stream doc alpha"), (201, "fresh stream doc beta"),
+             (202, corpus[1][1]), (203, "second drop brand new doc")]
+    _write_drop(spark, drop2, in_dir, "drop2")
+    _run_once(spark, in_dir, store, ckpt)
+    assert _kept_ids(spark, store) == [102, 103, 104, 203]
+
+    # idempotent: nothing new → re-running the stream changes nothing
+    _run_once(spark, in_dir, store, ckpt)
+    assert _kept_ids(spark, store) == [102, 103, 104, 203]
+    spark.catalog.clearCache()
+
+
+@pytest.mark.slow
+def test_full_history_unions_base_and_batches(spark, tmp_path):
+    corpus = [(i, f"base doc {i}") for i in range(5)]
+    store = str(tmp_path / "store")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    inc.write_signature_store(
+        inc.signature_store(spark.createDataFrame(corpus, SCHEMA)), store)
+    assert sinc.read_full_history(spark, store).count() == 5
+    _write_drop(spark, [(50, "streamed new doc")], in_dir, "d1")
+    _run_once(spark, in_dir, store, str(tmp_path / "ckpt"))
+    hist = sinc.read_full_history(spark, store)
+    assert hist.count() == 6
+    assert hist.filter(F.col("id") == 50).count() == 1
+    spark.catalog.clearCache()
