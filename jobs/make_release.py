@@ -239,6 +239,10 @@ def main() -> None:
                     help="synthesize this many sequences (fixtures.sequences)")
     ap.add_argument("--input-dir", default=None,
                     help="read <dir>/sequences parquet instead")
+    ap.add_argument("--input-docs", default=None,
+                    help="raw documents parquet (doc_id, text[, source]); "
+                         "tokenized to the sequence shape via "
+                         "operators/tokenize before the release")
     ap.add_argument("--out", required=True)
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--shards", type=int, default=64)
@@ -253,8 +257,11 @@ def main() -> None:
                          "fingerprint resume from it")
     ap.add_argument("--parallelism", type=int, default=None)
     args = ap.parse_args()
-    if (args.n_rows is None) == (args.input_dir is None):
-        raise SystemExit("exactly one of --n-rows / --input-dir is required")
+    n_inputs = sum(x is not None
+                   for x in (args.n_rows, args.input_dir, args.input_docs))
+    if n_inputs != 1:
+        raise SystemExit(
+            "exactly one of --n-rows / --input-dir / --input-docs is required")
 
     try:
         from omnition_opentelemetry_service_spark import fixtures
@@ -271,8 +278,25 @@ def main() -> None:
     try:
         if args.n_rows is not None:
             seqs = fixtures.sequences(spark, args.n_rows)
+            input_token = f"n={args.n_rows}"
+        elif args.input_docs is not None:
+            # raw-text ingest: tokenize to the sequence shape; NULL-text
+            # docs have NULL tokens (the quarantine convention) and cannot
+            # enter a release — drop them here, visibly.
+            from pyspark.sql import functions as F
+
+            from omnition_opentelemetry_service_spark.operators.tokenize import (
+                tokenize_documents,
+            )
+
+            docs = spark.read.parquet(args.input_docs)
+            seqs = (tokenize_documents(docs)
+                    .filter(F.col("tokens").isNotNull())
+                    .withColumn("seq_no", F.col("doc_id")))
+            input_token = f"docs={args.input_docs}"
         else:
             seqs = spark.read.parquet(f"{args.input_dir}/sequences")
+            input_token = f"dir={args.input_dir}"
         from omnition_opentelemetry_service_spark.metrics import StageCounters
         counters = StageCounters()
         t0 = time.perf_counter()
@@ -282,9 +306,7 @@ def main() -> None:
                             max_dup_frac=args.max_dup_frac,
                             counters=counters,
                             checkpoint_dir=args.checkpoint_dir,
-                            input_token=(f"n={args.n_rows}"
-                                         if args.n_rows is not None
-                                         else f"dir={args.input_dir}"))
+                            input_token=input_token)
         write_release(rel, args.out, args.shards)
         counters.harvest()
         spark.catalog.clearCache()  # release the gate's persist (cache rule)

@@ -85,3 +85,25 @@ def test_tokenized_table_feeds_packing(spark):
     mx = seqs.agg(F.max("n_tok")).collect()[0][0]
     over = st.filter(F.col("pack_tokens") > 256 + mx).count()
     assert over == 0 and st.count() > 1
+
+
+def test_docs_release_cli_end_to_end(spark, tmp_path):
+    """jobs/make_release.py --input-docs: raw text → tokenize → full
+    release, the complete ingest-to-trainer path in one command."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "make_release.py"),
+         "--input-docs", os.path.join(SF, "documents.parquet"),
+         "--out", str(tmp_path / "rel"), "--budget", "512",
+         "--shards", "4", "--parallelism", "4"],
+        capture_output=True, text=True, cwd=repo)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    splits = rep["per_split"]
+    assert set(splits) <= {"train", "val", "test"} and "train" in splits
+    assert sum(v[0] for v in splits.values()) > 0
