@@ -41,17 +41,22 @@ def token_count_sql_duck(col: str = "text") -> str:
 
 
 # -- BPE-ish subword estimate ----------------------------------------------
+# THE segmentation pattern (shared with operators/tokenize.py): words |
+# digit runs | single non-space symbol. The whitespace class is EXPLICIT,
+# not '\s': Java's \s is [ \t\n\x0B\f\r] while RE2's omits \x0B (vertical
+# tab) — with '\s' in both engines a VT character silently becomes a piece
+# in DuckDB but not in Spark (the identical-character-classes rule).
+PIECE_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
+
+
 def bpe_token_estimate(col: str = "text") -> Column:
     """Regex-segmented subword count (GPT-2-style pre-tokenizer shape:
     words, numbers, punctuation runs)."""
-    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
-    return F.size(F.regexp_extract_all(F.col(col), F.lit(pat), 0))
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(PIECE_RX), 0))
 
 
 def bpe_token_estimate_sql_duck(col: str = "text") -> str:
-    return (
-        f"len(regexp_extract_all({col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
-    )
+    return f"len(regexp_extract_all({col}, '{PIECE_RX}'))"
 
 
 # -- quality scoring ---------------------------------------------------------

@@ -26,11 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# THE segmentation pattern — shared shape with functions/text.py
-# bpe_token_estimate (words | digit runs | single non-space symbol).
-# RE2-safe (no lookaround), so Spark (java.util.regex) and DuckDB (RE2)
-# match identically.
-PIECE_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# THE segmentation pattern — imported from functions/text.py so the token
+# counts the quality gates compute and the token ids this ingest emits can
+# never desynchronize (one definition; explicit whitespace class because
+# Java's \s includes \x0B and RE2's does not). RE2-safe (no lookaround).
+from ..functions.text import PIECE_RX  # noqa: E402  (shared definition)
+
 VOCAB_SIZE = 65_536
 
 

@@ -205,3 +205,26 @@ def test_span_dedup_matches_duckdb_on_arbitrary_text(spark, texts, n):
     a = sorted(map(tuple, corpus.doc_gram_counts(df, n=n).collect()))
     b = sorted(map(tuple, corpus.doc_gram_counts_exploded(df, n=n).collect()))
     assert a == b
+
+
+@SET
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=20))
+def test_tokenize_cross_engine_on_arbitrary_text(spark, texts):
+    """Token ids match DuckDB on ARBITRARY unicode text — including the
+    regex-engine edge cases ('\\x0b' is \\s in Java but not in RE2; the
+    explicit whitespace class pins one semantics for both engines)."""
+    import duckdb
+    import pandas as pd
+
+    from omnition_opentelemetry_service_spark.operators import tokenize
+
+    texts = list(texts) + ["a\x0bb", "x y  z"]  # forced edges
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "i long, text string")
+    got = {r.i: list(r.toks) for r in sdf.select(
+        "i", tokenize.tokens_expr("text").alias("toks")).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["i", "text"]))
+    want = {int(r[0]): [int(x) for x in r[1]] for r in con.execute(
+        f"SELECT i, {tokenize.tokens_sql_duck('text')} FROM t").fetchall()}
+    assert got == want
