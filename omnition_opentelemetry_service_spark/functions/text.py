@@ -21,7 +21,16 @@ STOPWORDS = {
 }
 
 PUNCT_CLASS = r"[.,;:!?]"
-WS = r"\s+"
+# Whitespace, spelled out as Java's \s set ([ \t\n\x0B\f\r]): RE2 (DuckDB)
+# omits \x0B from its \s, so every twin pair written with a bare '\s'
+# silently diverges on vertical-tab text. ONE definition, three quotings:
+# WS for the Python Column API (Java regex reads the \t escapes),
+# WS_SQL_SPARK for F.expr SQL text (the SQL parser eats one backslash
+# level), WS_SQL_DUCK for DuckDB SQL literals (passed through verbatim).
+WS_CHARS = r" \t\n\x0B\f\r"
+WS = f"[{WS_CHARS}]+"
+WS_SQL_SPARK = WS.replace("\\", "\\\\")
+WS_SQL_DUCK = WS
 
 
 # -- token counting ---------------------------------------------------------
@@ -36,7 +45,7 @@ def token_count(col: str = "text") -> Column:
 def token_count_sql_duck(col: str = "text") -> str:
     return (
         f"CASE WHEN len(trim({col})) = 0 THEN 0 "
-        f"ELSE len(string_split_regex(trim({col}), '\\s+')) END"
+        f"ELSE len(string_split_regex(trim({col}), '{WS_SQL_DUCK}')) END"
     )
 
 
@@ -85,7 +94,7 @@ def stopword_count(col: str = "text", lang: str = "en") -> Column:
 def stopword_count_sql_duck(col: str = "text", lang: str = "en") -> str:
     lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return (
-        f"len(list_filter(string_split_regex(lower(trim({col})), '\\s+'), "
+        f"len(list_filter(string_split_regex(lower(trim({col})), '{WS_SQL_DUCK}'), "
         f"w -> list_contains([{lst}], w)))"
     )
 
@@ -147,7 +156,7 @@ def fingerprint(col: str = "text") -> Column:
 
 
 def fingerprint_sql_duck(col: str = "text") -> str:
-    return f"md5(lower(trim(regexp_replace({col}, '\\s+', ' ', 'g'))))"
+    return f"md5(lower(trim(regexp_replace({col}, '{WS_SQL_DUCK}', ' ', 'g'))))"
 
 
 # -- shingling (minhash / jaccard input) ---------------------------------------
@@ -171,7 +180,7 @@ def _norm_grams_sql(col: str, k: int) -> str:
     normalization does NOT remove — without DOTALL, grams spanning those
     characters are silently dropped, diverging from the oracle's substring
     semantics (which has no such exclusion)."""
-    norm = f"lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
+    norm = f"lower(trim(regexp_replace({col}, '{WS_SQL_SPARK}', ' ')))"
     return (
         f"CASE WHEN length({norm}) < {k} THEN array({norm}) "
         f"ELSE regexp_extract_all({norm}, '(?s)(?=(.{{{k}}}))', 1) END"
@@ -183,7 +192,7 @@ def _shingles_expr(col: str, k: int) -> Column:
 
 
 def char_shingles_sql_duck(col: str = "text", k: int = 5) -> str:
-    norm = f"lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+    norm = f"lower(trim(regexp_replace({col}, '{WS_SQL_DUCK}', ' ', 'g')))"
     return (
         f"list_distinct(CASE WHEN len({norm}) < {k} THEN [{norm}] "
         f"ELSE list_transform(range(len({norm}) - {k} + 1), "

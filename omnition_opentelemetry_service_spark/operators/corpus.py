@@ -19,6 +19,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+def tx_ws() -> str:
+    """Default unit separator: the ONE explicit whitespace class
+    (functions/text.WS — Java's \\s set, spelled out so DuckDB's RE2,
+    whose \\s omits \\x0B, matches identically)."""
+    from ..functions.text import WS
+
+    return WS
+
+
 # ---------------------------------------------------------------------------
 # Repetition metrics (Gopher / MassiveText quality rules, Rae et al. 2021:
 # "duplicate line fraction", "top n-gram fraction"). Our unit is a UNIT —
@@ -27,7 +36,8 @@ from pyspark.sql.functions import broadcast
 
 
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text", sep: str = r"\s+") -> DataFrame:
+                     text_col: str = "text",
+                     sep: str = tx_ws()) -> DataFrame:
     """Per-document repetition profile over units split by ``sep``:
 
     - n_units / n_distinct_units
@@ -55,7 +65,8 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
 
 
 def repetition_stats_sql_duck(table: str = "documents", id_col: str = "doc_id",
-                              text_col: str = "text", sep: str = r"\s+") -> str:
+                              text_col: str = "text",
+                              sep: str = tx_ws()) -> str:
     return f"""
     WITH units AS (
       SELECT {id_col}, unnest(string_split_regex(trim({text_col}), '{sep}')) AS unit
@@ -84,7 +95,10 @@ def repetition_stats_sql_duck(table: str = "documents", id_col: str = "doc_id",
 
 
 def _words_expr(text_col: str) -> str:
-    return f"filter(split(trim({text_col}), '\\\\s+'), w -> length(w) > 0)"
+    from ..functions.text import WS_SQL_SPARK
+
+    return (f"filter(split(trim({text_col}), '{WS_SQL_SPARK}'), "
+            f"w -> length(w) > 0)")
 
 
 def _grams_expr(n: int, text_col: str) -> str:
@@ -100,8 +114,10 @@ def _grams_expr(n: int, text_col: str) -> str:
 
 
 def _words_sql_duck(text_col: str) -> str:
-    return (f"list_filter(string_split_regex(trim({text_col}), '\\s+'), "
-            f"w -> len(w) > 0)")
+    from ..functions.text import WS_SQL_DUCK
+
+    return (f"list_filter(string_split_regex(trim({text_col}), "
+            f"'{WS_SQL_DUCK}'), w -> len(w) > 0)")
 
 
 def _grams_case_duck(n: int, ws: str = "ws") -> str:

@@ -279,7 +279,9 @@ def simhash_expr(text_col: str = "text") -> F.Column:
     groupBy agg is fully codegen'd but 6× SLOWER (36s vs 5.9s on 5k docs,
     sf0.1) — 61 aggregation buffers over the exploded row count plus the
     group-by exchange cost far more than interpreting the fold per doc."""
-    words = f"filter(split(lower(trim({text_col})), '\\\\s+'), w -> length(w) > 0)"
+    from ..functions.text import WS_SQL_SPARK
+    words = (f"filter(split(lower(trim({text_col})), '{WS_SQL_SPARK}'), "
+             f"w -> length(w) > 0)")
     whs = (f"transform({words}, "
            f"w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))")
     votes = (

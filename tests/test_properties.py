@@ -228,3 +228,45 @@ def test_tokenize_cross_engine_on_arbitrary_text(spark, texts):
     want = {int(r[0]): [int(x) for x in r[1]] for r in con.execute(
         f"SELECT i, {tokenize.tokens_sql_duck('text')} FROM t").fetchall()}
     assert got == want
+
+
+@SET
+@given(st.lists(st.text(alphabet=st.characters(codec="utf-8"), max_size=40),
+                min_size=1, max_size=10))
+def test_fingerprint_and_words_cross_engine_on_arbitrary_text(spark, texts):
+    """fingerprint + simhash word split match DuckDB on arbitrary unicode —
+    the explicit [ \\t\\n\\x0b\\f\\r]+ class is what makes VT-containing
+    text agree (RE2's \\s omits \\x0b; Java's includes it)."""
+    import duckdb
+    import pandas as pd
+
+    from omnition_opentelemetry_service_spark.functions import text as tx
+    from omnition_opentelemetry_service_spark.operators import dedup as dd
+
+    texts = list(texts) + ["a\x0bb c", "\x0b lead", "trail\x0b"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "i long, text string")
+    got = {(r.i): (r.fp, r.sh) for r in sdf.select(
+        "i", tx.fingerprint("text").alias("fp"),
+        dd.simhash_expr("text").alias("sh")).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["i", "text"]))
+    sh_duck = f"""
+    SELECT i, {tx.fingerprint_sql_duck('text')} AS fp,
+      (SELECT CAST({" + ".join(
+        f"(CASE WHEN sum(CASE WHEN (CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(dd.SIMHASH_BITS))} AS BIGINT)
+       FROM unnest(list_filter(string_split_regex(lower(trim(t.text)),
+            '[ \\t\\n\\x0B\\f\\r]+'), w -> len(w) > 0)) AS u(w)) AS sh
+    FROM t"""
+    want = {int(r[0]): (r[1], r[2]) for r in con.execute(sh_duck).fetchall()}
+    for i in got:
+        assert got[i][0] == want[i][0], f"fingerprint mismatch on {texts[i]!r}"
+        g_sh = got[i][1]
+        w_sh = want[i][1]
+        if g_sh is None or w_sh is None:
+            # empty word list: Spark's fold yields the all-zero-votes pack
+            # (0), DuckDB's empty subquery yields NULL — normalize both
+            g_sh = g_sh or 0
+            w_sh = w_sh or 0
+        assert g_sh == w_sh, f"simhash mismatch on {texts[i]!r}"
