@@ -97,10 +97,18 @@ def parse_payload_pandas(df: DataFrame, payload_col: str = "payload") -> DataFra
     regex = PAYLOAD_REGEX
 
     def parse_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+
         import pandas as pd
 
+        # re.ASCII: Python's \w/\d are UNICODE by default while Java's (the
+        # native/split impls) and RE2's (the DuckDB oracle) are ASCII — a
+        # payload like host=héllo must be INVALID in every impl, not valid
+        # here and quarantined there.
+        rx = re.compile(regex, re.ASCII)
+
         for pdf in it:
-            ext = pdf[payload_col].str.extract(regex)
+            ext = pdf[payload_col].str.extract(rx)
             out = pdf[passthrough].copy()
             out["ts_str"] = ext[0]
             out["host"] = ext[1]

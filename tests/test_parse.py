@@ -129,3 +129,27 @@ def test_split_parse_adversarial_payloads(spark):
     assert n["d1"]["host"] == "h1" and n["d1"]["msg"] == "x host=evil lvl=FAKE n=9"
     assert n["d2"]["msg"] == ""
     assert not n["d4"]["valid"] and not n["d5"]["valid"] and not n["d6"]["valid"]
+
+
+def test_parse_impls_agree_on_unicode_payloads(spark):
+    """All three parse impls must mark a unicode-host payload INVALID the
+    same way: Java and RE2 \\w are ASCII; Python's is unicode unless the
+    pandas impl compiles with re.ASCII (regression pin)."""
+    from omnition_opentelemetry_service_spark.functions import parse as pf
+
+    rows = [
+        (1, '2026-01-01T00:00:00Z host=héllo lvl=info src=websrc n=5 '
+            f'trace={"0" * 32} msg="x"'),
+        (2, '2026-01-01T00:00:00Z host=ok lvl=info src=websrc n=١٢٣ '
+            f'trace={"0" * 32} msg="x"'),
+        (3, '2026-01-01T00:00:00Z host=ok lvl=info src=websrc n=5 '
+            f'trace={"0" * 32} msg="x"'),
+    ]
+    df = spark.createDataFrame(
+        [(str(i), p) for i, p in rows], "doc_id string, payload string") \
+        .withColumn("stream_id", F.lit(0)).withColumn("msg_seq", F.lit(0)) \
+        .withColumn("node_host", F.lit(None).cast("string"))
+    for impl in (pf.parse_payload_native, pf.parse_payload_split,
+                 pf.parse_payload_pandas):
+        got = {int(r.doc_id): r.valid for r in impl(df).collect()}
+        assert got == {1: False, 2: False, 3: True}, impl.__name__
