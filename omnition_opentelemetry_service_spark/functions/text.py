@@ -32,6 +32,12 @@ WS = f"[{WS_CHARS}]+"
 WS_SQL_SPARK = WS.replace("\\", "\\\\")
 WS_SQL_DUCK = WS
 
+# Astral (supplementary-plane) codepoints — same \x{...} range syntax in
+# java.util.regex and RE2; the Spark variant is double-escaped for F.expr.
+ASTRAL_RX = r"[\x{10000}-\x{10FFFF}]"
+ASTRAL_RX_SPARK = ASTRAL_RX.replace("\\", "\\\\")
+ASTRAL_RX_DUCK = ASTRAL_RX
+
 
 # -- token counting ---------------------------------------------------------
 def token_count(col: str = "text") -> Column:
@@ -44,8 +50,8 @@ def token_count(col: str = "text") -> Column:
 
 def token_count_sql_duck(col: str = "text") -> str:
     return (
-        f"CASE WHEN len(trim({col})) = 0 THEN 0 "
-        f"ELSE len(string_split_regex(trim({col}), '{WS_SQL_DUCK}')) END"
+        f"CASE WHEN len(trim({col}, ' ')) = 0 THEN 0 "
+        f"ELSE len(string_split_regex(trim({col}, ' '), '{WS_SQL_DUCK}')) END"
     )
 
 
@@ -86,7 +92,7 @@ def punct_ratio_sql_duck(col: str = "text") -> str:
 
 
 def stopword_count(col: str = "text", lang: str = "en") -> Column:
-    words = F.split(F.lower(F.trim(F.col(col))), WS)
+    words = F.split(lower_fold(F.trim(F.col(col))), WS)
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
 
@@ -94,7 +100,8 @@ def stopword_count(col: str = "text", lang: str = "en") -> Column:
 def stopword_count_sql_duck(col: str = "text", lang: str = "en") -> str:
     lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return (
-        f"len(list_filter(string_split_regex(lower(trim({col})), '{WS_SQL_DUCK}'), "
+        f"len(list_filter(string_split_regex("
+        f"{lower_fold_sql_duck(trim_sql_duck(col))}, '{WS_SQL_DUCK}'), "
         f"w -> list_contains([{lst}], w)))"
     )
 
@@ -149,14 +156,64 @@ def lang_id_sql_duck(col: str = "text") -> str:
     )
 
 
+# -- case-fold normalization ---------------------------------------------------
+# Java/Python lowercase applies SpecialCasing (\u0130 = İ → i + U+0307) and
+# the FINAL-SIGMA context rule (word-final Σ → ς); DuckDB's lower() applies
+# simple one-to-one mappings only. On top of that, the JVM's Unicode tables
+# are NEWER than DuckDB's utf8proc: a full BMP + plane-1 sweep (every
+# codepoint in bare / word-final / mid-word contexts, Spark vs DuckDB) found
+# exactly 70 codepoints the JVM lowercases and utf8proc leaves unchanged
+# (U+1C89, U+2C2F, the U+A7Cx/A7Dx Latin additions, Vithkuqi U+10570-95,
+# Garay U+10D50-65). Fold ALL divergences explicitly so normalized text is
+# byte-identical across engines on every input:
+#  * pre-expand İ on the DuckDB side (Java already emits i + U+0307),
+#  * map every ς to σ on BOTH sides (covers the final-sigma context rule
+#    AND literal ς in the input),
+#  * apply the 70-entry Unicode-skew cap→lower table on the DuckDB side
+#    (and after .lower() in any Python twin — CPython 3.11 knows some but
+#    not all of them; post-lower application makes that irrelevant).
+# The table was derived EMPIRICALLY (tools/case_skew_sweep.py re-derives
+# it); if the sandbox's JVM or DuckDB ever changes, re-run the sweep.
+CASE_SKEW_CAPS = "\u1c89\u2c2f\ua7c0\ua7c7\ua7c9\ua7cb\ua7cc\ua7d0\ua7d6\ua7d8\ua7da\ua7dc\ua7f5\U00010570\U00010571\U00010572\U00010573\U00010574\U00010575\U00010576\U00010577\U00010578\U00010579\U0001057a\U0001057c\U0001057d\U0001057e\U0001057f\U00010580\U00010581\U00010582\U00010583\U00010584\U00010585\U00010586\U00010587\U00010588\U00010589\U0001058a\U0001058c\U0001058d\U0001058e\U0001058f\U00010590\U00010591\U00010592\U00010594\U00010595\U00010d50\U00010d51\U00010d52\U00010d53\U00010d54\U00010d55\U00010d56\U00010d57\U00010d58\U00010d59\U00010d5a\U00010d5b\U00010d5c\U00010d5d\U00010d5e\U00010d5f\U00010d60\U00010d61\U00010d62\U00010d63\U00010d64\U00010d65"
+CASE_SKEW_LOWS = "\u1c8a\u2c5f\ua7c1\ua7c8\ua7ca\u0264\ua7cd\ua7d1\ua7d7\ua7d9\ua7db\u019b\ua7f6\U00010597\U00010598\U00010599\U0001059a\U0001059b\U0001059c\U0001059d\U0001059e\U0001059f\U000105a0\U000105a1\U000105a3\U000105a4\U000105a5\U000105a6\U000105a7\U000105a8\U000105a9\U000105aa\U000105ab\U000105ac\U000105ad\U000105ae\U000105af\U000105b0\U000105b1\U000105b3\U000105b4\U000105b5\U000105b6\U000105b7\U000105b8\U000105b9\U000105bb\U000105bc\U00010d70\U00010d71\U00010d72\U00010d73\U00010d74\U00010d75\U00010d76\U00010d77\U00010d78\U00010d79\U00010d7a\U00010d7b\U00010d7c\U00010d7d\U00010d7e\U00010d7f\U00010d80\U00010d81\U00010d82\U00010d83\U00010d84\U00010d85"
+_PY_SKEW = str.maketrans(CASE_SKEW_CAPS, CASE_SKEW_LOWS)
+
+
+def lower_fold(col: Column) -> Column:
+    return F.translate(F.lower(col), "\u03c2", "\u03c3")
+
+
+def lower_fold_sql_spark(inner: str) -> str:
+    return f"translate(lower({inner}), '\u03c2', '\u03c3')"
+
+
+def lower_fold_sql_duck(inner: str) -> str:
+    return (
+        f"translate(lower(replace({inner}, '\u0130', 'i\u0307')), "
+        f"'{CASE_SKEW_CAPS}\u03c2', '{CASE_SKEW_LOWS}\u03c3')"
+    )
+
+
+def lower_fold_py(s: str) -> str:
+    """Python twin of the JVM-side lower_fold — for pandas kernels."""
+    return s.lower().translate(_PY_SKEW).replace("\u03c2", "\u03c3")
+
+
+# DuckDB's bare trim() strips ALL Unicode whitespace (NBSP, U+2000…); Java's
+# strips only ASCII space — pin space-only semantics in every Duck twin.
+def trim_sql_duck(inner: str) -> str:
+    return f"trim({inner}, ' ')"
+
+
 # -- fingerprinting ------------------------------------------------------------
 def fingerprint(col: str = "text") -> Column:
-    """Whitespace-normalized lowercase md5 — the exact-dup document key."""
-    return F.md5(F.lower(F.trim(F.regexp_replace(F.col(col), WS, " "))))
+    """Whitespace-normalized case-folded md5 — the exact-dup document key."""
+    return F.md5(lower_fold(F.trim(F.regexp_replace(F.col(col), WS, " "))))
 
 
 def fingerprint_sql_duck(col: str = "text") -> str:
-    return f"md5(lower(trim(regexp_replace({col}, '{WS_SQL_DUCK}', ' ', 'g'))))"
+    inner = trim_sql_duck(f"regexp_replace({col}, '{WS_SQL_DUCK}', ' ', 'g')")
+    return f"md5({lower_fold_sql_duck(inner)})"
 
 
 # -- shingling (minhash / jaccard input) ---------------------------------------
@@ -179,8 +236,19 @@ def _norm_grams_sql(col: str, k: int) -> str:
     (?s) DOTALL: Java '.' excludes U+0085/U+2028/U+2029 which the '\\s+'
     normalization does NOT remove — without DOTALL, grams spanning those
     characters are silently dropped, diverging from the oracle's substring
-    semantics (which has no such exclusion)."""
-    norm = f"lower(trim(regexp_replace({col}, '{WS_SQL_SPARK}', ' ')))"
+    semantics (which has no such exclusion).
+
+    Astral chars (U+10000+) fold to U+FFFD FIRST, on BOTH engines: Java's
+    regex engine iterates lookahead match positions by UTF-16 CODE UNIT, so
+    a surrogate pair also yields a bogus gram starting mid-pair whose lone
+    surrogate is '?'-mangled at extraction — unrecoverable downstream (it
+    is byte-identical to a legit '?'-led gram). The symmetric pre-fold
+    keeps the one-pass regex form (measured 2× faster than codepoint-array
+    slicing) at the cost of collapsing astral distinctions inside the
+    similarity signature — negligible for dedup."""
+    pre = f"regexp_replace({col}, '{ASTRAL_RX_SPARK}', '�')"
+    norm = lower_fold_sql_spark(
+        f"trim(regexp_replace({pre}, '{WS_SQL_SPARK}', ' '))")
     return (
         f"CASE WHEN length({norm}) < {k} THEN array({norm}) "
         f"ELSE regexp_extract_all({norm}, '(?s)(?=(.{{{k}}}))', 1) END"
@@ -192,7 +260,9 @@ def _shingles_expr(col: str, k: int) -> Column:
 
 
 def char_shingles_sql_duck(col: str = "text", k: int = 5) -> str:
-    norm = f"lower(trim(regexp_replace({col}, '{WS_SQL_DUCK}', ' ', 'g')))"
+    pre = f"regexp_replace({col}, '{ASTRAL_RX_DUCK}', '�', 'g')"
+    norm = lower_fold_sql_duck(
+        trim_sql_duck(f"regexp_replace({pre}, '{WS_SQL_DUCK}', ' ', 'g')"))
     return (
         f"list_distinct(CASE WHEN len({norm}) < {k} THEN [{norm}] "
         f"ELSE list_transform(range(len({norm}) - {k} + 1), "

@@ -69,7 +69,7 @@ def repetition_stats_sql_duck(table: str = "documents", id_col: str = "doc_id",
                               sep: str = tx_ws()) -> str:
     return f"""
     WITH units AS (
-      SELECT {id_col}, unnest(string_split_regex(trim({text_col}), '{sep}')) AS unit
+      SELECT {id_col}, unnest(string_split_regex(trim({text_col}, ' '), '{sep}')) AS unit
       FROM {table}
     ), nonempty AS (
       SELECT * FROM units WHERE len(unit) > 0
@@ -116,7 +116,9 @@ def _grams_expr(n: int, text_col: str) -> str:
 def _words_sql_duck(text_col: str) -> str:
     from ..functions.text import WS_SQL_DUCK
 
-    return (f"list_filter(string_split_regex(trim({text_col}), "
+    # trim(x, ' '): Duck's bare trim strips ALL unicode whitespace while
+    # the Spark twin's trim strips only 0x20 — pin space-only semantics.
+    return (f"list_filter(string_split_regex(trim({text_col}, ' '), "
             f"'{WS_SQL_DUCK}'), w -> len(w) > 0)")
 
 

@@ -279,9 +279,9 @@ def simhash_expr(text_col: str = "text") -> F.Column:
     groupBy agg is fully codegen'd but 6× SLOWER (36s vs 5.9s on 5k docs,
     sf0.1) — 61 aggregation buffers over the exploded row count plus the
     group-by exchange cost far more than interpreting the fold per doc."""
-    from ..functions.text import WS_SQL_SPARK
-    words = (f"filter(split(lower(trim({text_col})), '{WS_SQL_SPARK}'), "
-             f"w -> length(w) > 0)")
+    from ..functions.text import WS_SQL_SPARK, lower_fold_sql_spark
+    words = (f"filter(split({lower_fold_sql_spark(f'trim({text_col})')}, "
+             f"'{WS_SQL_SPARK}'), w -> length(w) > 0)")
     whs = (f"transform({words}, "
            f"w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))")
     votes = (
@@ -317,6 +317,8 @@ def simhash_signatures_pandas(docs: DataFrame, id_col: str = "doc_id",
     import numpy as np
     import pandas as pd
 
+    from ..functions.text import lower_fold_py
+
     bits = SIMHASH_BITS
     # Replicate the JVM tokenization EXACTLY, not idiomatically: Spark's
     # trim() strips only 0x20 spaces and Java '\s' is the ASCII class
@@ -334,7 +336,11 @@ def simhash_signatures_pandas(docs: DataFrame, id_col: str = "doc_id",
                 if t is None:  # NULL text → NULL signature, the expression
                     out.append(None)  # twin's null-propagation semantics
                     continue
-                ws = [w for w in ascii_ws.split(t.strip(" ").lower()) if w]
+                # lower_fold_py = .lower() (matches Java SpecialCasing +
+                # final sigma) + the Unicode-skew table + ς→σ — the ONE
+                # Python twin of the JVM-side fold (functions.text).
+                ws = [w for w in ascii_ws.split(
+                    lower_fold_py(t.strip(" "))) if w]
                 hs = []
                 for w in ws:
                     h = memo.get(w)

@@ -871,7 +871,7 @@ def build_oracle_sql() -> dict[str, str]:
 
     simhash_cte = f"""
     WITH words AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+      SELECT doc_id, unnest(list_filter(string_split_regex({tx.lower_fold_sql_duck(tx.trim_sql_duck('text'))}, '[ \\t\\n\\x0B\\f\\r]+'),
                                         w -> len(w) > 0)) AS w
       FROM documents WHERE doc_id < 150),
     wh AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM words),
@@ -904,7 +904,7 @@ def build_oracle_sql() -> dict[str, str]:
 
     o["simhash_values"] = f"""
     WITH words AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+      SELECT doc_id, unnest(list_filter(string_split_regex({tx.lower_fold_sql_duck(tx.trim_sql_duck('text'))}, '[ \\t\\n\\x0B\\f\\r]+'),
                                         w -> len(w) > 0)) AS w
       FROM documents),
     wh AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM words),

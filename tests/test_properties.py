@@ -256,7 +256,8 @@ def test_fingerprint_and_words_cross_engine_on_arbitrary_text(spark, texts):
       (SELECT CAST({" + ".join(
         f"(CASE WHEN sum(CASE WHEN (CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
         for b in range(dd.SIMHASH_BITS))} AS BIGINT)
-       FROM unnest(list_filter(string_split_regex(lower(trim(t.text)),
+       FROM unnest(list_filter(string_split_regex(
+            {tx.lower_fold_sql_duck(tx.trim_sql_duck('t.text'))},
             '[ \\t\\n\\x0B\\f\\r]+'), w -> len(w) > 0)) AS u(w)) AS sh
     FROM t"""
     want = {int(r[0]): (r[1], r[2]) for r in con.execute(sh_duck).fetchall()}
