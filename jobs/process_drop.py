@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--est-threshold", type=float, default=0.5)
     ap.add_argument("--no-append", action="store_true",
                     help="report only; do not advance the store")
+    ap.add_argument("--compact", action="store_true",
+                    help="after appending, fold streamed batch dirs into "
+                         "the base store and bin-pack each fpb partition "
+                         "to one file (streaming/incremental.compact_store)")
     ap.add_argument("--parallelism", type=int, default=None)
     args = ap.parse_args()
 
@@ -84,6 +88,13 @@ def main() -> None:
         n_near = near.count()
         if not args.no_append:
             incremental.append_signature_store(survivors, args.store)
+        compact_stats = None
+        if args.compact:
+            from omnition_opentelemetry_service_spark.streaming.incremental import (  # noqa: E501
+                compact_store,
+            )
+            spark.catalog.clearCache()
+            compact_stats = compact_store(spark, args.store)
         dt = time.perf_counter() - t0
         print(json.dumps({
             "batch_rows": n_batch,
@@ -92,6 +103,7 @@ def main() -> None:
             "near_dup_pairs": n_near,
             "pruned_buckets": len(buckets),
             "appended": not args.no_append,
+            "compacted": compact_stats,
             "wall_sec": round(dt, 3),
         }))
     finally:

@@ -26,8 +26,10 @@ checkpoint advance re-runs the batch and the overwrite makes that safe.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import incremental as inc
 
@@ -83,3 +85,110 @@ def run_dedup_stream(stream_docs: DataFrame, store_path: str,
             .foreachBatch(process)
             .trigger(availableNow=True)
             .start())
+
+
+def compact_store(spark: SparkSession, store_path: str,
+                  buckets: list[int] | None = None) -> dict:
+    """Fold streamed batch appends into the base store and bin-pack each
+    fpb partition to ONE file — the maintenance job that keeps the two
+    unbounded-growth axes of a continuously-ingesting store in check:
+    ``read_full_history`` otherwise unions one directory per micro-batch
+    forever, and every ``append_signature_store`` adds task-sized files to
+    the base partitions. (Iceberg analog: RewriteDataFiles + snapshot
+    expiration; the sandbox parquet layout gets the same contract here.)
+
+    Shape at scale: ONE job computes the compacted layout —
+    ``repartition("fpb")`` keys the exchange on the bucket column so each
+    bucket lands in exactly one task → exactly one output file per bucket;
+    shuffle volume = the rows being rewritten, never more. ``buckets``
+    restricts the rewrite to a subset of fpb partitions — the incremental
+    form a 10^12-row store actually runs (compact a few buckets per cycle);
+    subset mode rewrites BASE partitions only and leaves batch dirs alone
+    (folding a batch dir requires rewriting every bucket it touches).
+
+    Crash contract (single maintainer; a live concurrent reader may see a
+    partition dir swap mid-scan — Iceberg's snapshot isolation is the real
+    fix, documented not papered over):
+    - staging is written fully before any swap; a crash before the first
+      swap leaves the store untouched.
+    - each partition swap is two renames (old → trash, staging → live); a
+      crash between them leaves that one bucket invisible to readers until
+      the next compact_store / recover_compaction call, which restores any
+      trash partition missing from the live store BEFORE doing anything
+      else — no committed row is ever lost, the window is availability,
+      not durability.
+    - batch dirs are deleted only after ALL swaps; a crash in between
+      leaves their rows duplicated against the freshly-folded partitions —
+      harmless for dedup (anti-join/banding are idempotent under duplicate
+      history rows, pinned in tests) and healed by the next compact's
+      ``dropDuplicates(["id"])``.
+    """
+    recover_compaction(store_path)
+    fold_batches = buckets is None
+    src = (read_full_history(spark, store_path) if fold_batches
+           else inc.read_signature_store(spark, store_path)
+           .filter(F.col("fpb").isin([int(b) for b in buckets])))
+    src = src.dropDuplicates(["id"])
+
+    staging = store_path.rstrip("/") + ".compact.staging"
+    trash = store_path.rstrip("/") + ".compact.trash"
+    # post-recovery, anything left in trash is superseded (its live
+    # counterpart exists) — purge it so this run's swaps can't collide
+    for d in (staging, trash):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    (src.repartition("fpb")
+        .write.mode("overwrite").partitionBy("fpb").parquet(staging))
+
+    files_before = sum(
+        len([f for f in os.listdir(d) if f.endswith(".parquet")])
+        for d in _part_dirs(store_path).values())
+    os.makedirs(trash, exist_ok=True)
+    live = _part_dirs(store_path)
+    swapped = 0
+    for b, sdir in sorted(_part_dirs(staging).items()):
+        if b in live:
+            os.rename(live[b], os.path.join(trash, f"fpb={b}"))
+        os.rename(sdir, os.path.join(store_path, f"fpb={b}"))
+        swapped += 1
+    batches_folded = 0
+    if fold_batches:
+        bdir = batches_dir(store_path)
+        if os.path.isdir(bdir):
+            batches_folded = sum(
+                1 for n in os.listdir(bdir) if n.startswith("batch_id="))
+            shutil.rmtree(bdir)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    # the session's FileStatusCache may still hold the pre-swap file lists
+    # for this path; a same-session read after compaction would otherwise
+    # hit FileNotFound on the renamed part files
+    spark.catalog.refreshByPath(store_path)
+    files_after = sum(
+        len([f for f in os.listdir(d) if f.endswith(".parquet")])
+        for d in _part_dirs(store_path).values())
+    return {"buckets_rewritten": swapped, "batches_folded": batches_folded,
+            "files_before": files_before, "files_after": files_after}
+
+
+def _part_dirs(root: str) -> dict[int, str]:
+    if not os.path.isdir(root):
+        return {}
+    return {int(n.split("=", 1)[1]): os.path.join(root, n)
+            for n in os.listdir(root) if n.startswith("fpb=")}
+
+
+def recover_compaction(store_path: str) -> int:
+    """Heal a compact_store crash: any trash partition with NO live
+    counterpart was mid-swap when the process died — restore it (the new
+    copy never landed). Trash partitions that DO have a live counterpart
+    are superseded leftovers; leave them for compact_store's final sweep.
+    Returns the number of restored partitions."""
+    trash = store_path.rstrip("/") + ".compact.trash"
+    live = _part_dirs(store_path)
+    restored = 0
+    for b, tdir in sorted(_part_dirs(trash).items()):
+        if b not in live:
+            os.rename(tdir, os.path.join(store_path, f"fpb={b}"))
+            restored += 1
+    return restored
