@@ -38,17 +38,23 @@ from pyspark.sql import functions as F
 from .similarity import EMB_DIM, _dot_expr
 
 
-def _assign_struct_expr() -> str:
+def _assign_struct_expr(metric: str = "cosine") -> str:
     """Best (cell, score) over a bound one-row `cents` array column — the
     ranked-array argmax of similarity.ivf_assign (nprobe=1), inlined for
-    the training loop (cosine desc, ties → smaller cid)."""
-    scored = (
-        "transform(cents, c -> named_struct("
-        f"'s', {_dot_expr('embedding', 'c.c_emb')} / "
-        f"(sqrt({_dot_expr('embedding', 'embedding')}) * "
-        f"sqrt({_dot_expr('c.c_emb', 'c.c_emb')})), "
-        "'cid', c.centroid_id))"
-    )
+    the training loop (score desc, ties → smaller cid). metric='cosine' is
+    the spherical IVF form; metric='l2' scores by NEGATED squared euclidean
+    distance (argmax of -d² = argmin of d²) — the product-quantization
+    form, where all-zero sub-vectors are legitimate inputs and cosine's
+    zero-norm contract would reject them."""
+    if metric == "l2":
+        s = (f"-({_dot_expr('embedding', 'embedding')} "
+             f"- 2 * {_dot_expr('embedding', 'c.c_emb')} "
+             f"+ {_dot_expr('c.c_emb', 'c.c_emb')})")
+    else:
+        s = (f"{_dot_expr('embedding', 'c.c_emb')} / "
+             f"(sqrt({_dot_expr('embedding', 'embedding')}) * "
+             f"sqrt({_dot_expr('c.c_emb', 'c.c_emb')}))")
+    scored = f"transform(cents, c -> named_struct('s', {s}, 'cid', c.centroid_id))"
     return (
         f"array_sort({scored}, (a, b) -> "
         "CASE WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1 "
@@ -66,7 +72,8 @@ def trained_centroids_df(spark, centroids: list[tuple[int, list[float]]]) -> Dat
         "centroid_id long, c_emb array<double>")
 
 
-def _with_assignment(src: DataFrame, cents_df: DataFrame) -> DataFrame:
+def _with_assignment(src: DataFrame, cents_df: DataFrame,
+                     metric: str = "cosine") -> DataFrame:
     """Attach (cell, score) per row: centroid table → one sorted array row →
     broadcast nested-loop (1-row build side = map-side column attach)."""
     cents_row = cents_df.agg(
@@ -74,7 +81,7 @@ def _with_assignment(src: DataFrame, cents_df: DataFrame) -> DataFrame:
         .alias("cents"))
     return (
         src.crossJoin(F.broadcast(cents_row))
-        .withColumn("a", F.expr(_assign_struct_expr()))
+        .withColumn("a", F.expr(_assign_struct_expr(metric)))
         .drop("cents")
         .withColumn("cell", F.col("a.cid"))
         .withColumn("score", F.col("a.s"))
@@ -84,7 +91,8 @@ def _with_assignment(src: DataFrame, cents_df: DataFrame) -> DataFrame:
 
 def init_centroids(emb: DataFrame, k: int, id_col: str = "vec_id",
                    emb_col: str = "embedding",
-                   oversample: int = 8) -> list[tuple[int, list[float]]]:
+                   oversample: int = 8,
+                   metric: str = "cosine") -> list[tuple[int, list[float]]]:
     """Deterministic k-means‖-style seeding: hash-sample a candidate pool
     (the ``oversample``·k corpus vectors with the smallest md5-of-id hash —
     seed-free, independent of input order/partitioning, same determinism
@@ -105,36 +113,51 @@ def init_centroids(emb: DataFrame, k: int, id_col: str = "vec_id",
     import numpy as np
 
     mat = np.array([r[emb_col] for r in rows], dtype=np.float64)
-    norm = np.sqrt((mat * mat).sum(axis=1))
-    if (norm == 0).any():
-        raise ValueError("zero-norm embedding in the seed pool: cosine "
-                         "undefined (same contract as the IVF query path)")
-    unit = mat / norm[:, None]
+    if metric == "l2":
+        # similarity = -squared euclidean distance: larger = closer, so
+        # the same argmin-of-max-similarity traversal applies; zero-norm
+        # vectors are legitimate (the PQ sub-vector case).
+        def sims(i: int) -> "np.ndarray":
+            d = mat - mat[i]
+            return -(d * d).sum(axis=1)
+    else:
+        norm = np.sqrt((mat * mat).sum(axis=1))
+        if (norm == 0).any():
+            raise ValueError("zero-norm embedding in the seed pool: cosine "
+                             "undefined (same contract as the IVF query path)")
+        unit = mat / norm[:, None]
+
+        def sims(i: int) -> "np.ndarray":
+            return unit @ unit[i]
     chosen = [0]  # the min-hash candidate
-    # max cosine of each candidate to the chosen set (lower = farther)
-    closest = unit @ unit[0]
+    # max similarity of each candidate to the chosen set (lower = farther)
+    closest = sims(0)
     for _ in range(1, k):
         nxt = int(np.argmin(closest))  # ties → first (deterministic)
         chosen.append(nxt)
-        closest = np.maximum(closest, unit @ unit[nxt])
+        closest = np.maximum(closest, sims(nxt))
     return [(i, [float(x) for x in rows[c][emb_col]])
             for i, c in enumerate(chosen)]
 
 
 def assign_cells(emb: DataFrame, centroids: list[tuple[int, list[float]]],
                  id_col: str = "vec_id",
-                 emb_col: str = "embedding") -> DataFrame:
+                 emb_col: str = "embedding",
+                 metric: str = "cosine") -> DataFrame:
     """(id, cell) for every vector — one broadcast-attach scan, no shuffle."""
     cents_df = trained_centroids_df(emb.sparkSession, centroids)
     src = emb.select(F.col(id_col), F.col(emb_col).alias("embedding"))
-    return _with_assignment(src, cents_df).select(id_col, "cell")
+    return _with_assignment(src, cents_df, metric).select(id_col, "cell")
 
 
 def kmeans_train(emb: DataFrame, k: int = 8, max_iter: int = 10,
                  tol: float = 1e-6, id_col: str = "vec_id",
                  emb_col: str = "embedding",
-                 dim: int = EMB_DIM) -> tuple[list[tuple[int, list[float]]], list[float]]:
-    """Lloyd's iterations; returns (centroids, per-iteration mean cosine).
+                 dim: int = EMB_DIM, metric: str = "cosine",
+                 ) -> tuple[list[tuple[int, list[float]]], list[float]]:
+    """Lloyd's iterations; returns (centroids, per-iteration mean score —
+    cosine for metric='cosine', negated squared distance for 'l2'; monotone
+    non-decreasing either way).
 
     centroids: [(centroid_id, vector)] — feed to ``trained_centroids_df``
     for similarity.ivf_assign / ivf_ann_topk (same schema as
@@ -142,11 +165,12 @@ def kmeans_train(emb: DataFrame, k: int = 8, max_iter: int = 10,
     per iteration (monotone non-decreasing up to float fold noise — the
     convergence diagnostic a production index build logs)."""
     spark = emb.sparkSession
-    cents = init_centroids(emb, k, id_col, emb_col)
+    cents = init_centroids(emb, k, id_col, emb_col, metric=metric)
     costs: list[float] = []
     src = emb.select(F.col(emb_col).alias("embedding"))
     for _ in range(max_iter):
-        assigned = _with_assignment(src, trained_centroids_df(spark, cents))
+        assigned = _with_assignment(src, trained_centroids_df(spark, cents),
+                                    metric)
         # dim sum() aggregates + count + cost, ONE map-side-combinable pass:
         # shuffle volume ≤ partitions × k × (dim + 2) doubles.
         aggs = [F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}")

@@ -1,0 +1,202 @@
+"""Product quantization (operators/pq.py): cross-engine exact parity of
+encode + ADC search, recall on planted clusters, and the zero-shuffle /
+broadcast plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import hypothesis.strategies as st
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from pyspark.sql import functions as F
+
+from omnition_opentelemetry_service_spark.operators import pq
+
+DIM = 64
+N_CLUSTERS = 4
+PER_CLUSTER = 40
+
+
+def _planted_rows():
+    rows = []
+    for c in range(N_CLUSTERS):
+        for i in range(PER_CLUSTER):
+            vec = [0.0] * DIM
+            for d in range(16):
+                vec[c * 16 + d] = 1.0 + 0.01 * ((i * 7 + d) % 5)
+            rows.append((c * PER_CLUSTER + i, c, vec))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.createDataFrame(
+        _planted_rows(), "vec_id long, planted int, embedding array<double>")
+    df = df.persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq.pq_train(emb, m=pq.M_SUBSPACES, k=8, max_iter=4)
+
+
+def _duck_con():
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        [(i, v) for i, _c, v in _planted_rows()],
+        columns=["vec_id", "embedding"])
+    con.register("embeddings", pdf)
+    return con
+
+
+def test_codebook_shape(books):
+    assert len(books) == pq.M_SUBSPACES
+    assert all(len(b) == 8 for b in books)
+    assert all(len(c) == DIM // pq.M_SUBSPACES for b in books for c in b)
+
+
+def test_encode_matches_duckdb(spark, emb, books):
+    got = {r.id: list(r.codes)
+           for r in pq.pq_encode(emb, books).collect()}
+    con = _duck_con()
+    want = {int(r[0]): [int(x) for x in r[1]] for r in con.execute(
+        pq.pq_encode_sql_duck(books)).fetchall()}
+    assert got == want
+
+
+def test_encode_partitioning_invariant(spark, emb, books):
+    a = sorted((r.id, tuple(r.codes))
+               for r in pq.pq_encode(emb, books).collect())
+    b = sorted((r.id, tuple(r.codes))
+               for r in pq.pq_encode(emb.repartition(13), books).collect())
+    assert a == b
+
+
+def test_adc_topk_matches_duckdb(spark, emb, books):
+    queries = [(qid, vec) for qid, _c, vec in _planted_rows()[:6]]
+    codes = pq.pq_encode(emb, books)
+    got = sorted(map(tuple,
+                     pq.pq_adc_topk(codes, queries, books, k=5).collect()))
+    con = _duck_con()
+    want = sorted(map(tuple, con.execute(pq.pq_adc_topk_sql_duck(
+        pq.pq_encode_sql_duck(books), queries, books, k=5)).fetchall()))
+    assert got == want
+
+
+def test_adc_recall_on_planted_clusters(spark, emb, books):
+    """A corpus point's ADC top-5 must stay inside its planted cluster —
+    the quantization distortion is far below the inter-cluster distance."""
+    rows = _planted_rows()
+    queries = [(qid, vec) for qid, _c, vec in rows[::37]]
+    cluster = {qid: c for qid, c, _v in rows}
+    codes = pq.pq_encode(emb, books)
+    top = pq.pq_adc_topk(codes, queries, books, k=5).collect()
+    assert len(top) == len(queries) * 5
+    for r in top:
+        assert cluster[r.id] == cluster[r.query_id], \
+            f"query {r.query_id} pulled {r.id} from another cluster"
+
+
+def test_plan_shape_no_corpus_shuffle_in_encode(spark, emb, books):
+    plan = pq.pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_plan_shape_adc_broadcasts_queries(spark, emb, books):
+    queries = [(0, _planted_rows()[0][2])]
+    codes = pq.pq_encode(emb, books)
+    plan = (pq.pq_adc_topk(codes, queries, books, k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    from omnition_opentelemetry_service_spark.operators import kmeans as km
+    cents, _ = km.kmeans_train(emb, k=4, max_iter=6, metric="l2")
+    return cents
+
+
+def test_ivf_pq_matches_full_adc_on_probed_cells(spark, emb, books, centroids):
+    """With nprobe = nlist (probe everything), IVF-PQ must equal the
+    full-corpus ADC scan exactly — the pruning is the ONLY difference."""
+    queries = [(qid, vec) for qid, _c, vec in _planted_rows()[:4]]
+    codes = pq.pq_encode(emb, books)
+    full = sorted(map(tuple,
+                      pq.pq_adc_topk(codes, queries, books, k=5).collect()))
+    pruned = sorted(map(tuple, pq.ivf_pq_topk(
+        emb, queries, centroids, books, k=5, nprobe=len(centroids)).collect()))
+    assert full == pruned
+
+
+def test_ivf_pq_recall_on_planted_clusters(spark, emb, books, centroids):
+    rows = _planted_rows()
+    queries = [(qid, vec) for qid, _c, vec in rows[::41]]
+    cluster = {qid: c for qid, c, _v in rows}
+    top = pq.ivf_pq_topk(emb, queries, centroids, books, k=5, nprobe=1).collect()
+    assert len(top) == len(queries) * 5
+    for r in top:
+        assert cluster[r.id] == cluster[r.query_id]
+
+
+def test_ivf_pq_plan_prunes_via_equijoin(spark, emb, books, centroids):
+    queries = [(0, _planted_rows()[0][2])]
+    plan = (pq.ivf_pq_topk(emb, queries, centroids, books, k=3, nprobe=1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan   # candidate gen = equi-join
+    assert "CartesianProduct" not in plan, plan
+
+
+SET = settings(max_examples=5, deadline=None, derandomize=True,
+               suppress_health_check=[HealthCheck.function_scoped_fixture])
+fvals = st.floats(-8, 8, allow_nan=False, allow_infinity=False, width=64)
+
+
+@SET
+@given(st.lists(st.lists(fvals, min_size=8, max_size=8),
+                min_size=2, max_size=10),
+       st.lists(st.lists(st.lists(fvals, min_size=4, max_size=4),
+                         min_size=3, max_size=3),
+                min_size=2, max_size=2))
+def test_pq_matches_python_model_on_arbitrary_vectors(spark, vecs, books):
+    """Encode + ADC equal an independent Python float model on ARBITRARY
+    vectors and codebooks (dim 8, M=2, k=3): same argmin tie rule, same
+    fold order, and Spark == DuckDB == model."""
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.id: list(r.codes)
+           for r in pq.pq_encode(df, books, dim=8).collect()}
+    # python model: first index of min, same arithmetic
+    model = {}
+    for i, v in rows:
+        cs = []
+        for mi in range(2):
+            q = v[mi * 4:(mi + 1) * 4]
+            ds = []
+            for c in books[mi]:
+                acc = 0.0
+                for j in range(4):
+                    acc += (q[j] - c[j]) * (q[j] - c[j])
+                ds.append(acc)
+            cs.append(ds.index(min(ds)))
+        model[i] = cs
+    assert got == model
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    want = {int(r[0]): [int(x) for x in r[1]] for r in con.execute(
+        pq.pq_encode_sql_duck(books, dim=8)).fetchall()}
+    assert got == want
+    # ADC parity on one query
+    queries = [(0, vecs[0])]
+    codes = pq.pq_encode(df, books, dim=8)
+    a = sorted(map(tuple, pq.pq_adc_topk(codes, queries, books, k=3).collect()))
+    b = sorted(map(tuple, con.execute(pq.pq_adc_topk_sql_duck(
+        pq.pq_encode_sql_duck(books, dim=8), queries, books, k=3)).fetchall()))
+    assert a == b
