@@ -52,7 +52,8 @@ def test_pandas_udfs_only_where_declared():
                "similarity.py",  # brute_force_topk_pandas: one numpy matmul per Arrow batch
                "dedup.py",  # simhash_signatures_pandas: memoized md5 + numpy votes
                "registry.py",  # registry mentions mapInPandas in comments only
-               "widen.py"}  # docstring names mapInPandas; defines no UDFs
+               "widen.py",  # docstring names mapInPandas; defines no UDFs
+               "media_codecs.py"}  # docstring names mapInPandas; pure codecs
     hits = []
     for p, src in _sources():
         if ("mapInPandas" in src or "pandas_udf" in src) and \
