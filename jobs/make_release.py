@@ -95,9 +95,8 @@ def build_release(seqs, budget: int = 2048, n_shards: int = 64,
     from pyspark.sql import functions as F
 
     from omnition_opentelemetry_service_spark.functions.tokens import (
-        tokens_str)
-    from omnition_opentelemetry_service_spark.operators import (
-        corpus, mixture, packing)
+        TOKEN_GROUP_NAMES, token_group_cols)
+    from omnition_opentelemetry_service_spark.operators import corpus
 
     if "seq_no" not in seqs.columns:
         raise ValueError(
@@ -127,16 +126,19 @@ def build_release(seqs, budget: int = 2048, n_shards: int = 64,
             return _mix_pack_shard(cleaned, budget, n_shards, epoch_weights,
                                    counters)
 
-    # 1. exact token-array dedup: one keeper (min seq_no) per fingerprint.
-    #    Rank-within-fingerprint instead of groupBy+join-back: one exchange.
-    fp = seqs.withColumn("tok_fp", F.md5(tokens_str()))
-    w = Window.partitionBy("tok_fp").orderBy("seq_no")
+    # 1. exact token-array dedup: one keeper (min seq_no) per token array.
+    #    Rank-within-group instead of groupBy+join-back: one exchange. The
+    #    group key is the NATIVE array-hash composite (token_group_cols —
+    #    xxhash64/murmur3/length, no per-token string materialization;
+    #    2.9× the md5-of-canonical-string form, see its docstring).
+    fp = seqs.select("*", *token_group_cols())
+    w = Window.partitionBy(*TOKEN_GROUP_NAMES).orderBy("seq_no")
     ranked = fp.withColumn("_rk", F.row_number().over(w))
     if counters is not None:
         ranked = counters.observe_stage(
             ranked, "dedup_exact", "sequences",
             drop_predicate=F.col("_rk") > 1)
-    deduped = ranked.filter(F.col("_rk") == 1).drop("_rk", "tok_fp")
+    deduped = ranked.filter(F.col("_rk") == 1).drop("_rk", *TOKEN_GROUP_NAMES)
 
     # 2. optional span-duplication gate (docs dominated by corpus-duplicated
     #    k-token windows are dropped; docs shorter than k have no windows

@@ -29,7 +29,7 @@ from pyspark.sql.functions import broadcast
 from . import fixtures as fx
 from .functions import parse as parse_fns
 from .functions import text as tx
-from .functions.tokens import tokens_str
+from .functions.tokens import token_group_cols, tokens_str
 from .operators import caps
 from .operators import dedup as dd
 from .operators import packing as pk
@@ -500,13 +500,18 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sequence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-array dedup over the token table itself (doc-level
-    fingerprints don't see token-level duplication): group by the canonical
-    token string's md5. Map-side partial agg keeps the shuffle tiny."""
+    fingerprints don't see token-level duplication): group by the NATIVE
+    array-hash composite (tokens.token_group_cols — no per-token string
+    materialization; 2.9× the md5-of-canonical-string form, see its doc).
+    Map-side partial agg keeps the shuffle tiny. The oracle groups by its
+    own md5 fingerprint — the compared surface is the grouped OUTPUT
+    (keep_id, dup_cnt), which is identical under any collision-free
+    grouping key."""
     seqs = fx.sequences(spark, _n(sf_dir))
     return (
-        seqs.withColumn("tok_fp", F.md5(tokens_str()))
-        .groupBy("tok_fp")
+        seqs.groupBy(*token_group_cols())
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+        .select("keep_id", "dup_cnt")
     )
 
 
@@ -931,10 +936,9 @@ def build_oracle_sql() -> dict[str, str]:
     WHERE s.quality >= 0.5 AND s.lang != 'und'"""
 
     o["sequence_dedup"] = f"""{pre}
-    SELECT md5(array_to_string(tokens, ',')) AS tok_fp,
-           min(doc_id) AS keep_id,
+    SELECT min(doc_id) AS keep_id,
            CAST(count(*) AS BIGINT) AS dup_cnt
-    FROM seq GROUP BY 1"""
+    FROM seq GROUP BY md5(array_to_string(tokens, ','))"""
 
     cos = sim.cosine_sql_duck
     o["ann_topk"] = f"""

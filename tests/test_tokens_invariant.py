@@ -76,3 +76,36 @@ def test_tokens_str_canonical(spark):
         "seq_no", tokens_str().alias("s")).collect()
     for r in rows:
         assert r.s == ",".join(map(str, _py_tokens(r.seq_no)))
+
+
+def test_token_group_cols_partition_exactly_like_md5(spark):
+    """The native array-hash grouping key (token_group_cols) must induce
+    EXACTLY the md5-of-canonical-string partition on the fixture — same
+    groups → same (keep_id, dup_cnt) output (the surface the oracle
+    compares). Also pins that the key sees ORDER (reversed arrays differ)
+    and LENGTH (prefix arrays differ)."""
+    from pyspark.sql import functions as F
+
+    from omnition_opentelemetry_service_spark.functions.tokens import (
+        token_group_cols, tokens_str)
+
+    seqs = fx.sequences(spark, 20_000)
+    native = sorted(map(tuple, (
+        seqs.groupBy(*token_group_cols())
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+        .select("keep_id", "dup_cnt")).collect()))
+    md5_form = sorted(map(tuple, (
+        seqs.groupBy(F.md5(tokens_str()).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+        .select("keep_id", "dup_cnt")).collect()))
+    assert native == md5_form
+
+    tricky = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [3, 2, 1]), (3, [1, 2]), (4, [1, 2, 3]),
+         (5, []), (6, [0]), (7, None)],
+        "doc_id long, tokens array<int>")
+    groups = (tricky.groupBy(*token_group_cols())
+              .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+              .collect())
+    sets = sorted(tuple(r.ids) for r in groups)
+    assert sets == [(1, 4), (2,), (3,), (5,), (6,), (7,)]
