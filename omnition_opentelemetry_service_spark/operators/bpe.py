@@ -1,0 +1,179 @@
+"""Learned byte-pair encoding — the real trainable tokenizer behind the
+hash-vocab stand-in (operators/tokenize.py discloses that a learned vocab
+"changes one lookup, not the pipeline"; this module supplies the learned
+vocab). Classic BPE (Sennrich et al., ACL'16): train merge rules on the
+word-frequency table, then encode by applying merges in learned order.
+
+Shape at scale — the key structural fact of BPE training is that it runs
+over the WORD-FREQUENCY TABLE, not the corpus:
+
+- **word counts**: ONE corpus scan → groupBy(word).count() — map-side
+  combinable; the result is vocabulary-sized, not corpus-sized.
+- **candidate pool**: the top ``max_words`` words by (count desc, word asc)
+  — a bounded TakeOrdered collect (same driver-bounded-pool pattern as
+  kmeans.init_centroids). Web-scale corpora have unbounded tails of
+  hapaxes; the head carries the pair statistics that matter, and the cap
+  makes the driver step corpus-size-independent.
+- **merge loop** (driver-side, deterministic): count adjacent symbol pairs
+  weighted by word frequency, merge the (count desc, pair lex asc) winner,
+  repeat ``n_merges`` times — pure Python over the bounded pool, exactly
+  the published algorithm.
+- **encode** (one scan, mapInPandas): apply merges per word with a
+  per-task memo over DISTINCT words (the simhash-pandas memoization
+  pattern — web corpora repeat words heavily, so the merge loop runs once
+  per distinct word per task, not once per occurrence).
+
+No DuckDB twin: merge application is an ordered iterative rewrite, not
+SQL-expressible — the in-suite oracle is an independent pure-Python
+reference implementation plus a hypothesis property on arbitrary text
+(tests/test_bpe.py), the same tier as the streaming/stateful ops.
+
+Determinism: ties in pair counts break on pair lexicographic order, word
+pool selection ties break on word order, so the trained merge list is a
+pure function of the corpus — invariant under partitioning and cluster
+size (pinned in tests)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import WS, lower_fold
+
+END = "</w>"  # end-of-word marker, per the published algorithm
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over the lower_fold + explicit-whitespace word split —
+    the same normalization as every other text operator here."""
+    words = F.explode(
+        F.filter(F.split(lower_fold(F.trim(F.col(text_col))), WS),
+                 lambda w: F.length(w) > 0)).alias("word")
+    return docs.select(words).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+
+def top_words(docs: DataFrame, max_words: int = 50_000,
+              text_col: str = "text") -> list[tuple[str, int]]:
+    """Bounded candidate pool: top max_words by (cnt desc, word asc) —
+    TakeOrdered, no full sort materialization."""
+    rows = (word_counts(docs, text_col)
+            .orderBy(F.desc("cnt"), F.asc("word")).limit(max_words).collect())
+    return [(r.word, int(r.cnt)) for r in rows]
+
+
+def train_merges(pool: list[tuple[str, int]],
+                 n_merges: int = 200) -> list[tuple[str, str]]:
+    """The published merge loop over the bounded (word, count) pool.
+    Stops early when no pair occurs twice — merging hapax pairs would
+    just memorize the tail."""
+    vocab = {tuple(w) + (END,): c for w, c in pool}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (i < len(sym) - 1 and sym[i] == best[0]
+                        and sym[i + 1] == best[1]):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def train_bpe(docs: DataFrame, n_merges: int = 200,
+              max_words: int = 50_000,
+              text_col: str = "text") -> list[tuple[str, str]]:
+    """One corpus scan + driver-side merge loop → the ordered merge list."""
+    return train_merges(top_words(docs, max_words, text_col), n_merges)
+
+
+def apply_merges(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode ONE word: greedily merge the lowest-rank adjacent pair until
+    none applies — the published inference rule (merge priority = training
+    order, NOT left-to-right position)."""
+    sym = list(word) + [END]
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def encode_bpe(docs: DataFrame, merges: list[tuple[str, str]],
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, pieces array<string>, n_pieces int) — one scan, zero
+    shuffle; the merge loop runs once per DISTINCT word per task (memo,
+    same capped pattern as dedup.simhash_signatures_pandas)."""
+    from collections.abc import Iterator
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def enc(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+
+        import pandas as pd
+
+        from ..functions.text import lower_fold_py
+
+        ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        memo: dict[str, list[str]] = {}
+
+        def word_pieces(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                if len(memo) > 1_000_000:
+                    memo.clear()
+                got = apply_merges(w, ranks)
+                memo[w] = got
+            return got
+
+        for pdf in it:
+            ids, pieces = [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    ids.append(did)
+                    pieces.append(None)  # NULL text → NULL pieces (the
+                    continue              # quarantine convention)
+                ws = [w for w in ascii_ws.split(
+                    lower_fold_py(t.strip(" "))) if w]
+                out: list[str] = []
+                for w in ws:
+                    out.extend(word_pieces(w))
+                ids.append(did)
+                pieces.append(out)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "pieces": pieces,
+                "n_pieces": pd.Series(
+                    [len(p) if p is not None else None for p in pieces],
+                    dtype="Int32"),
+            })
+
+    from .widen import widen_if_narrow
+
+    return widen_if_narrow(docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col))).mapInPandas(
+        enc, schema="doc_id bigint, pieces array<string>, n_pieces int")

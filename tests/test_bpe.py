@@ -1,0 +1,113 @@
+"""Learned BPE (operators/bpe.py): trained merges match the published
+algorithm on a hand-checkable corpus, encode matches an independent
+pure-Python reference on arbitrary text, determinism under repartitioning,
+and the lossless-reconstruction property (concat of pieces == word+marker).
+"""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from omnition_opentelemetry_service_spark.operators import bpe
+
+DOCS = [
+    (0, "low low low low low"),
+    (1, "lower lower newest newest"),
+    (2, "newest newest newest newest"),
+    (3, "widest widest widest"),
+    (4, "low lower newest widest"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _ref_counts():
+    counts: dict[str, int] = {}
+    for _i, t in DOCS:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def test_word_counts_match_python(spark, docs):
+    got = {r.word: r.cnt for r in bpe.word_counts(docs).collect()}
+    assert got == _ref_counts()
+
+
+def test_trained_merges_match_published_example(spark, docs):
+    """The classic Sennrich corpus shape: 'es' (9+3=12 weighted in
+    newest/widest)... derive the expected first merges from the reference
+    implementation ON THE SAME POOL rather than hand-waving."""
+    merges = bpe.train_bpe(docs, n_merges=10)
+    ref = bpe.train_merges(sorted(_ref_counts().items(),
+                                  key=lambda kv: (-kv[1], kv[0])), 10)
+    assert merges == ref
+    # counted by hand: (e,s)/(s,t)/(t,</w>) all carry 11 (newest 7 +
+    # widest 4) — the lexicographic tie-break picks ('e','s') first
+    assert merges[0] == ("e", "s")
+
+
+def test_encode_reconstructs_and_respects_merges(spark, docs):
+    merges = bpe.train_bpe(docs, n_merges=10)
+    out = {r.doc_id: r for r in bpe.encode_bpe(docs, merges).collect()}
+    for did, text in DOCS:
+        pieces = out[did].pieces
+        assert out[did].n_pieces == len(pieces)
+        # lossless: pieces concat back to the words (+ end markers)
+        assert "".join(pieces) == "".join(
+            w + bpe.END for w in text.split())
+    # a fully-merged frequent word collapses to few pieces
+    assert len(bpe.apply_merges("low", {p: i for i, p in enumerate(merges)})) <= 2
+
+
+def test_encode_deterministic_under_repartition(spark, docs):
+    merges = bpe.train_bpe(docs, n_merges=8)
+    a = sorted((r.doc_id, tuple(r.pieces))
+               for r in bpe.encode_bpe(docs, merges).collect())
+    b = sorted((r.doc_id, tuple(r.pieces))
+               for r in bpe.encode_bpe(docs.repartition(7), merges).collect())
+    assert a == b
+
+
+def test_null_text_yields_null_pieces(spark):
+    df = spark.createDataFrame([(1, None), (2, "ok ok")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in bpe.encode_bpe(df, [("o", "k")]).collect()}
+    assert out[1].pieces is None and out[1].n_pieces is None
+    assert list(out[2].pieces) == ["ok", bpe.END] * 2
+
+
+SET = settings(max_examples=5, deadline=None, derandomize=True,
+               suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@SET
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=10),
+       st.integers(0, 30))
+def test_encode_matches_reference_on_arbitrary_text(spark, texts, n_merges):
+    """Spark encode == pure-Python reference (train on the same corpus,
+    apply per word) on ARBITRARY unicode text — including the whitespace
+    and case-fold edges the shared normalization pins."""
+    import re
+
+    from omnition_opentelemetry_service_spark.functions.text import (
+        lower_fold_py)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.train_bpe(df, n_merges=n_merges, max_words=1000)
+    got = {r.doc_id: list(r.pieces)
+           for r in bpe.encode_bpe(df, merges).collect()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    for i, t in rows:
+        ws = [w for w in ascii_ws.split(lower_fold_py(t.strip(" "))) if w]
+        want = []
+        for w in ws:
+            want.extend(bpe.apply_merges(w, ranks))
+        assert got[i] == want, (t, merges)

@@ -53,7 +53,8 @@ def test_pandas_udfs_only_where_declared():
                "dedup.py",  # simhash_signatures_pandas: memoized md5 + numpy votes
                "registry.py",  # registry mentions mapInPandas in comments only
                "widen.py",  # docstring names mapInPandas; defines no UDFs
-               "media_codecs.py"}  # docstring names mapInPandas; pure codecs
+               "media_codecs.py",  # docstring names mapInPandas; pure codecs
+               "bpe.py"}  # encode_bpe: memoized merge loop per Arrow batch
     hits = []
     for p, src in _sources():
         if ("mapInPandas" in src or "pandas_udf" in src) and \
