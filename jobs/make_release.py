@@ -245,6 +245,10 @@ def main() -> None:
                     help="raw documents parquet (doc_id, text[, source]); "
                          "tokenized to the sequence shape via "
                          "operators/tokenize before the release")
+    ap.add_argument("--bpe-merges", type=int, default=None,
+                    help="with --input-docs: train a learned BPE of this "
+                         "many merges on the input (operators/bpe) and "
+                         "tokenize with it instead of the regex hash vocab")
     ap.add_argument("--out", required=True)
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--shards", type=int, default=64)
@@ -264,6 +268,9 @@ def main() -> None:
     if n_inputs != 1:
         raise SystemExit(
             "exactly one of --n-rows / --input-dir / --input-docs is required")
+    if args.bpe_merges is not None and args.input_docs is None:
+        raise SystemExit("--bpe-merges requires --input-docs (it trains the "
+                         "tokenizer on the raw text being ingested)")
 
     try:
         from omnition_opentelemetry_service_spark import fixtures
@@ -292,10 +299,21 @@ def main() -> None:
             )
 
             docs = spark.read.parquet(args.input_docs)
-            seqs = (tokenize_documents(docs)
+            if args.bpe_merges is not None:
+                from omnition_opentelemetry_service_spark.operators import (
+                    bpe,
+                )
+
+                merges = bpe.train_bpe(docs, n_merges=args.bpe_merges)
+                tokenized = bpe.tokenize_documents_bpe(docs, merges)
+                input_token = (f"docs={args.input_docs}"
+                               f"|bpe={args.bpe_merges}")
+            else:
+                tokenized = tokenize_documents(docs)
+                input_token = f"docs={args.input_docs}"
+            seqs = (tokenized
                     .filter(F.col("tokens").isNotNull())
                     .withColumn("seq_no", F.col("doc_id")))
-            input_token = f"docs={args.input_docs}"
         else:
             seqs = spark.read.parquet(f"{args.input_dir}/sequences")
             input_token = f"dir={args.input_dir}"

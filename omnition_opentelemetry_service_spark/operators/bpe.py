@@ -123,10 +123,14 @@ def apply_merges(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 
 def encode_bpe(docs: DataFrame, merges: list[tuple[str, str]],
-               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, pieces array<string>, n_pieces int) — one scan, zero
-    shuffle; the merge loop runs once per DISTINCT word per task (memo,
-    same capped pattern as dedup.simhash_signatures_pandas)."""
+               id_col: str = "doc_id", text_col: str = "text",
+               passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, pieces array<string>, n_pieces int[, passthrough...]) —
+    one scan, zero shuffle; the merge loop runs once per DISTINCT word per
+    task (memo, same capped pattern as dedup.simhash_signatures_pandas).
+    ``passthrough`` string columns ride the kernel unchanged — threading
+    them through is free, while reattaching them afterwards would be a
+    corpus-sized self-join."""
     from collections.abc import Iterator
 
     ranks = {p: i for i, p in enumerate(merges)}
@@ -164,16 +168,45 @@ def encode_bpe(docs: DataFrame, merges: list[tuple[str, str]],
                     out.extend(word_pieces(w))
                 ids.append(did)
                 pieces.append(out)
-            yield pd.DataFrame({
+            cols = {
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "pieces": pieces,
                 "n_pieces": pd.Series(
                     [len(p) if p is not None else None for p in pieces],
                     dtype="Int32"),
-            })
+            }
+            for c in passthrough:
+                cols[c] = pdf[c]
+            yield pd.DataFrame(cols)
 
     from .widen import widen_if_narrow
 
+    extra = "".join(f", {c} string" for c in passthrough)
     return widen_if_narrow(docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col))).mapInPandas(
-        enc, schema="doc_id bigint, pieces array<string>, n_pieces int")
+        F.col(id_col).alias("doc_id"), F.col(text_col),
+        *[F.col(c) for c in passthrough])).mapInPandas(
+        enc, schema=f"doc_id bigint, pieces array<string>, n_pieces int{extra}")
+
+
+def tokenize_documents_bpe(docs: DataFrame, merges: list[tuple[str, str]],
+                           vocab_size: int = 65_536,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           source_col: str = "source") -> DataFrame:
+    """documents → the BASELINE.json sequence shape (doc_id, tokens,
+    n_tok, source) with LEARNED-BPE pieces instead of the regex hash vocab
+    — a drop-in alternative to tokenize.tokenize_documents. Piece → id is
+    the same md5-prefix hash-vocab rule (no OOV table to ship: any piece,
+    including characters never seen at train time, maps deterministically).
+    """
+    has_src = source_col in docs.columns
+    pieces = encode_bpe(docs, merges, id_col=id_col, text_col=text_col,
+                        passthrough=(source_col,) if has_src else ())
+    toks = F.expr(
+        f"transform(pieces, "
+        f"p -> CAST(CAST(conv(substring(md5(p), 1, 8), 16, 10) AS BIGINT) "
+        f"% {vocab_size} AS INT))")
+    return pieces.select(
+        "doc_id", toks.alias("tokens"),
+        F.col("n_pieces").alias("n_tok"),
+        (F.col(source_col) if has_src else F.lit("docs")).alias("source"))

@@ -111,3 +111,45 @@ def test_encode_matches_reference_on_arbitrary_text(spark, texts, n_merges):
         for w in ws:
             want.extend(bpe.apply_merges(w, ranks))
         assert got[i] == want, (t, merges)
+
+
+def test_tokenize_documents_bpe_shape_and_no_selfjoin(spark, docs):
+    merges = bpe.train_bpe(docs, n_merges=6)
+    df = docs.withColumn("source", (docs.doc_id % 2 == 0).cast("string"))
+    out = bpe.tokenize_documents_bpe(df, merges)
+    assert out.columns == ["doc_id", "tokens", "n_tok", "source"]
+    rows = {r.doc_id: r for r in out.collect()}
+    enc = {r.doc_id: r for r in bpe.encode_bpe(docs, merges).collect()}
+    for did, _t in DOCS:
+        assert rows[did].n_tok == enc[did].n_pieces
+        assert len(rows[did].tokens) == rows[did].n_tok
+        assert all(0 <= t < 65_536 for t in rows[did].tokens)
+        assert rows[did].source in ("true", "false")
+    # source threads through the kernel — no join, no exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_make_release_cli_with_bpe(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    docs_pq = str(tmp_path / "docs.parquet")
+    out_dir = str(tmp_path / "rel")
+    rows = [(i, f"doc {i} body words repeat repeat {i % 4}", "web")
+            for i in range(60)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string").write.parquet(docs_pq)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "make_release.py"),
+         "--input-docs", docs_pq, "--bpe-merges", "20",
+         "--out", out_dir, "--budget", "64", "--shards", "4",
+         "--parallelism", "4"],
+        capture_output=True, text=True, timeout=300, cwd=repo)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert sum(v[0] for v in rep["per_split"].values()) == 60
