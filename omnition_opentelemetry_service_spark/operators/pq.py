@@ -95,8 +95,12 @@ def pq_encode(emb: DataFrame, books: list[list[list[float]]],
     both array_position and array_min would double the squared-diff work).
     Spark [] indexing is 0-based (vs DuckDB's 1-based — the twin offsets
     differ by exactly that)."""
-    return emb.select(F.col(id_col).alias("id"),
-                      F.expr(_codes_expr(books, emb_col, dim)).alias("codes"))
+    # NULL embedding → NULL codes (the quarantine convention): without
+    # the guard the transform yields an array OF nulls, which is not
+    # IS NULL-filterable and NULL-poisons every downstream ADC lookup.
+    expr = (f"CASE WHEN {emb_col} IS NULL THEN NULL "
+            f"ELSE {_codes_expr(books, emb_col, dim)} END")
+    return emb.select(F.col(id_col).alias("id"), F.expr(expr).alias("codes"))
 
 
 def _codes_expr(books: list[list[list[float]]], emb_col: str,
@@ -139,8 +143,9 @@ def pq_encode_sql_duck(books: list[list[list[float]]], rel: str = "embeddings",
         per_sub.append(
             f"(SELECT CAST(list_position(ds, list_min(ds)) - 1 AS INT) "
             f"FROM (SELECT {dists} AS ds))")
-    return (f"SELECT {id_col} AS id, [" + ", ".join(per_sub) +
-            f"] AS codes FROM {rel}")
+    codes = "[" + ", ".join(per_sub) + "]"
+    return (f"SELECT {id_col} AS id, CASE WHEN {emb_col} IS NULL THEN NULL "
+            f"ELSE {codes} END AS codes FROM {rel}")
 
 
 # -- search (ADC) ---------------------------------------------------------------
@@ -183,7 +188,12 @@ def pq_adc_topk(codes_df: DataFrame, queries: list[tuple[int, list[float]]],
         f"aggregate(sequence(0, {len(books) - 1}), CAST(0.0 AS DOUBLE), "
         f"(acc, mi) -> acc + tables[mi][codes[mi]])")
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("id"))
-    return (codes_df.crossJoin(F.broadcast(tq))
+    # NULL codes (a NULL embedding) must be excluded BEFORE ranking:
+    # their NULL adc_dist sorts FIRST under Spark's ASC (but LAST in
+    # DuckDB) — without the filter a null row tops every query's top-k
+    # on one engine only.
+    return (codes_df.filter(F.col("codes").isNotNull())
+            .crossJoin(F.broadcast(tq))
             .withColumn("adc_dist", F.round(F.expr(score), 6))
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
@@ -240,7 +250,8 @@ def ivf_pq_topk(emb: DataFrame, queries: list[tuple[int, list[float]]],
         f"aggregate(sequence(0, {len(books) - 1}), CAST(0.0 AS DOUBLE), "
         f"(acc, mi) -> acc + tables[mi][codes[mi]])")
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("id"))
-    return (corpus_side.join(F.broadcast(tq), "cell")
+    return (corpus_side.filter(F.col("codes").isNotNull())
+            .join(F.broadcast(tq), "cell")
             .withColumn("adc_dist", F.round(F.expr(score), 6))
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
@@ -272,5 +283,5 @@ def pq_adc_topk_sql_duck(codes_sql: str,
       SELECT q.query_id, c.id, round({score}, 6) AS adc_dist,
              row_number() OVER (PARTITION BY q.query_id
                                 ORDER BY round({score}, 6), c.id) AS rnk
-      FROM c CROSS JOIN q)
+      FROM c CROSS JOIN q WHERE c.codes IS NOT NULL)
     SELECT query_id, id, adc_dist FROM scored WHERE rnk <= {k}"""

@@ -200,3 +200,20 @@ def test_pq_matches_python_model_on_arbitrary_vectors(spark, vecs, books):
     b = sorted(map(tuple, con.execute(pq.pq_adc_topk_sql_duck(
         pq.pq_encode_sql_duck(books, dim=8), queries, books, k=3)).fetchall()))
     assert a == b
+
+
+def test_null_embedding_rows_never_rank(spark, books):
+    import pandas as pd
+
+    rows = _planted_rows()[:6]
+    pdf = pd.DataFrame([(i, v) for i, _c, v in rows],
+                       columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf)
+    null_row = spark.createDataFrame([(999,)], "vec_id long").withColumn(
+        "embedding", F.lit(None).cast("array<double>"))
+    with_null = df.unionByName(null_row)
+    queries = [(rows[0][0], rows[0][2])]
+    codes = pq.pq_encode(with_null, books)
+    top = pq.pq_adc_topk(codes, queries, books, k=3).collect()
+    assert all(r.id != 999 for r in top)
+    assert len(top) == 3
