@@ -181,3 +181,51 @@ class SnapshotTable:
         """True if a committed snapshot for ``stage`` exists (and matches the
         config fingerprint, when given) — the resume-skip check."""
         return self.stage_manifest(stage, fingerprint) is not None
+
+    def expire(self, keep_last: int = 1) -> list[int]:
+        """Retention (Iceberg ``expire_snapshots`` analog): drop committed
+        versions below CURRENT beyond the newest ``keep_last``, so a
+        long-lived checkpoint table doesn't accumulate one data dir per
+        rerun forever. Returns the expired version numbers.
+
+        Deletion order mirrors the commit protocol in reverse: the MANIFEST
+        goes first (readers walk manifests downward from CURRENT, so the
+        version becomes invisible atomically), then the data dir — a crash
+        in between leaves an orphan data dir that ``_next_version`` already
+        skips and a later expire() sweeps. Versions ABOVE current are never
+        touched: one could be a concurrent writer's claimed-but-uncommitted
+        dir. NOTE: expiring removes resume points for ALTERNATE config
+        fingerprints sharing this table (stage_manifest's below-CURRENT
+        walk) — retention policy is the caller's call, exactly as with
+        Iceberg snapshot expiration."""
+        import re as _re
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (CURRENT never expires)")
+        cur = self.current_version()
+        if cur is None:
+            return []
+        committed = sorted(
+            int(m.group(1)) for m in
+            (_re.match(r"v_(\d+)\.manifest\.json$", n)
+             for n in os.listdir(self.root)) if m)
+        committed = [v for v in committed if v <= cur]
+        keep = set(committed[-keep_last:]) | {cur}
+        expired = []
+        for v in committed:
+            if v in keep:
+                continue
+            os.remove(os.path.join(self.root, f"v_{v}.manifest.json"))
+            shutil.rmtree(os.path.join(self.root, f"v_{v}"),
+                          ignore_errors=True)
+            expired.append(v)
+        # sweep manifest-less orphan data dirs below CURRENT (dead by
+        # construction: claims only ever land above the CURRENT they saw)
+        for n in os.listdir(self.root):
+            m = _re.match(r"v_(\d+)$", n)
+            if (m and int(m.group(1)) < cur and int(m.group(1)) not in keep
+                    and not os.path.exists(os.path.join(
+                        self.root, f"{n}.manifest.json"))):
+                shutil.rmtree(os.path.join(self.root, n), ignore_errors=True)
+        return expired

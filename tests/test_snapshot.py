@@ -208,3 +208,46 @@ def test_read_honors_manifest_format(spark, tmp_path):
     back = t.read(spark, m["version"])
     assert [(r.id, r.tag) for r in back.select("id", "tag").collect()] \
         == [(1, "x")]
+
+
+def test_expire_keeps_newest_and_sweeps_orphans(spark, tmp_path):
+    import os
+    import shutil
+
+    from omnition_opentelemetry_service_spark.sinks.snapshot import (
+        SnapshotTable)
+
+    t = SnapshotTable(str(tmp_path / "snap"))
+    for i in range(4):
+        t.write(spark.range(10 + i).toDF("v"), stage=f"s{i}")
+    cur = t.current_version()
+    assert cur == 4
+
+    expired = t.expire(keep_last=2)
+    assert expired == [1, 2]
+    # expired versions: manifest AND data gone; survivors readable
+    for v in expired:
+        assert t.manifest(v) is None
+        assert not os.path.isdir(os.path.join(t.root, f"v_{v}"))
+    assert t.read(spark, 3).count() == 12
+    assert t.read(spark, 4).count() == 13
+    # resume walk still finds the newest surviving stage
+    assert t.stage_manifest("s3")["version"] == 4
+    assert t.stage_manifest("s1") is None  # expired resume point is gone
+    # version allocation never reuses an expired number
+    t.write(spark.range(1).toDF("v"), stage="s5")
+    assert t.current_version() == 5
+
+    # crash window: manifest removed but data dir left → invisible to
+    # readers, swept by the next expire
+    os.makedirs(os.path.join(t.root, "v_2"), exist_ok=True)
+    t.expire(keep_last=2)
+    assert not os.path.isdir(os.path.join(t.root, "v_2"))
+
+    # CURRENT itself never expires even with keep_last=1
+    t.expire(keep_last=1)
+    assert t.read(spark).count() == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.expire(keep_last=0)
