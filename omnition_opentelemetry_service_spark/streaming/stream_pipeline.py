@@ -140,6 +140,74 @@ def run_sessions_once(spark: SparkSession, input_dir: str,
     return spark.table(out_table)
 
 
+def parsed_span_times(spark: SparkSession, input_dir: str) -> DataFrame:
+    """(doc_id, span_time) stream — the receiver-span side of the
+    correlation (one row per valid payload)."""
+    parsed = parse_fns.parse_payload_native(
+        read_payload_stream(spark, input_dir))
+    return parsed.filter(F.col("valid")).select(
+        "doc_id",
+        F.to_timestamp("ts_str", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("span_time"))
+
+
+def ack_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """(doc_id, ack_time) stream — the export-ack side, synthesized
+    deterministically (ack lags the span by hash(doc_id)%30 seconds; an
+    independent file source over the same quanta, so the two sides
+    genuinely progress as separate streams)."""
+    parsed = parse_fns.parse_payload_native(
+        read_payload_stream(spark, input_dir))
+    return parsed.filter(F.col("valid")).select(
+        "doc_id",
+        (F.to_timestamp("ts_str", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+         + F.make_interval(secs=F.pmod(F.xxhash64("doc_id"), F.lit(30)).cast("double")))
+        .alias("ack_time"))
+
+
+def span_ack_latency(spans: DataFrame, acks: DataFrame,
+                     horizon: str = "10 minutes",
+                     watermark: str = "2 minutes") -> DataFrame:
+    """Stream-stream INTERVAL join (the reference's linked-span correlation,
+    octrace/opencensus.go:187-209, as a streaming operator): match each
+    receiver span with its export ack within ``horizon``, emit the latency.
+
+    State contract: both sides carry a watermark and the join condition
+    bounds ack_time to [span_time, span_time + horizon], so Spark can
+    discard span state older than watermark+horizon and ack state older
+    than watermark — bounded state on unbounded streams, the requirement
+    for any 10^12-row correlation. Works identically on BATCH frames
+    (withWatermark is a no-op there) — the streaming≡batch equality test
+    uses exactly that."""
+    s = spans.withWatermark("span_time", watermark).alias("s")
+    a = acks.withWatermark("ack_time", watermark).alias("a")
+    return (
+        s.join(a, F.expr(
+            f"s.doc_id = a.doc_id AND "
+            f"a.ack_time >= s.span_time AND "
+            f"a.ack_time <= s.span_time + interval {horizon}"))
+        .select(F.col("s.doc_id").alias("doc_id"),
+                F.col("s.span_time").alias("span_time"),
+                (F.unix_timestamp("a.ack_time")
+                 - F.unix_timestamp("s.span_time")).alias("latency_s")))
+
+
+def run_span_ack_join_once(spark: SparkSession, input_dir: str,
+                           checkpoint_dir: str,
+                           out_table: str = "stream_latency") -> DataFrame:
+    """Drain the two streams through the interval join (availableNow)."""
+    joined = span_ack_latency(parsed_span_times(spark, input_dir),
+                              ack_stream(spark, input_dir))
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(out_table)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    q.stop()
+    return spark.table(out_table)
+
+
 def run_stream_once(spark: SparkSession, input_dir: str,
                     checkpoint_dir: str, out_table: str = "stream_counts",
                     window: str = "1 minute") -> DataFrame:

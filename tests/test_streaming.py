@@ -327,3 +327,33 @@ def test_sink_writes_fresh_checkpoint_clears_stale_batches(
     total = spark.read.option("basePath", out).parquet(out).count()
     st = pl.build_routed(spark, pl.PipelineConfig(input_dir=input_dir))
     assert total == st["routed"].count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, input_dir, tmp_path):
+    """The watermarked span↔ack interval join drained via availableNow must
+    emit exactly the rows the SAME functions produce on batch frames
+    (withWatermark is a no-op in batch) — stream-stream join correctness
+    plus the bounded-state contract compiling at all."""
+    got = sp.run_span_ack_join_once(
+        spark, input_dir, str(tmp_path / "ckpt_ss"), out_table="ssj1")
+    stream_rows = sorted(map(tuple, got.collect()))
+
+    from omnition_opentelemetry_service_spark.functions import parse as pfn
+
+    pay = spark.read.parquet(f"{input_dir}/payloads")
+    parsed = pfn.parse_payload_native(pay).filter(F.col("valid"))
+    spans = parsed.select(
+        "doc_id",
+        F.to_timestamp("ts_str", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("span_time"))
+    acks = parsed.select(
+        "doc_id",
+        (F.to_timestamp("ts_str", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+         + F.make_interval(secs=F.pmod(F.xxhash64("doc_id"), F.lit(30)).cast("double")))
+        .alias("ack_time"))
+    batch_rows = sorted(map(tuple,
+                            sp.span_ack_latency(spans, acks).collect()))
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+    # every ack matched within the horizon: latency in [0, 30)
+    assert all(0 <= r[2] < 30 for r in stream_rows)
