@@ -118,3 +118,53 @@ def quality_classifier_scores(docs: DataFrame, weights: list[float],
     return docs.select(
         F.col(id_col),
         score_expr(weights, bias, feature_cols).alias("model_quality"))
+
+
+TEXT_FEATURES = ["f_tok", "f_punct", "f_sw_ratio", "f_len"]
+
+
+def with_text_features(docs: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """Attach the heuristic text signals as model features — one scan, all
+    expression-level (the same building blocks the rule gates use)."""
+    from ..functions import text as tx
+
+    n = tx.token_count(text_col)
+    return docs.withColumns({
+        "f_tok": n.cast("double"),
+        "f_punct": tx.punct_ratio(text_col).cast("double"),
+        "f_sw_ratio": F.when(n == 0, F.lit(0.0)).otherwise(
+            tx.stopword_count(text_col) / n).cast("double"),
+        "f_len": F.length(F.col(text_col)).cast("double"),
+    })
+
+
+def corpus_filter_model(docs: DataFrame, threshold: float = 0.5,
+                        n_iter: int = 40, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        ) -> tuple[DataFrame, list[float], float]:
+    """The MODEL-gated cleaning pass (the CCNet self-training shape): use
+    the rule-based quality gate as WEAK LABELS, train the logistic model on
+    the heuristic features, gate by model score. Returns (kept_docs,
+    weights, bias) so the trained gate can be re-applied to new drops
+    WITHOUT retraining (the production pattern: train once per corpus
+    snapshot, score every subsequent batch with the literal weights —
+    scoring is one zero-shuffle scan).
+
+    Why bother when the labels come from rules: the model interpolates —
+    documents the hard-threshold rules barely fail but that sit in the
+    feature region of good documents score high (and vice versa), which is
+    the practical value of quality classifiers trained on weak labels."""
+    from ..functions import text as tx
+
+    feat = with_text_features(docs, text_col).withColumn(
+        "_weak", (tx.quality_score(text_col) >= 0.7).cast("int"))
+    feat = feat.persist()  # training scans it n_iter+2 times; caller
+    feat.count()           # releases (registry.release_caches / clearCache)
+    w, b, _losses = train_logreg(feat, TEXT_FEATURES, label_col="_weak",
+                                 n_iter=n_iter)
+    kept = (feat.withColumn(
+        "model_quality", score_expr(w, b, TEXT_FEATURES))
+        .filter(F.col("model_quality") >= threshold)
+        .select(id_col, text_col, "model_quality"))
+    return kept, w, b

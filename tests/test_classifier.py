@@ -101,3 +101,44 @@ def test_constant_feature_is_ignored(spark, df):
     assert losses[-1] < 0.2
     # the constant feature's raw weight stays ~0 relative to live ones
     assert abs(w[2]) * 7.0 < 1e-6 + abs(w[0]) + abs(w[1])
+
+
+def test_corpus_filter_model_on_fixture_docs(spark):
+    """Weak-label self-training over the real documents fixture: the model
+    gate must agree with the rule gate on clear cases and stay bounded on
+    the rest; the returned weights re-apply to a NEW batch without
+    retraining."""
+    from omnition_opentelemetry_service_spark.functions import text as tx
+    from omnition_opentelemetry_service_spark.sources.loader import load
+
+    fixture = load(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    junk = spark.createDataFrame(
+        [(10_000 + i, t) for i, t in enumerate(
+            ["", "!!!", "??!!..,,;;::!!", "x", ".. .. .. ..",
+             "!?!?!?!?!?!?", ",,,,,,,,", "a!b!c!d!e!f!",
+             ";;;;;;;", "?!?!?!"] * 3)],
+        "doc_id long, text string")
+    docs = fixture.unionByName(junk)
+    kept, w, b = cl.corpus_filter_model(docs, threshold=0.5, n_iter=30)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    rules = {r.doc_id: r.q for r in docs.select(
+        "doc_id", tx.quality_score("text").alias("q")).collect()}
+    n = len(rules)
+    assert 0 < len(kept_ids) < n
+    # clear-case agreement: every rule-excellent doc is kept, every
+    # rule-terrible doc is dropped (interpolation happens in between)
+    for did, q in rules.items():
+        if q >= 0.9:
+            assert did in kept_ids, (did, q)
+        if q <= 0.1:
+            assert did not in kept_ids, (did, q)
+
+    # re-apply the trained gate to a new batch: zero-shuffle scoring only
+    batch = docs.limit(20)
+    scored = cl.quality_classifier_scores(
+        cl.with_text_features(batch), w, b, cl.TEXT_FEATURES)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert scored.count() == 20
+    spark.catalog.clearCache()
