@@ -285,3 +285,51 @@ def pq_adc_topk_sql_duck(codes_sql: str,
                                 ORDER BY round({score}, 6), c.id) AS rnk
       FROM c CROSS JOIN q WHERE c.codes IS NOT NULL)
     SELECT query_id, id, adc_dist FROM scored WHERE rnk <= {k}"""
+
+
+def search_ann_index(spark, index_dir: str,
+                     queries: list[tuple[int, list[float]]], k: int = 5,
+                     nprobe: int = 2):
+    """Serve top-k from an index built by jobs/build_ann_index.py: load
+    meta.json (centroids + codebooks — driver-bounded), pick each query's
+    ``nprobe`` nearest cells driver-side, and scan ONLY those partitions
+    (``cell IN (...)`` prunes the cell=N parquet dirs — PartitionFilters,
+    asserted in tests) scoring M ADC lookups per candidate row. No raw
+    vectors are read at serve time — the codes table IS the index."""
+    import json
+    import os
+
+    from pyspark.sql import Window as W
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    books = meta["codebooks"]
+    dim = meta["dim"]
+    probe_rows = []
+    probed_cells = set()
+    for qid, vec in queries:
+        dists = []
+        for cid, c in meta["centroids"]:
+            acc = 0.0
+            for j in range(dim):
+                acc += (vec[j] - c[j]) * (vec[j] - c[j])
+            dists.append((acc, cid))
+        dists.sort()
+        tables = adc_tables(vec, books)
+        for _d, cid in dists[:nprobe]:
+            probe_rows.append((qid, cid, tables))
+            probed_cells.add(cid)
+    codes = (spark.read.parquet(os.path.join(index_dir, "codes"))
+             .filter(F.col("cell").isin(sorted(probed_cells))))
+    tq = spark.createDataFrame(
+        probe_rows, "query_id long, cell long, tables array<array<double>>")
+    score = (
+        f"aggregate(sequence(0, {len(books) - 1}), CAST(0.0 AS DOUBLE), "
+        f"(acc, mi) -> acc + tables[mi][codes[mi]])")
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("id"))
+    return (codes.filter(F.col("codes").isNotNull())
+            .join(F.broadcast(tq), "cell")
+            .withColumn("adc_dist", F.round(F.expr(score), 6))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "id", "adc_dist"))

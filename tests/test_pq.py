@@ -217,3 +217,52 @@ def test_null_embedding_rows_never_rank(spark, books):
     top = pq.pq_adc_topk(codes, queries, books, k=3).collect()
     assert all(r.id != 999 for r in top)
     assert len(top) == 3
+
+
+def test_index_build_and_serve_cli(spark, tmp_path):
+    """jobs/build_ann_index.py end-to-end: build on the planted corpus via
+    spark-submit-shaped CLI, then serve with search_ann_index — results
+    equal the in-process ivf_pq_topk and the scan is partition-pruned."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    emb_pq = str(tmp_path / "emb.parquet")
+    idx = str(tmp_path / "idx")
+    pdf = pd.DataFrame([(i, v) for i, _c, v in _planted_rows()],
+                       columns=["vec_id", "embedding"])
+    spark.createDataFrame(pdf).write.parquet(emb_pq)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "build_ann_index.py"),
+         "--embeddings", emb_pq, "--out", idx,
+         "--nlist", "4", "--m", "8", "--k-codes", "8",
+         "--parallelism", "4"],
+        capture_output=True, text=True, timeout=300, cwd=repo)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["rows"] == len(pdf)
+
+    rows = _planted_rows()
+    queries = [(qid, vec) for qid, _c, vec in rows[:3]]
+    served = sorted(map(tuple, pq.search_ann_index(
+        spark, idx, queries, k=5, nprobe=1).collect()))
+    # parity vs the in-process path using the SAME trained artifacts
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    cents = [(int(c), v) for c, v in meta["centroids"]]
+    inproc = sorted(map(tuple, pq.ivf_pq_topk(
+        spark.createDataFrame(pdf), queries, cents, meta["codebooks"],
+        k=5, nprobe=1).collect()))
+    assert served == inproc
+    # cluster recall
+    cluster = {qid: c for qid, c, _v in rows}
+    for qid, vid, _d in served:
+        assert cluster[vid] == cluster[qid]
+    # the serve scan is partition-pruned to the probed cells
+    plan = pq.search_ann_index(spark, idx, queries, k=5, nprobe=1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan, plan[:2000]
