@@ -232,3 +232,27 @@ def write_shuffled(df: DataFrame, path: str, n_shards: int = 1024,
     sharded = shuffle_shards(df, n_shards, id_col, seed)
     materialize_sharded(sharded, path, n_shards, ("shard",),
                         ("shuffle_ord", id_col))
+
+
+def read_release_stream(spark, out_dir: str, split: str = "train"):
+    """The CONSUMER side of the release contract: enumerate one split's
+    rows in exactly the order a sequential trainer reads them — shard by
+    shard, within a shard in the written file order (pack hash, then pack
+    key, then seq_no), every pack contiguous.
+
+    Parquet does not guarantee read order across row groups under parallel
+    scans, so the reader re-sorts per shard by the SAME total-order key the
+    writer used (one exchange keyed on shard — at training time this runs
+    once per shard file on one reader, not as a cluster job). Returns
+    (shard, read_ord, doc_id, pack_key, pack_id, seq_no, n_tok, tokens) —
+    read_ord is the within-shard position, the trainer's step number."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = (spark.read.parquet(out_dir)
+          .filter(F.col("split") == split))
+    w = W.partitionBy("shard").orderBy("shuffle_ord", "pack_key", "pack_id",
+                                       "seq_no")
+    return (df.withColumn("read_ord", F.row_number().over(w) - 1)
+            .select("shard", "read_ord", "doc_id", "pack_key", "pack_id",
+                    "seq_no", "n_tok", "tokens"))

@@ -268,3 +268,41 @@ def test_release_checkpoint_resume(spark, tmp_path):
     assert snap.current_version() == v1 + 1
     assert third_rows != first_rows           # doc 2 survives the loose gate
     spark.catalog.clearCache()
+
+
+def test_reader_sees_contiguous_packs_in_writer_order(spark, tmp_path):
+    """Consumer-side contract: read_release_stream enumerates each shard in
+    the written order — every (pack_key, pack_id) bin is one contiguous
+    run of read_ord, rows inside a bin ascend by seq_no, and the bin order
+    within a shard follows the shuffle hash."""
+    from omnition_opentelemetry_service_spark import fixtures as fx
+    from omnition_opentelemetry_service_spark.operators.mixture import (
+        read_release_stream)
+    from jobs.make_release import build_release, write_release
+
+    seqs = fx.sequences(spark, 3000)
+    out = str(tmp_path / "rel")
+    write_release(build_release(seqs, budget=512, n_shards=4), out, 4)
+
+    rows = read_release_stream(spark, out, split="train").collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.read_ord)):
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1
+    for shard, rs in by_shard.items():
+        # read_ord is dense 0..n-1
+        assert [r.read_ord for r in rs] == list(range(len(rs)))
+        seen_bins = []
+        for r in rs:
+            b = (r.pack_key, r.pack_id)
+            if not seen_bins or seen_bins[-1] != b:
+                assert b not in seen_bins, f"bin {b} split in shard {shard}"
+                seen_bins.append(b)
+        # within a bin, packing order (seq_no ascending)
+        prev = None
+        for r in rs:
+            b = (r.pack_key, r.pack_id)
+            if prev is not None and prev[0] == b:
+                assert r.seq_no > prev[1], f"bin {b} out of packing order"
+            prev = (b, r.seq_no)
+    spark.catalog.clearCache()
