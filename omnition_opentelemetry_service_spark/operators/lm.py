@@ -138,8 +138,13 @@ def doc_logprob(docs: DataFrame, vocab: dict[str, int],
                         F.round("logp", 9).cast("decimal(28,9)"))
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_trans"),
-                 F.round((F.sum("logp_d") / F.count(F.lit(1)))
-                         .cast("double"), 6).alias("avg_logp")))
+                 # cast the EXACT decimal sum to double BEFORE dividing:
+                 # decimal division rounds to an engine-specific result
+                 # scale (Spark and DuckDB disagree), flipping the 6th
+                 # digit on exact boundaries; double/long division is
+                 # bit-identical in both engines
+                 F.round(F.sum("logp_d").cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_logp")))
 
 
 def doc_logprob_sql_duck(vocab: dict[str, int],
@@ -180,7 +185,7 @@ def doc_logprob_sql_duck(vocab: dict[str, int],
     SELECT {id_col},
            CAST(count(*) AS BIGINT) AS n_trans,
            round(CAST(sum(CAST(round({logp}, 9) AS DECIMAL(28,9)))
-                      / count(*) AS DOUBLE), 6) AS avg_logp
+                      AS DOUBLE) / count(*), 6) AS avg_logp
     FROM scored GROUP BY 1"""
 
 
