@@ -83,3 +83,44 @@ def test_scalable_handles_leading_and_allnull_slices(spark):
     for i in range(200):
         assert got[(0, i)] == (None if i < 3 else "A")
         assert got[(1, i)] is None
+
+
+def test_property_both_forms_match_python_fill(spark):
+    """Window form == sliced scalable form == pure-python fill on arbitrary
+    (stream, order, value) shapes — tiny slice_rows forces many boundary
+    carries, interleaved NULL runs stress the carry-in coalesce."""
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    from omnition_opentelemetry_service_spark.operators.carryforward import (
+        carry_forward, carry_forward_scalable)
+
+    SET = settings(max_examples=5, deadline=None, derandomize=True,
+                   suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+    @SET
+    @given(st.lists(
+        st.tuples(st.integers(0, 3),            # stream
+                  st.one_of(st.none(),
+                            st.sampled_from(["a", "b", "c"]))),  # value
+        min_size=1, max_size=60))
+    def run(rows):
+        data = [(s, i, v) for i, (s, v) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "stream_id int, msg_seq int, node_host string")
+        a = sorted((r.stream_id, r.msg_seq, r.node_host_filled)
+                   for r in carry_forward(df).collect())
+        b = sorted((r.stream_id, r.msg_seq, r.node_host_filled)
+                   for r in carry_forward_scalable(
+                       df, slice_rows=4).collect())
+        # python model: last non-null per stream in msg_seq order
+        want = []
+        last: dict[int, str | None] = {}
+        for s, i, v in sorted(data, key=lambda t: (t[0], t[1])):
+            if v is not None:
+                last[s] = v
+            want.append((s, i, last.get(s)))
+        assert a == sorted(want)
+        assert b == sorted(want)
+
+    run()
