@@ -271,3 +271,42 @@ def test_fingerprint_and_words_cross_engine_on_arbitrary_text(spark, texts):
             g_sh = g_sh or 0
             w_sh = w_sh or 0
         assert g_sh == w_sh, f"simhash mismatch on {texts[i]!r}"
+
+
+@SET
+@given(st.lists(st.text(alphabet=st.characters(codec="utf-8"), max_size=50),
+                min_size=1, max_size=10),
+       st.integers(2, 5), st.integers(2, 5))
+def test_winnowing_matches_python_model_on_arbitrary_text(spark, texts, k, w):
+    """Winnowing fingerprints == an independent python implementation of
+    Schleimer/Wilkerson/Aiken on arbitrary unicode — same normalization
+    (shared gram definition incl. the astral fold), same md5-prefix hash,
+    same window minima."""
+    import hashlib
+    import re
+
+    from omnition_opentelemetry_service_spark.functions import text as tx
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {r.i: sorted(r.fp) for r in df.select(
+        "i", tx.winnowing_fingerprints("text", k, w).alias("fp")).collect()}
+
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+    astral = re.compile("[\U00010000-\U0010FFFF]")
+    for i, t in rows:
+        # normalization order mirrors _norm_grams_sql: astral fold, ws->space,
+        # trim(space only), lower_fold
+        s = astral.sub("�", t)
+        s = ws.sub(" ", s)
+        s = tx.lower_fold_py(s.strip(" "))
+        grams = [s] if len(s) < k else [s[j:j + k]
+                                        for j in range(len(s) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+              for g in grams]
+        if len(hs) <= w:
+            want = sorted({min(hs)})
+        else:
+            want = sorted({min(hs[j:j + w])
+                           for j in range(len(hs) - w + 1)})
+        assert got[i] == want, (t, k, w)
