@@ -153,3 +153,80 @@ def test_parse_impls_agree_on_unicode_payloads(spark):
                  pf.parse_payload_pandas):
         got = {int(r.doc_id): r.valid for r in impl(df).collect()}
         assert got == {1: False, 2: False, 3: True}, impl.__name__
+
+
+def test_parse_fuzz_four_engines_agree(spark):
+    """4000 seeded random payloads (valid / truncated / mutated / garbage /
+    unicode) — native, split, pandas, and the DuckDB oracle form must agree
+    row-for-row. The durable form of the session fuzz that validated the
+    parse family end-to-end."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from omnition_opentelemetry_service_spark.functions import parse as pfn
+
+    rng = random.Random(20260819)
+
+    def rnd_word():
+        return "".join(rng.choice("abzAZ09_é💥-= ")
+                       for _ in range(rng.randint(0, 6)))
+
+    def payload(valid_bias):
+        if rng.random() < valid_bias:
+            h = rnd_word().replace(" ", "")
+            msg = "".join(rng.choice('ab c=x" \\ é💥\t')
+                          for _ in range(rng.randint(0, 12))).replace('"', "")
+            return (f"2026-01-{rng.randint(10, 28):02d}T"
+                    f"{rng.randint(10, 23):02d}:00:00Z "
+                    f"host={h or 'h'} lvl=info src=websrc "
+                    f"n={rng.randint(0, 999)} "
+                    f"trace={'%032x' % rng.getrandbits(128)} msg=\"{msg}\"")
+        base = payload(1.0)
+        op = rng.choice(["cut", "insert", "noise", "case"])
+        if op == "cut":
+            return base[:rng.randint(0, len(base))]
+        if op == "insert":
+            i = rng.randint(0, len(base))
+            return base[:i] + rng.choice(' "\n=x') + base[i:]
+        if op == "case":
+            return base.upper()
+        return "".join(rng.choice(' x="\n\t héllo💥')
+                       for _ in range(rng.randint(0, 60)))
+
+    rows = [(f"d{i:05d}", payload(0.6), 0, 0, None) for i in range(4000)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, payload string, stream_id int, msg_seq int, "
+              "node_host string")
+    cols = ["doc_id", "ts_str", "host", "lvl", "src", "n_tok", "trace_hex",
+            "msg", "valid"]
+
+    def grab(d):
+        return sorted((tuple(r[c] for c in cols)
+                       for r in d.select(cols).collect()),
+                      key=lambda t: t[0])
+
+    n = grab(pfn.parse_payload_native(df))
+    assert n == grab(pfn.parse_payload_split(df))
+    assert n == grab(pfn.parse_payload_pandas(df))
+    nv = sum(1 for r in n if r[-1])
+    assert 0 < nv < len(n)  # the fuzz produced both populations
+
+    con = duckdb.connect()
+    con.register("pay", pd.DataFrame([(r[0], r[1]) for r in rows],
+                                     columns=["doc_id", "payload"]))
+    rx = pfn.PAYLOAD_REGEX
+    sel = ", ".join(
+        f"CASE WHEN regexp_matches(payload,'{rx}') "
+        f"THEN regexp_extract(payload,'{rx}',{i + 1}) END {name}"
+        for i, name in enumerate(
+            ["ts_str", "host", "lvl", "src", "n_raw", "trace_hex", "msg"]))
+    duck = sorted(
+        ((r[0], r[1], r[2], r[3], r[4],
+          int(r[5]) if r[5] is not None else None, r[6], r[7], bool(r[8]))
+         for r in con.execute(
+            f"SELECT doc_id, {sel}, regexp_matches(payload,'{rx}') AS valid "
+            f"FROM pay").fetchall()),
+        key=lambda t: t[0])
+    assert [tuple(r) for r in n] == duck
