@@ -66,16 +66,10 @@ def main() -> None:
         books = pq.pq_train(emb, m=args.m, k=args.k_codes,
                             max_iter=args.max_iter, dim=dim)
 
-        # encode + assign in ONE scan (cell and codes side by side — the
+        # encode + assign in ONE scan (pq.assign_and_encode — the
         # ivf_pq_topk corpus shape), then the single exchange: repartition
         # on cell so each cell is one contiguous partition dir.
-        corpus = emb.select("vec_id", F.col("embedding"))
-        cells = kmeans._with_assignment(
-            corpus.select(F.col("vec_id"), F.col("embedding")),
-            kmeans.trained_centroids_df(spark, cents), metric="l2")
-        coded = cells.select(
-            F.col("vec_id").alias("id"), "cell",
-            F.expr(pq._codes_expr(books, "embedding", dim)).alias("codes"))
+        coded = pq.assign_and_encode(emb, cents, books, dim=dim)
         (coded.repartition("cell")
          .write.mode("overwrite").partitionBy("cell")
          .parquet(os.path.join(args.out, "codes")))

@@ -200,6 +200,27 @@ def pq_adc_topk(codes_df: DataFrame, queries: list[tuple[int, list[float]]],
             .select("query_id", "id", "adc_dist"))
 
 
+def assign_and_encode(emb: DataFrame,
+                      centroids: list[tuple[int, list[float]]],
+                      books: list[list[list[float]]],
+                      id_col: str = "vec_id", emb_col: str = "embedding",
+                      dim: int = EMB_DIM) -> DataFrame:
+    """(id, cell, codes) — the IVF-PQ corpus representation, computed in
+    ONE zero-shuffle scan (coarse L2 argmin over the broadcast centroid
+    array + PQ codes side by side; a cells⋈codes self-join to reunite
+    columns computable together would shuffle the whole corpus). Shared by
+    ivf_pq_topk and jobs/build_ann_index.py."""
+    from .kmeans import _with_assignment, trained_centroids_df
+
+    corpus = emb.select(F.col(id_col), F.col(emb_col).alias("embedding"))
+    cells = _with_assignment(
+        corpus, trained_centroids_df(emb.sparkSession, centroids),
+        metric="l2")
+    return cells.select(
+        F.col(id_col).alias("id"), "cell",
+        F.expr(_codes_expr(books, "embedding", dim)).alias("codes"))
+
+
 def ivf_pq_topk(emb: DataFrame, queries: list[tuple[int, list[float]]],
                 centroids: list[tuple[int, list[float]]],
                 books: list[list[list[float]]], k: int = 5,
@@ -222,15 +243,9 @@ def ivf_pq_topk(emb: DataFrame, queries: list[tuple[int, list[float]]],
       pq_adc_topk's full-corpus BroadcastNestedLoop); the top-k exchange
       ranks only candidates, ≈ Q · corpus/nlist · nprobe rows.
     """
-    from .kmeans import trained_centroids_df, _with_assignment
-
     spark = emb.sparkSession
-    corpus = emb.select(F.col(id_col), F.col(emb_col).alias("embedding"))
-    cells = _with_assignment(
-        corpus, trained_centroids_df(spark, centroids), metric="l2")
-    corpus_side = cells.select(
-        F.col(id_col).alias("id"), "cell",
-        F.expr(_codes_expr(books, "embedding", dim)).alias("codes"))
+    corpus_side = assign_and_encode(emb, centroids, books, id_col,
+                                    emb_col, dim)
 
     probe_rows = []
     for qid, vec in queries:
