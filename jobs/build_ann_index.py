@@ -50,8 +50,6 @@ def main() -> None:
         sys.path.insert(0, os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
         from omnition_opentelemetry_service_spark.operators import kmeans, pq
-    from pyspark.sql import functions as F
-
     from omnition_opentelemetry_service_spark.session import get_spark
 
     spark = get_spark(app_name="omnition-ann-index",
