@@ -432,3 +432,74 @@ def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# -- token-sequence near-dup (the north-star table's MinHash) ------------------
+def with_seq_minhash(seqs: DataFrame, k: int = 8, id_col: str = "doc_id",
+                     tokens_col: str = "tokens") -> DataFrame:
+    """(…, shingles, minhash) over TOKEN k-gram shingles — the sequence-
+    table twin of with_minhash: the same md5/affine MinHash family applied
+    to k-token window keys (corpus._token_grams_expr — the span-dedup
+    identity), so near-duplicate SEQUENCES (pre-tokenized docs differing by
+    small edits) band together exactly like near-duplicate texts.
+
+    Sequences shorter than k have NO window identity (empty shingles) and
+    are EXCLUDED here rather than signed: an empty shingle set folds to the
+    all-sentinel signature, which would band every short sequence with
+    every other short sequence — a quadratic candidate explosion over the
+    short tail. Exact dedup (token_group_cols) already covers them."""
+    from .corpus import _token_grams_expr
+
+    out = seqs.withColumn(
+        "shingles",
+        F.expr(f"array_distinct({_token_grams_expr(k, tokens_col)})"))
+    return (out.filter(F.size("shingles") > 0)
+            .withColumn("minhash", minhash_signature_expr("shingles")))
+
+
+def seq_near_dup_verified(seqs: DataFrame, k: int = 8,
+                          threshold: float = 0.5, id_col: str = "doc_id",
+                          tokens_col: str = "tokens") -> DataFrame:
+    """(id_a, id_b, jaccard) — banded candidates over token-shingle MinHash,
+    exact-Jaccard verified. Same scale shape as the text path: band-key
+    equi-join, never all-pairs; the shingle table persists once and feeds
+    both the signature map and the verify join (caller releases, per the
+    cache rule)."""
+    sh = with_seq_minhash(seqs, k, id_col, tokens_col).select(
+        F.col(id_col), "shingles", "minhash").persist()
+    cands = minhash_candidates(sh, id_col=id_col)
+    return jaccard_verify(cands, sh.select(id_col, "shingles"),
+                          id_col=id_col, threshold=threshold)
+
+
+def seq_near_dup_sql_duck(k: int = 8, threshold: float = 0.5,
+                          rel: str = "seq", id_col: str = "doc_id",
+                          tokens_col: str = "tokens") -> str:
+    """DuckDB twin: same token-gram shingles, same MinHash family, same
+    banding and exact-Jaccard verify."""
+    from .corpus import _token_grams_sql_duck
+
+    sh = (f"list_distinct({_token_grams_sql_duck(k, tokens_col)})")
+    mh = minhash_signature_sql_duck("shingles")
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS id, {sh} AS shingles FROM {rel}),
+    sig AS (
+      SELECT id, shingles, {mh} AS minhash
+      FROM sh WHERE len(shingles) > 0),
+    bands AS (
+      SELECT id, concat(CAST(b AS VARCHAR), ':',
+             array_to_string(minhash[b * {LSH_ROWS} + 1 :
+                             b * {LSH_ROWS} + {LSH_ROWS}], ',')) AS band_key
+      FROM sig, (SELECT unnest(range({LSH_BANDS})) AS b)),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_key = r.band_key AND l.id < r.id)
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                 len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+    FROM cand c JOIN sh a ON c.id_a = a.id JOIN sh b ON c.id_b = b.id
+    WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                len(list_distinct(a.shingles || b.shingles)), 6)
+          >= {threshold}"""

@@ -401,3 +401,44 @@ def test_pandas_round_matches_f_round_on_boundary_doubles(spark):
 
     got = round6(vals)
     assert list(got) == jvm, (list(got), jvm)
+
+
+def test_seq_near_dup_verified_matches_duckdb_and_plants(spark):
+    """Token-sequence near-dup: planted near-duplicate sequences (small
+    edits over a shared token run) band together and verify; exact parity
+    with the DuckDB twin; short sequences are excluded (no window
+    identity), and the plan never goes all-pairs."""
+    import duckdb
+    import pandas as pd
+
+    from omnition_opentelemetry_service_spark.operators import dedup as dd
+
+    base = [(i * 7 + 3) % 50 for i in range(40)]
+    rows = [
+        (0, base),
+        (1, base[:20] + [99] + base[21:]),          # one-token edit
+        (2, base[:39] + [99]),                       # last token changed
+        (3, [(i * 11 + 1) % 50 for i in range(40)]),  # unrelated
+        (4, base[:4]),                               # shorter than k=8
+        (5, []),                                     # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = sorted(map(tuple, dd.seq_near_dup_verified(
+        df, k=8, threshold=0.3).collect()))
+    spark.catalog.clearCache()
+
+    con = duckdb.connect()
+    con.register("seq", pd.DataFrame(rows, columns=["doc_id", "tokens"]))
+    want = sorted((int(r[0]), int(r[1]), float(r[2])) for r in con.execute(
+        dd.seq_near_dup_sql_duck(k=8, threshold=0.3)).fetchall())
+    assert got == want
+    pairs = {(a, b) for a, b, _j in got}
+    assert (0, 1) in pairs and (0, 2) in pairs     # edits near-dup the base
+    # LSH recall is deterministic given the md5 family: (1,2) shares 0.57
+    # jaccard and happens to band; the unrelated/short/empty docs never do
+    assert all(3 not in p and 4 not in p and 5 not in p for p in pairs)
+
+    plan = (dd.seq_near_dup_verified(df, k=8, threshold=0.3)
+            ._jdf.queryExecution().executedPlan().toString())
+    spark.catalog.clearCache()
+    assert "CartesianProduct" not in plan, plan
