@@ -77,10 +77,21 @@ def train_bigram_lm(docs: DataFrame, max_vocab: int = 50_000,
         f"j -> named_struct('p', ws[j - 1], 'w', ws[j])) END)[0]"
     ).alias("bg")).select(F.explode("bg").alias("b"))
         .select(F.col("b.p").alias("p"), F.col("b.w").alias("w")))
-    big = (pairs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c"))
+    # Bound the collect by the CAPPED vocab, not the corpus: distinct
+    # bigram TYPES grow with the corpus, so collecting them all and
+    # filtering driver-side is a driver OOM at the scale the module
+    # contract claims. Broadcast-semi-join both endpoints against the
+    # vocab and push min_count into a post-aggregate filter, so at most
+    # |vocab|² (observed, far fewer) rows ever reach the driver.
+    vdf = F.broadcast(docs.sparkSession.createDataFrame(
+        [(w,) for w in vocab], "w string"))
+    big = (pairs
+           .join(vdf.select(F.col("w").alias("p")), "p", "leftsemi")
+           .join(vdf, "w", "leftsemi")
+           .groupBy("p", "w").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= int(min_count))
            .collect())
-    bigrams = {(r.p, r.w): int(r.c) for r in big
-               if r.p in vocab and r.w in vocab and int(r.c) >= min_count}
+    bigrams = {(r.p, r.w): int(r.c) for r in big}
     return vocab, bigrams, n_total
 
 

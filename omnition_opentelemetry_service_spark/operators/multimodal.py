@@ -261,6 +261,7 @@ def resize_media_real(media: DataFrame, out_width: int = 8,
     def rs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
         from . import media_codecs as mc
@@ -274,6 +275,8 @@ def resize_media_real(media: DataFrame, out_width: int = 8,
                        else mc.decode_ppm(b))
                 if arr.shape[2] == 4:  # drop alpha for the PPM re-encode
                     arr = arr[:, :, :3]
+                elif arr.shape[2] == 1:  # gray PNG (color type 0) → RGB
+                    arr = np.repeat(arr, 3, axis=2)
                 small = mc.resize_nearest(arr, out_width, out_height)
                 rows.append({
                     "doc_id": int(did), "media_type": mt,

@@ -216,9 +216,15 @@ def assign_and_encode(emb: DataFrame,
     cells = _with_assignment(
         corpus, trained_centroids_df(emb.sparkSession, centroids),
         metric="l2")
+    # pq_encode's NULL guard must hold HERE too: without it a NULL
+    # embedding yields codes = an array OF NULLs (not NULL), which passes
+    # the codes IS NOT NULL filters in ivf_pq_topk / search_ann_index; the
+    # resulting NULL adc_dist sorts FIRST under Spark's ASC NULLS FIRST,
+    # topping every query's top-k (PARITY.md trap #13).
+    codes = (f"CASE WHEN embedding IS NULL THEN NULL "
+             f"ELSE {_codes_expr(books, 'embedding', dim)} END")
     return cells.select(
-        F.col(id_col).alias("id"), "cell",
-        F.expr(_codes_expr(books, "embedding", dim)).alias("codes"))
+        F.col(id_col).alias("id"), "cell", F.expr(codes).alias("codes"))
 
 
 def ivf_pq_topk(emb: DataFrame, queries: list[tuple[int, list[float]]],

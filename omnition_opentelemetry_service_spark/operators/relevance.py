@@ -73,6 +73,11 @@ def corpus_stats(docs: DataFrame, terms: list[str],
             F.expr(f"CASE WHEN array_contains({ws}, '{t.lower()}') "
                    f"THEN 1 ELSE 0 END")).alias(f"df{i}"))
     row = docs.agg(*aggs).collect()[0]
+    if int(row["n"]) == 0:
+        # n=0 makes sdl aggregate to NULL and avgdl a zero-division —
+        # surface the contract violation, not an opaque TypeError.
+        raise ValueError("empty corpus has no BM25 statistics "
+                         "(corpus_stats needs at least one document)")
     return int(row["n"]), int(row["sdl"]), {
         t: int(row[f"df{i}"]) for i, t in enumerate(terms)}
 

@@ -126,3 +126,18 @@ def test_logprob_partitioning_invariant(spark, docs, model):
     b = sorted(map(tuple, lm.doc_logprob(
         docs.repartition(7), vocab, bigrams, n).collect()))
     assert a == b
+
+
+def test_train_bigram_collect_is_vocab_bounded(spark, ref_docs):
+    """min_count and the vocab cap are pushed BELOW the collect (ADVICE r2:
+    collecting every distinct bigram type is corpus-bounded, a driver OOM
+    at scale). max_vocab=3 must yield only bigrams between the top-3 words,
+    and min_count=2 must drop hapax bigrams — both enforced pre-collect."""
+    vocab, bigrams, _n = lm.train_bigram_lm(ref_docs, max_vocab=3)
+    assert len(vocab) == 3
+    assert all(p in vocab and w in vocab for p, w in bigrams)
+    _v2, big2, _n2 = lm.train_bigram_lm(ref_docs, max_vocab=100,
+                                        min_count=2)
+    assert big2 and all(c >= 2 for c in big2.values())
+    full = lm.train_bigram_lm(ref_docs, max_vocab=100)[1]
+    assert big2 == {k: c for k, c in full.items() if c >= 2}

@@ -111,3 +111,23 @@ def test_unknown_media_type_raises(spark):
                       "media_type": ["video/mp4"]}))
     with pytest.raises(Exception, match="NotImplementedError|no stdlib"):
         mm.extract_real_media_features(df).collect()
+
+
+def test_real_resize_handles_gray_png(spark):
+    """decode_png legitimately returns (h, w, 1) for color type 0 — the
+    resize kernel must broadcast gray to RGB before the 3-channel PPM
+    re-encode instead of crashing (ADVICE r2)."""
+    import pandas as pd
+
+    gray = _img(6, 5, 1, seed=9)
+    buf = mc.encode_png(gray)
+    assert mc.decode_png(buf).shape == (6, 5, 1)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1], "media": [buf], "media_type": ["image/png"]}))
+    out = mm.resize_media_real(df, 3, 2).collect()
+    assert len(out) == 1
+    rgb = np.repeat(gray, 3, axis=2)
+    want = hashlib.md5(
+        mc.encode_ppm(mc.resize_nearest(rgb, 3, 2))).hexdigest()
+    assert out[0].resized_md5 == want
+    assert (out[0].width, out[0].height) == (5, 6)

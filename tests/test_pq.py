@@ -266,3 +266,20 @@ def test_index_build_and_serve_cli(spark, tmp_path):
     plan = pq.search_ann_index(spark, idx, queries, k=5, nprobe=1) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "cell" in plan, plan[:2000]
+
+
+def test_null_embedding_never_ranks_in_ivf_pq(spark, emb, books, centroids):
+    """assign_and_encode must NULL-guard like pq_encode (ADVICE r2): a NULL
+    embedding otherwise yields an array OF nulls that passes codes IS NOT
+    NULL and its NULL adc_dist tops every top-k under ASC NULLS FIRST."""
+    null_row = spark.createDataFrame([(999,)], "vec_id long").withColumn(
+        "embedding", F.lit(None).cast("array<double>"))
+    with_null = emb.select("vec_id", "embedding").unionByName(null_row)
+    enc = {r.id: r.codes for r in pq.assign_and_encode(
+        with_null, centroids, books).collect()}
+    assert enc[999] is None
+    queries = [(qid, vec) for qid, _c, vec in _planted_rows()[:3]]
+    top = pq.ivf_pq_topk(with_null, queries, centroids, books,
+                         k=3, nprobe=len(centroids)).collect()
+    assert len(top) == 3 * len(queries)
+    assert all(r.id != 999 and r.adc_dist is not None for r in top)

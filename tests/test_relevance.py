@@ -88,3 +88,11 @@ def test_bm25_rejects_unsafe_terms(spark, docs):
     for bad in (["it's"], ["two words"], ["back\\slash"], []):
         with pytest.raises(ValueError):
             rv.bm25_scores(docs, bad)
+
+
+def test_empty_corpus_raises_contract_error(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        rv.corpus_stats(empty, TERMS)
+    with pytest.raises(ValueError, match="empty corpus"):
+        rv.bm25_scores(empty, TERMS)
