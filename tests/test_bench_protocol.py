@@ -114,3 +114,45 @@ def test_raw_clear_in_bonus_round_stops_immediately():
         ceiling_fn=lambda a, b: 3.0, max_attempts=8)
     assert len(out["rounds"]) == 2
     assert out["efficiency"] == round(330.0 / 100.0 / 4, 3)  # 0.825 raw
+
+
+def test_prev_queries_compare_round_to_round(tmp_path, monkeypatch):
+    """Deltas must compare against the previous ROUND's artifact (details
+    sidecar preferred, pre-r3 "parsed" fallback) — never against an earlier
+    local run of the same round."""
+    import json
+
+    monkeypatch.setattr(bench, "HERE", str(tmp_path))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(
+        {"parsed": {"queries": {"q": 2.0}}}))
+    (tmp_path / "BENCH_details_r03.json").write_text(json.dumps(
+        {"queries": {"q": 1.0}}))
+    assert bench._next_round() == 3
+    # current round 3: prev is the r02 driver record, not our own r03 run
+    assert bench._prev_bench_queries(3) == {"q": 2.0}
+    # next round sees the r03 sidecar (parseable) over the r02 fallback
+    assert bench._prev_bench_queries(4) == {"q": 1.0}
+
+
+def test_materialized_fixtures_roundtrip_exactly(spark, tmp_path):
+    """The bench redirect must be value-invisible: parquet-materialized
+    fixture tables row-identical to the generators, and non-default-shaped
+    calls (start/num_partitions) never redirected."""
+    from omnition_opentelemetry_service_spark import fixtures as fx
+
+    n = 200
+    gen = {name: sorted(map(tuple, g(spark, n).collect()))
+           for name, g in fx._REDIRECTABLE.items()}
+    fx.materialize_fixture_tables(spark, n, str(tmp_path))
+    fx.set_materialized_fixtures(str(tmp_path))
+    try:
+        for name, g in fx._REDIRECTABLE.items():
+            redirected = g(spark, n)
+            assert sorted(map(tuple, redirected.collect())) == gen[name], name
+        # a start-offset branch must NOT read the materialized table
+        part = fx.sequences(spark, n, start=100).collect()
+        assert {r.seq_no for r in part} == set(range(100, n))
+        # an unmaterialized n generates (no crash, no stale read)
+        assert fx.sequences(spark, 50).count() == 50
+    finally:
+        fx.set_materialized_fixtures(None)
