@@ -602,6 +602,48 @@ def _attrs_str(source: str, renames: dict[str, str] | None = None,
     return ";".join(f"{k}={v}" for k, v in sorted(entries.items()))
 
 
+def _simhash_cte(bounded: bool) -> str:
+    """The SimHash signature CTE (words → per-bit votes → packed value),
+    ONE definition for every oracle that consumes it. ``bounded`` restricts
+    to doc_id < 150 (the all-pairs verification twins' disclosed id_limit);
+    the banded scale path runs unbounded."""
+    where = " WHERE doc_id < 150" if bounded else ""
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex({tx.lower_fold_sql_duck(tx.trim_sql_duck('text'))}, '[ \\t\\n\\x0B\\f\\r]+'),
+                                        w -> len(w) > 0)) AS w
+      FROM documents{where}),
+    wh AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM words),
+    votes AS (
+      SELECT doc_id, {", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(dd.SIMHASH_BITS))}
+      FROM wh GROUP BY doc_id),
+    sh AS (
+      SELECT doc_id, CAST({" + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(dd.SIMHASH_BITS))} AS BIGINT) AS simhash
+      FROM votes)"""
+
+
+def _ivf_pre() -> str:
+    """MOD-sampled-centroid IVF assignment CTE — shared by ivf_ann_topk and
+    the ivf_cell_sizes extra (the driver-slot IVF keeps deterministic
+    SQL-expressible centroids; the TRAINED path is kmeans.py + pytest)."""
+    cos = sim.cosine_sql_duck
+    return f"""
+    WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+                   FROM embeddings
+                   WHERE vec_id % {sim.IVF_CENTROID_MOD} = {sim.IVF_CENTROID_RESIDUE}),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos('e.embedding', 'c.c_emb')} DESC, c.centroid_id) AS c_rnk
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE c_rnk = 1)"""
+
+
 def build_oracle_sql() -> dict[str, str]:
     pre = duck_prelude(ORACLE_N)
     n = ORACLE_N
@@ -874,27 +916,9 @@ def build_oracle_sql() -> dict[str, str]:
     WHERE round(len(list_intersect(a.s, b.s)) * 1.0 /
                 len(list_distinct(a.s || b.s)), 6) >= 0.5"""
 
-    simhash_cte = f"""
-    WITH words AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex({tx.lower_fold_sql_duck(tx.trim_sql_duck('text'))}, '[ \\t\\n\\x0B\\f\\r]+'),
-                                        w -> len(w) > 0)) AS w
-      FROM documents WHERE doc_id < 150),
-    wh AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM words),
-    votes AS (
-      SELECT doc_id, {", ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(dd.SIMHASH_BITS))}
-      FROM wh GROUP BY doc_id),
-    sh AS (
-      SELECT doc_id, CAST({" + ".join(
-        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
-        for b in range(dd.SIMHASH_BITS))} AS BIGINT) AS simhash
-      FROM votes)"""
-    # banded form: same simhash CTE over ALL docs (no id bound — banding IS
+    # banded form: the simhash CTE over ALL docs (no id bound — banding IS
     # the scale device), bands exploded, equi-join, exact-hamming verify.
-    assert " WHERE doc_id < 150" in simhash_cte  # guard the rewrite below
-    simhash_all_cte = simhash_cte.replace(" WHERE doc_id < 150", "")
-    o["simhash_band_pairs"] = f"""{simhash_all_cte},
+    o["simhash_band_pairs"] = f"""{_simhash_cte(bounded=False)},
     bands AS (
       SELECT doc_id, simhash, b,
              (simhash >> CAST(b * {dd.SIMHASH_BAND_BITS} AS INTEGER))
@@ -968,19 +992,7 @@ def build_oracle_sql() -> dict[str, str]:
                ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
       FROM scored) WHERE rnk <= 5"""
 
-    ivf_pre = f"""
-    WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
-                   FROM embeddings
-                   WHERE vec_id % {sim.IVF_CENTROID_MOD} = {sim.IVF_CENTROID_RESIDUE}),
-    assigned AS (
-      SELECT vec_id, embedding, cell FROM (
-        SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY {cos('e.embedding', 'c.c_emb')} DESC, c.centroid_id) AS c_rnk
-        FROM embeddings e CROSS JOIN cents c)
-      WHERE c_rnk = 1)"""
-
-    o["ivf_ann_topk"] = f"""{ivf_pre},
+    o["ivf_ann_topk"] = f"""{_ivf_pre()},
     probes AS (
       SELECT query_id, q_emb, cell FROM (
         SELECT e.vec_id AS query_id, e.embedding AS q_emb,
@@ -1035,6 +1047,140 @@ def build_oracle_sql() -> dict[str, str]:
            CAST(ascii(substr(text, length(text), 1)) % 64 + 1 AS INTEGER) AS height,
            md5(text) AS checksum
     FROM documents"""
+
+    return o
+
+
+# ---------------------------------------------------------------------------
+# Extras: the slots rotated OUT of the 50-entry driver window when new
+# operators rotated in (VERDICT r2 "What's missing" #1). Each keeps its full
+# Spark query + DuckDB oracle twin here; tools/check_oracle.py --extras (and
+# tests/test_consolidated_ops.py) run the same rows+schema+hash gate the
+# driver runs, so rotation out of the window no longer weakens verification.
+# ---------------------------------------------------------------------------
+def q_attrs_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fx.source_dim(spark).select(
+        "source",
+        attrs_to_str(attrs_add("attrs", {"env": "prod"}).alias("attrs")).alias("attrs_str"),
+    )
+
+
+def q_attrs_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fx.source_dim(spark).select(
+        "source",
+        attrs_to_str(attrs_rename("attrs", {"team": "owner_team"}).alias("attrs")).alias("attrs_str"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("ws_tokens"),
+        tx.bpe_token_estimate("text").alias("bpe_tokens"),
+    )
+
+
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = pk.with_pack_id(fx.sequences(spark, _n(sf_dir)), budget=2048)
+    return pk.pack_stats(packed)
+
+
+def q_union_two_receivers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _n(sf_dir)
+    a = fx.sequences(spark, n // 2)
+    b = fx.sequences(spark, n, start=n // 2)
+    return a.unionByName(b).groupBy("source").agg(
+        F.count("*").alias("n_rows"), F.sum("n_tok").alias("sum_n_tok")
+    )
+
+
+def q_oversized_reject_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs = fx.sequences(spark, _n(sf_dir))
+    kept, rejected = caps.reject_oversized(seqs, "n_tok", 200)
+    return kept.select(F.lit("kept").alias("side"), "doc_id").unionByName(
+        rejected.select(F.lit("rejected").alias("side"), "doc_id")
+    ).groupBy("side").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_hamming_pairs(load(spark, sf_dir, "documents"),
+                                    max_hamming=18, id_limit=150)
+
+
+def q_ivf_cell_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_cell_sizes(load(spark, sf_dir, "embeddings"))
+
+
+def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The rotated-out twins — NOT driver slots (the window is exactly 50);
+    verified by check_oracle --extras and pytest with the identical gate."""
+    return {
+        "attrs_add": q_attrs_add,
+        "attrs_rename": q_attrs_rename,
+        "token_counts": q_token_counts,
+        "pack_stats": q_pack_stats,
+        "quarantined_rows": q_quarantined_rows,
+        "union_two_receivers": q_union_two_receivers,
+        "ivf_cell_sizes": q_ivf_cell_sizes,
+        "oversized_reject_counts": q_oversized_reject_counts,
+        "simhash_pairs": q_simhash_pairs,
+    }
+
+
+def build_extra_oracle_sql() -> dict[str, str]:
+    pre = duck_prelude(ORACLE_N)
+    o: dict[str, str] = {}
+
+    add_rows = ", ".join(
+        f"('{s}', '{_attrs_str(s, add={'env': 'prod'})}')" for s in fx.SOURCES)
+    o["attrs_add"] = (
+        f"SELECT * FROM (VALUES {add_rows}) AS t(source, attrs_str)")
+
+    ren_rows = ", ".join(
+        f"('{s}', '{_attrs_str(s, renames={'team': 'owner_team'})}')"
+        for s in fx.SOURCES)
+    o["attrs_rename"] = (
+        f"SELECT * FROM (VALUES {ren_rows}) AS t(source, attrs_str)")
+
+    o["token_counts"] = f"""
+    SELECT doc_id, CAST({tx.token_count_sql_duck('text')} AS INTEGER) AS ws_tokens,
+           CAST({tx.bpe_token_estimate_sql_duck('text')} AS INTEGER) AS bpe_tokens
+    FROM documents"""
+
+    o["pack_stats"] = f"""{pre},
+    packed AS (
+      SELECT source, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY seq_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+               / 2048) AS BIGINT) AS pack_id
+      FROM seq)
+    SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY source, pack_id"""
+
+    o["quarantined_rows"] = f"""{pre}
+    SELECT doc_id, stream_id, msg_seq FROM parsed WHERE NOT valid"""
+
+    o["union_two_receivers"] = f"""{pre}
+    SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+    FROM seq GROUP BY source"""
+
+    o["ivf_cell_sizes"] = f"""{_ivf_pre()}
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM assigned GROUP BY cell"""
+
+    o["oversized_reject_counts"] = f"""{pre}
+    SELECT CASE WHEN n_tok <= 200 THEN 'kept' ELSE 'rejected' END AS side,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM seq GROUP BY 1"""
+
+    o["simhash_pairs"] = f"""{_simhash_cte(bounded=True)}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 18"""
 
     return o
 

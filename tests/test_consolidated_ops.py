@@ -1,56 +1,42 @@
 """Operators whose registry slots were consolidated (the driver checks only
-the first 50 queries() entries) stay covered here: every retired slot's
-operator still runs and satisfies its contract."""
+the first 50 queries() entries) stay covered here at FULL driver strength:
+every rotated-out twin runs the identical rows+schema+hash DuckDB gate via
+tools/check_oracle.run_checks (VERDICT r2 ask 2 — invariant-level checks
+let a value regression slip; hash parity doesn't)."""
 
 from __future__ import annotations
 
+import os
+import sys
+
+import duckdb
 from pyspark.sql import functions as F
 
 from omnition_opentelemetry_service_spark import fixtures as fx
-from omnition_opentelemetry_service_spark.functions import parse as parse_fns
+from omnition_opentelemetry_service_spark import registry
 from omnition_opentelemetry_service_spark.functions import text as tx
 
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+from check_oracle import register_views, run_checks  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"  # oracle_sql strings are pinned to sf0.01
 N = 400
-N_MALFORMED = sum(
-    1 for i in range(N) if i % fx.MALFORMED_MOD == fx.MALFORMED_RESIDUE
-)
 
 
-def test_quarantined_rows_view(spark):
-    parsed = parse_fns.parse_payload_native(fx.raw_payloads(spark, N))
-    bad = parsed.filter(~F.col("valid")).select("doc_id", "stream_id", "msg_seq")
-    assert bad.count() == N_MALFORMED
-
-
-def test_oversized_reject_counts(spark):
-    from omnition_opentelemetry_service_spark.operators import caps
-
-    seqs = fx.sequences(spark, N)
-    kept, rejected = caps.reject_oversized(seqs, "n_tok", 200)
-    assert kept.count() + rejected.count() == N
-    assert rejected.filter(F.col("n_tok") <= 200).count() == 0
-
-
-def test_ivf_cell_sizes_partition_the_corpus(spark):
-    from omnition_opentelemetry_service_spark.operators import similarity as sim
-    from omnition_opentelemetry_service_spark.sources.loader import load
-
-    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
-    sizes = sim.ivf_cell_sizes(emb).collect()
-    assert sum(r.n_vecs for r in sizes) == emb.count()  # every vector in 1 cell
-    spark.catalog.clearCache()
-
-
-def test_token_counts_columns(spark):
-    from omnition_opentelemetry_service_spark.sources.loader import load
-
-    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(50)
-    out = docs.select(
-        "doc_id",
-        tx.token_count("text").alias("ws_tokens"),
-        tx.bpe_token_estimate("text").alias("bpe_tokens"),
-    ).collect()
-    assert all(r.bpe_tokens >= r.ws_tokens for r in out if r.ws_tokens)
+def test_extras_full_oracle_hash_parity(spark):
+    """Every rotated-out slot keeps driver-grade verification: the same
+    gate the driver runs, over all 9 extras at the oracle's pinned sf."""
+    extras = registry.build_extra_queries()
+    oracles = registry.build_extra_oracle_sql()
+    assert set(extras) == set(oracles) == {
+        "attrs_add", "attrs_rename", "token_counts", "pack_stats",
+        "quarantined_rows", "union_two_receivers", "ivf_cell_sizes",
+        "oversized_reject_counts", "simhash_pairs"}
+    con = duckdb.connect()
+    register_views(con, SF_DIR)
+    failures = run_checks(spark, con, extras, oracles, SF_DIR)
+    assert failures == []
 
 
 def test_union_two_receivers_partition_covers_range(spark):
@@ -59,6 +45,19 @@ def test_union_two_receivers_partition_covers_range(spark):
     u = a.unionByName(b)
     assert u.count() == N
     assert u.select("seq_no").distinct().count() == N
+
+
+def test_oversized_reject_boundary(spark):
+    """The exact boundary the hash gate also pins, kept as a fast local
+    check: n_tok == cap is KEPT (reject is strictly greater-than)."""
+    from omnition_opentelemetry_service_spark.operators import caps
+
+    seqs = fx.sequences(spark, N)
+    kept, rejected = caps.reject_oversized(seqs, "n_tok", 200)
+    assert kept.count() + rejected.count() == N
+    assert rejected.filter(F.col("n_tok") <= 200).count() == 0
+    assert kept.filter(F.col("n_tok") == 200).count() == \
+        seqs.filter(F.col("n_tok") == 200).count()
 
 
 def test_simhash_all_pairs_verification_twin(spark):

@@ -36,17 +36,14 @@ def table_hash(rows, cols) -> str:
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def run_checks(spark, con, queries, oracles, sf_dir, only=None,
+               log=print) -> list[str]:
+    """The driver-identical gate over a (queries, oracles) pair: per query,
+    row count + column names + order-insensitive value hash vs DuckDB.
+    Returns the failing names. Importable so pytest runs the SAME gate
+    (tests/test_consolidated_ops.py uses it for the rotated-out extras)."""
+    from omnition_opentelemetry_service_spark.registry import release_caches
 
-    spark = get_spark(parallelism=16)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-
-    queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
@@ -57,19 +54,19 @@ def main() -> int:
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
+            log(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(s_rows)} rows (no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
+            log(f"rows  {name}: {len(s_rows)} rows (no oracle) "
+                f"[{time.time()-t0:.1f}s]")
             continue
         try:
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:160]}")
+            log(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:160]}")
             failures.append(name)
             continue
         ok_cols = sorted(s_cols) == sorted(d_cols)
@@ -78,13 +75,9 @@ def main() -> int:
         dh = table_hash(d_rows, d_cols)
         ok_hash = sh == dh
         status = "OK   " if (ok_cols and ok_count and ok_hash) else "FAIL "
-        print(f"{status} {name}: rows {len(s_rows)}/{len(d_rows)} "
-              f"cols={'=' if ok_cols else f'{s_cols} vs {d_cols}'} "
-              f"hash={'=' if ok_hash else 'MISMATCH'} [{time.time()-t0:.1f}s]")
-        from omnition_opentelemetry_service_spark.registry import (
-            release_caches,
-        )
-
+        log(f"{status} {name}: rows {len(s_rows)}/{len(d_rows)} "
+            f"cols={'=' if ok_cols else f'{s_cols} vs {d_cols}'} "
+            f"hash={'=' if ok_hash else 'MISMATCH'} [{time.time()-t0:.1f}s]")
         release_caches(spark)  # operator caches are caller-released
         if not (ok_cols and ok_count and ok_hash):
             failures.append(name)
@@ -94,9 +87,37 @@ def main() -> int:
                 dorder = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
                 d_set = {"|".join(canon(r[i]) for i in dorder) for r in d_rows}
                 for x in sorted(s_set - d_set)[:3]:
-                    print(f"        spark-only: {x[:200]}")
+                    log(f"        spark-only: {x[:200]}")
                 for x in sorted(d_set - s_set)[:3]:
-                    print(f"        duck-only:  {x[:200]}")
+                    log(f"        duck-only:  {x[:200]}")
+    return failures
+
+
+def register_views(con, sf_dir: str) -> None:
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--extras"]
+    extras = "--extras" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    spark = get_spark(parallelism=16)
+    con = duckdb.connect()
+    register_views(con, sf_dir)
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    if extras:
+        # the rotated-out twins ride the same gate (VERDICT r2 ask 2):
+        # one command proves every twin, driver slots and extras alike
+        from omnition_opentelemetry_service_spark import registry
+
+        queries = {**queries, **registry.build_extra_queries()}
+        oracles = {**oracles, **registry.build_extra_oracle_sql()}
+    failures = run_checks(spark, con, queries, oracles, sf_dir, only=only)
     print(f"\n{len(failures)} failures: {failures}")
     spark.stop()
     return 1 if failures else 0
