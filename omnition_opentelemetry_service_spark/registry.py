@@ -123,9 +123,15 @@ def q_source_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_node_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.batcher import node_batches
+    """Driver slot runs the SCALABLE form (bounded (key, slice) window
+    partitions — a single giant stream can't serialize onto one task;
+    VERDICT r2 ask 4). The plain per-stream window form is the
+    oracle-matching twin, equality pinned in test_pipeline_e2e (the
+    carry_forward / carry_forward_scalable symmetry)."""
+    from .operators.batcher import node_batches_scalable
 
-    return node_batches(fx.raw_payloads(spark, _n(sf_dir)), batch_size=100)
+    return node_batches_scalable(fx.raw_payloads(spark, _n(sf_dir)),
+                                 batch_size=100, slice_rows=64)
 
 
 def q_token_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
