@@ -206,6 +206,52 @@ def raw_zipkin_payloads_sql_duck(n: int) -> str:
     """
 
 
+def raw_jaeger_payloads(spark: SparkSession, n: int,
+                        num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, payload) — Jaeger-JSON-style spans, the jaeger receiver
+    analog (reference components.go:47): process.serviceName and tags as an
+    ARRAY OF STRUCTS {key, vType, vStr} — the fourth wire shape, structurally
+    distinct from grok lines, flat JSON, and Zipkin's string tag MAP. A
+    decoy first tag forces decoders to SEARCH the array (positional
+    extraction reads the wrong tag). Built by string concat so both engines
+    produce byte-identical payloads."""
+    if num_partitions is None:
+        m = _materialized(spark, "jaeger_payloads", n)
+        if m is not None:
+            return m
+    df = _indexed_range(spark, n, num_partitions)
+    ts_us = f"CAST(({EPOCH0} + i) AS BIGINT) * 1000000"
+    payload = (
+        "concat('{\"traceID\":\"', lpad(lower(hex(i * " + str(TOKEN_A) + " + 17)), 32, '0'), "
+        "'\",\"operationName\":\"seq ', CAST(i AS STRING), "
+        f"'\",\"startTime\":', CAST({ts_us} AS STRING), "
+        f"',\"process\":{{\"serviceName\":\"', ({SOURCE_CASE_SQL}), "
+        f"'\",\"tags\":[{{\"key\":\"lvl\",\"vType\":\"string\",\"vStr\":\"', ({LEVEL_CASE_SQL}), "
+        f"'\"}}, {{\"key\":\"n_tok\",\"vType\":\"string\",\"vStr\":\"', CAST({N_TOK_SQL} AS STRING), "
+        "'\"}]}}')"
+    )
+    return df.select(
+        F.expr(DOC_ID_SQL).alias("doc_id"),
+        F.expr(payload).alias("payload"),
+    )
+
+
+def raw_jaeger_payloads_sql_duck(n: int) -> str:
+    ts_us = f"CAST(({EPOCH0} + i) AS BIGINT) * 1000000"
+    return f"""
+    SELECT
+      {DOC_ID_SQL_DUCK} AS doc_id,
+      concat('{{"traceID":"', lpad(lower(hex(i * {TOKEN_A} + 17)), 32, '0'),
+             '","operationName":"seq ', CAST(i AS VARCHAR),
+             '","startTime":', CAST({ts_us} AS VARCHAR),
+             ',"process":{{"serviceName":"', ({SOURCE_CASE_SQL}),
+             '","tags":[{{"key":"lvl","vType":"string","vStr":"', ({LEVEL_CASE_SQL}),
+             '"}}, {{"key":"n_tok","vType":"string","vStr":"', CAST({N_TOK_SQL} AS VARCHAR),
+             '"}}]}}}}') AS payload
+    FROM (SELECT range AS i FROM range(0, {n}))
+    """
+
+
 def materialize_input(spark: SparkSession, n: int, out_dir: str,
                       num_partitions: int | None = None) -> None:
     """Write the F1/F2 fixture tables to parquet — the sandbox stand-in for
@@ -509,4 +555,5 @@ _REDIRECTABLE = {
     "payloads": raw_payloads,
     "json_payloads": raw_json_payloads,
     "zipkin_payloads": raw_zipkin_payloads,
+    "jaeger_payloads": raw_jaeger_payloads,
 }

@@ -217,6 +217,44 @@ def parse_zipkin_gateway(df: DataFrame, payload_col: str = "payload") -> DataFra
     )
 
 
+JAEGER_SCHEMA = (
+    "traceID string, operationName string, startTime long, "
+    "process struct<serviceName:string, "
+    "tags:array<struct<key:string,vType:string,vStr:string>>>"
+)
+
+
+def parse_jaeger_gateway(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Jaeger receiver analog (components.go:47) — the FOURTH wire shape:
+    Jaeger-JSON spans carry process.serviceName and tags as an ARRAY OF
+    STRUCTS {key, vType, vStr} (vs Zipkin's string tag map). Decode is
+    `from_json` with the nested schema; tag lookup is a genuine array
+    SEARCH (`filter(tags, t -> t.key = ...)`) — positional access would
+    read whatever tag happens to be first. All JVM-side; output columns
+    align with the other branches for `unionByName` fusion."""
+    parsed = F.from_json(F.col(payload_col), JAEGER_SCHEMA)
+    # get(..., 0), not [0]: a span with no n_tok tag filters to an EMPTY
+    # array, and ANSI mode raises on out-of-bounds [] indexing — get()
+    # returns NULL, the quarantine convention.
+    n_tok = F.expr(
+        "get(filter(_p.process.tags, t -> t.key = 'n_tok'), 0).vStr"
+    ).cast("int")
+    return (
+        df.withColumn("_p", parsed)
+        .select(
+            *[c for c in df.columns if c != payload_col],
+            F.date_format(
+                F.timestamp_micros(F.col("_p.startTime")),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_str"),
+            F.col("_p.process.serviceName").alias("src"),
+            n_tok.alias("n_tok"),
+            F.col("_p.operationName").alias("msg"),
+            F.col("_p.traceID").alias("trace_hex"),
+            F.col("_p.startTime").isNotNull().alias("valid"),
+        )
+    )
+
+
 def quarantine_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, quarantined) — quarantined rows keep doc_id + raw context for
     the dropped-spans counter path (obsreport analog, SURVEY.md §2.4).

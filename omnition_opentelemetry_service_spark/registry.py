@@ -235,11 +235,12 @@ def q_parse_json_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_union_multi_format(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THREE receiver formats → one pipeline (unionByName of parse branches,
-    the multi-receiver pipeline YAML analog; components.go:47-48 jaeger/
-    zipkin alt-decode branches): per-source counts over the union of the
-    grok branch, the flat-JSON gateway branch, and the nested Zipkin-v2
-    branch."""
+    """FOUR receiver formats → one pipeline (unionByName of parse branches,
+    the multi-receiver pipeline YAML analog — the full receiver set the
+    reference service registers, components.go:39-77): per-source counts
+    over the union of the grok branch, the flat-JSON gateway branch, the
+    nested Zipkin-v2 branch, and the Jaeger-JSON branch (process.serviceName
+    + tags-as-array-of-structs)."""
     n = _n(sf_dir)
     grok = parse_fns.parse_payload_native(fx.raw_payloads(spark, n)) \
         .filter(F.col("valid")).select("doc_id", "src", "n_tok")
@@ -247,8 +248,12 @@ def q_union_multi_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("valid")).select("doc_id", "src", "n_tok")
     zk = parse_fns.parse_zipkin_gateway(fx.raw_zipkin_payloads(spark, n)) \
         .filter(F.col("valid")).select("doc_id", "src", "n_tok")
-    return grok.unionByName(js).unionByName(zk).groupBy("src").agg(
-        F.count(F.lit(1)).alias("n_rows"), F.sum("n_tok").alias("sum_n_tok"))
+    jg = parse_fns.parse_jaeger_gateway(fx.raw_jaeger_payloads(spark, n)) \
+        .filter(F.col("valid")).select("doc_id", "src", "n_tok")
+    return (grok.unionByName(js).unionByName(zk).unionByName(jg)
+            .groupBy("src").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_tok").alias("sum_n_tok")))
 
 
 def q_truncate_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,6 +759,7 @@ def build_oracle_sql() -> dict[str, str]:
     FROM jpay"""
 
     zpay = fx.raw_zipkin_payloads_sql_duck(n)
+    gpay = fx.raw_jaeger_payloads_sql_duck(n)
     o["union_multi_format"] = f"""{pre},
     jpay AS ({jpay}),
     jparsed AS (
@@ -765,12 +771,22 @@ def build_oracle_sql() -> dict[str, str]:
       SELECT doc_id,
              json_extract_string(payload, '$.localEndpoint.serviceName') AS src,
              CAST(json_extract_string(payload, '$.tags.n_tok') AS INTEGER) AS n_tok
-      FROM zpay)
+      FROM zpay),
+    gpay AS ({gpay}),
+    gparsed AS (
+      SELECT doc_id,
+             json_extract_string(payload, '$.process.serviceName') AS src,
+             CAST(json_extract_string(
+               list_filter(CAST(json_extract(payload, '$.process.tags') AS JSON[]),
+                           t -> json_extract_string(t, '$.key') = 'n_tok')[1],
+               '$.vStr') AS INTEGER) AS n_tok
+      FROM gpay)
     SELECT src, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
     FROM (SELECT src, n_tok FROM parsed WHERE valid
           UNION ALL SELECT src, n_tok FROM jparsed
-          UNION ALL SELECT src, n_tok FROM zparsed)
+          UNION ALL SELECT src, n_tok FROM zparsed
+          UNION ALL SELECT src, n_tok FROM gparsed)
     GROUP BY src"""
 
     o["truncate_caps"] = f"""{pre}

@@ -230,3 +230,48 @@ def test_parse_fuzz_four_engines_agree(spark):
             f"FROM pay").fetchall()),
         key=lambda t: t[0])
     assert [tuple(r) for r in n] == duck
+
+
+def test_jaeger_branch_agrees_with_grok_branch(spark):
+    """The Jaeger-JSON decode (process.serviceName, tags as array of
+    {key,vType,vStr} structs — components.go:47) must extract identical
+    (src, n_tok, trace_hex, ts_str) to the grok decode for every valid
+    row. The fixture's decoy FIRST tag ('lvl') pins that the decoder
+    searches the tag array rather than reading position 0."""
+    from omnition_opentelemetry_service_spark import fixtures as fx
+    from omnition_opentelemetry_service_spark.functions import parse as p
+
+    n = 200
+    grok = {r.doc_id: (r.src, r.n_tok, r.trace_hex, r.ts_str)
+            for r in p.parse_payload_native(fx.raw_payloads(spark, n))
+            .filter("valid")
+            .select("doc_id", "src", "n_tok", "trace_hex", "ts_str").collect()}
+    jg = {r.doc_id: (r.src, r.n_tok, r.trace_hex, r.ts_str)
+          for r in p.parse_jaeger_gateway(fx.raw_jaeger_payloads(spark, n))
+          .filter("valid")
+          .select("doc_id", "src", "n_tok", "trace_hex", "ts_str").collect()}
+    assert len(jg) == n  # jaeger branch has no malformed rows
+    for doc_id, vals in grok.items():
+        assert jg[doc_id] == vals
+
+
+def test_jaeger_decode_is_array_search_not_positional(spark):
+    """Reordering the tag array must not change the extracted n_tok; a
+    missing n_tok tag must yield NULL, not the decoy value."""
+    from omnition_opentelemetry_service_spark.functions import parse as p
+
+    rows = [
+        ("a", '{"traceID":"t1","operationName":"x","startTime":1,'
+              '"process":{"serviceName":"web","tags":['
+              '{"key":"n_tok","vType":"string","vStr":"7"},'
+              '{"key":"lvl","vType":"string","vStr":"INFO"}]}}'),
+        ("b", '{"traceID":"t2","operationName":"y","startTime":2,'
+              '"process":{"serviceName":"web","tags":['
+              '{"key":"lvl","vType":"string","vStr":"42"}]}}'),
+        ("c", "not json at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload string")
+    out = {r.doc_id: r for r in p.parse_jaeger_gateway(df).collect()}
+    assert out["a"].n_tok == 7          # order-independent
+    assert out["b"].n_tok is None       # decoy never read as n_tok
+    assert out["c"].valid is False      # malformed row quarantined
