@@ -4,16 +4,18 @@ with typed metadata, processed by Arrow-batched pandas UDFs.
 Two decode tiers:
 
 - **Real** (operators/media_codecs.py — pure stdlib/numpy): PPM, PNG
-  (8-bit non-interlaced) and PCM16 WAV decode FOR REAL; ``with_real_media``
-  synthesizes deterministic real buffers, ``extract_real_media_features``
-  computes genuine per-modality features (dims + mean luminance; sample
-  count/rate + RMS + zero crossings) and ``resize_media_real`` does an
-  actual nearest-neighbor resample and re-encode.
-- **Stubbed**: formats that genuinely need an external lib (video/mp4)
-  keep the honest NotImplementedError / deterministic-fake contract
-  (``decode_image_batch(fake=True)``), which also remains the driver
-  oracle's path (DuckDB can twin the fake's codepoint arithmetic, not a
-  PNG inflate).
+  (8-bit non-interlaced), PCM16 WAV, and mp4/ISO-BMFF container METADATA
+  (moov/mvhd duration+timescale, tkhd display dims) decode FOR REAL;
+  ``with_real_media`` synthesizes deterministic real buffers across all
+  four modalities, ``extract_real_media_features`` computes genuine
+  per-modality features (dims + mean luminance; sample count/rate + RMS +
+  zero crossings; video duration/timescale/dims) and ``resize_media_real``
+  does an actual nearest-neighbor resample and re-encode.
+- **Stubbed**: only formats that genuinely need an external codec lib
+  (video FRAME decode, webm, jpeg) keep the honest NotImplementedError /
+  deterministic-fake contract (``decode_image_batch(fake=True)``), which
+  also remains the driver oracle's path (DuckDB can twin the fake's
+  codepoint arithmetic, not a PNG inflate).
 """
 
 from __future__ import annotations
@@ -150,7 +152,7 @@ def sample_frames(chunks: DataFrame, every_k: int = 4,
 REAL_MEDIA_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes int, width int, height int, "
     "mean_lum double, n_samples int, sample_rate int, rms double, "
-    "zero_crossings int, checksum string"
+    "zero_crossings int, duration_s double, timescale int, checksum string"
 )
 
 
@@ -172,14 +174,14 @@ def with_real_media(docs: DataFrame) -> DataFrame:
             media, mtype = [], []
             for did in pdf["doc_id"].astype("int64"):
                 w, h = 8 + did % 9, 6 + did % 5
-                if did % 3 == 0:
+                if did % 4 == 0:
                     px = ((np.arange(h)[:, None, None] * 31
                            + np.arange(w)[None, :, None] * 17
                            + np.arange(3)[None, None, :] * 7
                            + did) % 256).astype(np.uint8)
                     media.append(mc.encode_png(px, filter_type=int(did % 5)))
                     mtype.append("image/png")
-                elif did % 3 == 1:
+                elif did % 4 == 1:
                     n = 64 + did % 41
                     t = np.arange(n)
                     x = np.where((t // (2 + did % 6)) % 2 == 0,
@@ -187,13 +189,20 @@ def with_real_media(docs: DataFrame) -> DataFrame:
                     media.append(mc.encode_wav(x.astype(np.int16),
                                                rate=8000 + int(did % 3) * 4000))
                     mtype.append("audio/wav")
-                else:
+                elif did % 4 == 2:
                     px = ((np.arange(h)[:, None, None] * 13
                            + np.arange(w)[None, :, None] * 5
                            + np.arange(3)[None, None, :] * 29
                            + did) % 256).astype(np.uint8)
                     media.append(mc.encode_ppm(px))
                     mtype.append("image/ppm")
+                else:
+                    media.append(mc.encode_mp4_meta(
+                        duration=int(600 + did % 9000),
+                        timescale=int(600 * (1 + did % 2)),
+                        width=int(160 + 8 * (did % 20)),
+                        height=int(90 + 8 * (did % 12))))
+                    mtype.append("video/mp4")
             yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
                                 "media": media, "media_type": mtype})
 
@@ -224,7 +233,8 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
                         "checksum": hashlib.md5(b).hexdigest(),
                         "width": None, "height": None, "mean_lum": None,
                         "n_samples": None, "sample_rate": None, "rms": None,
-                        "zero_crossings": None}
+                        "zero_crossings": None, "duration_s": None,
+                        "timescale": None}
                 if mt == "image/png":
                     w, h, lum = mc.image_stats(mc.decode_png(b))
                     base.update(width=w, height=h, mean_lum=lum)
@@ -235,6 +245,13 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
                     n, rate, rms, zc = mc.audio_stats(*mc.decode_wav(b))
                     base.update(n_samples=n, sample_rate=rate, rms=rms,
                                 zero_crossings=zc)
+                elif mt == "video/mp4":
+                    # real ISO-BMFF box parse (moov/mvhd + tkhd): container
+                    # metadata needs no codec lib (frame decode does, and
+                    # stays out of scope — see media_codecs.py)
+                    dur, ts, w, h = mc.decode_mp4_meta(b)
+                    base.update(width=w, height=h, timescale=ts,
+                                duration_s=mc.video_stats(dur, ts))
                 else:
                     raise NotImplementedError(
                         f"no stdlib decoder for {mt}; extend "

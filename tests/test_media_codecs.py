@@ -76,12 +76,20 @@ def test_real_features_match_direct_decode(spark):
                 (n, rate, rms, zc)
             assert f.width is None and f.mean_lum is None
             assert f.rms > 0 and f.zero_crossings > 0  # non-vacuous audio
+        elif r.media_type == "video/mp4":
+            dur, ts, w, h = mc.decode_mp4_meta(b)
+            assert (f.width, f.height, f.timescale) == (w, h, ts)
+            assert f.duration_s == mc.video_stats(dur, ts)
+            assert f.duration_s > 0 and f.mean_lum is None
         else:
             arr = (mc.decode_png(b) if r.media_type == "image/png"
                    else mc.decode_ppm(b))
             w, h, lum = mc.image_stats(arr)
             assert (f.width, f.height, f.mean_lum) == (w, h, lum)
             assert f.n_samples is None and f.rms is None
+    # all four modalities present — the video tier is no longer a stub
+    assert {r.media_type for r in rows.values()} == {
+        "image/png", "audio/wav", "image/ppm", "video/mp4"}
 
 
 def test_real_resize_hashes_actual_resampled_buffer(spark):
@@ -108,9 +116,28 @@ def test_unknown_media_type_raises(spark):
 
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1], "media": [b"\x00\x01"],
-                      "media_type": ["video/mp4"]}))
+                      "media_type": ["video/webm"]}))
     with pytest.raises(Exception, match="NotImplementedError|no stdlib"):
         mm.extract_real_media_features(df).collect()
+
+
+def test_mp4_meta_roundtrip_and_malformed():
+    b = mc.encode_mp4_meta(3600, 600, 640, 360)
+    assert mc.decode_mp4_meta(b) == (3600, 600, 640, 360)
+    assert mc.video_stats(3600, 600) == 6.0
+    # no video track → dims are None, duration still real
+    b2 = mc.encode_mp4_meta(1234, 1000)
+    assert mc.decode_mp4_meta(b2) == (1234, 1000, None, None)
+    # 64-bit mvhd (version 1) parses too
+    import struct
+    mvhd1 = (struct.pack(">B3xQQIQ", 1, 0, 0, 90000, 270000)
+             + b"\x00" * 80)
+    moov = mc._chunk_mp4(b"moov", mc._chunk_mp4(b"mvhd", mvhd1))
+    assert mc.decode_mp4_meta(moov)[:2] == (270000, 90000)
+    with pytest.raises(ValueError):
+        mc.decode_mp4_meta(b"garbage that is not bmff")
+    with pytest.raises(ValueError):
+        mc.video_stats(100, 0)
 
 
 def test_real_resize_handles_gray_png(spark):
