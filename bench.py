@@ -408,6 +408,26 @@ def main() -> None:
         dt, _ = _run_query(spark, queries[name], SF_DIR)
         per_query[name] = round(dt, 3)
     fx.set_materialized_fixtures(None)
+
+    # ANN quality sidecar (VERDICT r2 ask 7): recall@k vs the exact scan on
+    # this SF's embeddings — floors are pinned in tests/test_ann_recall.py;
+    # the per-round numbers here make a quality regression visible in the
+    # bench record too. (The fixture distribution is structureless, so
+    # absolute values track candidate fraction — see the test docstring.)
+    from omnition_opentelemetry_service_spark.operators import similarity as sim
+    from omnition_opentelemetry_service_spark.sources.loader import load
+
+    emb = load(spark, SF_DIR, "embeddings").persist()
+    exact = sim.brute_force_topk_pandas(emb, n_queries=8, k=5).persist()
+    ann_recall = {
+        "ivf_nprobe2": round(sim.recall_at_k(
+            sim.ivf_ann_topk(emb, 8, 5, nprobe=2), exact), 3),
+        "lsh_single": round(sim.recall_at_k(
+            sim.lsh_ann_topk(emb, 8, 5), exact), 3),
+        "lsh_multiprobe_r2": round(sim.recall_at_k(
+            sim.lsh_ann_topk_multiprobe(emb, 8, 5, radius=2), exact), 3),
+    }
+    registry.release_caches(spark)
     spark.stop()
 
     cur_round = _next_round()
@@ -432,6 +452,7 @@ def main() -> None:
             "rows_per_sec": scaling["rows_per_sec_high"],
             "input_rows": SCALE_N,
         },
+        "ann_recall": ann_recall,
         "scaling": scaling,
     }
     details_path = os.path.join(HERE, f"BENCH_details_r{cur_round:02d}.json")
@@ -446,6 +467,7 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
         "throughput": details["throughput"],
+        "ann_recall": ann_recall,
         "scaling": {k: scaling[k] for k in (
             "cores_low", "cores_high", "rows_per_sec_low",
             "rows_per_sec_high", "speedup", "efficiency",

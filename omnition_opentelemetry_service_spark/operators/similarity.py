@@ -528,3 +528,82 @@ def lsh_ann_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "neighbor_id", "cosine")
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
+    """recall@k of an approximate ANN result against the exact top-k: the
+    fraction of (query_id, neighbor_id) pairs in ``exact`` that ``approx``
+    recovered (micro-averaged over all pairs). Both inputs are Q×k rows by
+    construction, so the collect is bounded by design — this is the ANN
+    family's QUALITY contract (VERDICT r2 ask 7), pinned with floors in
+    tests/test_ann_recall.py and reported per bench run."""
+    e = {(r.query_id, r.neighbor_id)
+         for r in exact.select("query_id", "neighbor_id").collect()}
+    a = {(r.query_id, r.neighbor_id)
+         for r in approx.select("query_id", "neighbor_id").collect()}
+    if not e:
+        raise ValueError("recall_at_k: exact result is empty — no contract "
+                         "to measure against")
+    return len(e & a) / len(e)
+
+
+def _flip_bits_sql(bucket_col: str, n_planes: int,
+                   mask: tuple[int, ...]) -> str:
+    """Rebuild a sign-bit bucket string with the planes in ``mask``
+    flipped — chars concat so the probe keys join the same string-keyed
+    bucket column the corpus carries."""
+    parts = []
+    for pos in range(n_planes):
+        ch = f"substring({bucket_col}, {pos + 1}, 1)"
+        if pos in mask:
+            parts.append(f"CASE WHEN {ch} = '1' THEN '0' ELSE '1' END")
+        else:
+            parts.append(ch)
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def lsh_ann_topk_multiprobe(emb: DataFrame, n_queries: int = 8, k: int = 5,
+                            n_planes: int = LSH_PLANES,
+                            radius: int = 1) -> DataFrame:
+    """Multi-probe LSH (Lv et al., "Multi-probe LSH", VLDB 2007): each
+    query searches every bucket within Hamming radius ``radius`` of its
+    own sign-bit signature — the standard recall knob for single-table
+    sign LSH (a near neighbor that disagrees with the query on ≤ radius
+    planes is now found). radius=0 degenerates to lsh_ann_topk.
+
+    Scale shape: the probe-bucket explosion happens on the QUERY side only
+    (Q × Σ C(planes, i≤radius) rows — driver-bounded); the corpus keeps
+    exactly one bucket per vector and the candidate join stays a broadcast
+    equi-join on the bucket string. Candidates ≈ probes/2^planes of the
+    corpus per query; no cross product, no corpus shuffle beyond the
+    bucket key. Probe buckets are distinct strings and corpus buckets are
+    disjoint, so no candidate dedup is needed before ranking."""
+    from itertools import combinations
+
+    if not 0 <= radius <= n_planes:
+        raise ValueError(f"radius must be in [0, {n_planes}]: got {radius}")
+    bucketed = emb.withColumn("bucket",
+                              lsh_bucket_expr("embedding", n_planes))
+    masks: list[tuple[int, ...]] = [()]
+    for r in range(1, radius + 1):
+        masks.extend(combinations(range(n_planes), r))
+    probe = "explode(array(" + ", ".join(
+        _flip_bits_sql("bucket", n_planes, m) for m in masks) + "))"
+    q = (bucketed.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.expr(probe).alias("q_bucket")))
+    c = bucketed.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("c_emb"), "bucket")
+    scored = (
+        c.join(broadcast(q), (F.col("bucket") == F.col("q_bucket"))
+               & (F.col("neighbor_id") != F.col("query_id")))
+        .withColumn("cosine", F.round(cosine_expr("q_emb", "c_emb"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cosine")
+    )
