@@ -530,6 +530,136 @@ def lsh_ann_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
     )
 
 
+def semdedup_keep(emb: DataFrame,
+                  centroids: list[tuple[int, list[float]]],
+                  threshold: float = 0.92) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    semantic dedup SCOPED BY k-means cells — cluster the corpus, find
+    pairs above a cosine threshold WITHIN each cell only, and from every
+    duplicate group keep the member with the LOWEST cosine to its cell
+    centroid (the paper's §3 policy: the least typical member carries the
+    most marginal information — the opposite keeper rule from
+    embedding_dedup_keep's min-id collapse). Ties break on vec_id;
+    singletons keep themselves.
+
+    ``centroids`` is the kmeans_train output ([(cid, vec)]) so both
+    engines score the SAME literal centroids (the iterative trainer is
+    approximate by nature — kmeans.py module contract — but everything
+    downstream of a FIXED centroid table is deterministic and exactly
+    twinned by semdedup_sql_duck).
+
+    Shape at scale: cell assignment is the zero-shuffle ivf_assign
+    broadcast argmax (one scan, no corpus exchange); cos-to-centroid is a
+    broadcast equi-join on cell (k rows); the candidate pair join is an
+    EQUI-join on cell — pairwise cost is bounded by the max cell size,
+    and k is sized so N/k keeps cells pair-joinable (the paper runs 50k
+    clusters over LAION — same device); components run over the verified
+    edge list only (small by the near-dup assumption); the keeper map
+    joins back broadcast-sized. No all-pairs product anywhere.
+
+    The assigned table is PERSISTED before the self-join (projection
+    collapse would inline the k-centroid argmax into both sides);
+    cache release is CALLER-owned (registry.release_caches / clearCache),
+    module convention."""
+    from .graph import connected_components
+    from .kmeans import trained_centroids_df
+
+    cents = trained_centroids_df(emb.sparkSession, centroids)
+    assigned = (
+        ivf_assign(emb, cents, nprobe=1)
+        .join(broadcast(cents), F.col("cell") == F.col("centroid_id"))
+        .select("vec_id", "embedding", "cell",
+                F.round(cosine_expr("embedding", "c_emb"), 6)
+                .alias("cos_cent"))
+        .persist()
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    edges = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(F.round(cosine_expr("a.embedding", "b.embedding"), 6)
+                >= threshold)
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"))
+    )
+    comp = connected_components(edges)
+    # keeper per component: min_by on (cos_cent, vec_id) — an aggregate
+    # (map-side combinable), not a window; the dup-labeled side is edge-
+    # list-sized, so the keeper map back onto the corpus is broadcastable
+    # whenever near-dups are a small corpus fraction (near_dup_keep_list's
+    # argument).
+    labeled = comp.join(assigned.select(F.col("vec_id").alias("id"),
+                                        "cos_cent"), "id")
+    keepers = labeled.groupBy("comp").agg(
+        F.min_by("id", F.struct("cos_cent", "id")).alias("keeper"))
+    dup_map = labeled.join(keepers, "comp").select("id", "keeper")
+    return (
+        assigned.select("vec_id", "cell", "cos_cent")
+        .join(broadcast(dup_map).withColumnRenamed("id", "vec_id"),
+              "vec_id", "left")
+        .withColumn("keeper", F.coalesce("keeper", F.col("vec_id")))
+        .withColumn("keep", F.col("vec_id") == F.col("keeper"))
+    )
+
+
+def semdedup_sql_duck(centroids: list[tuple[int, list[float]]],
+                      threshold: float = 0.92, dim: int = EMB_DIM,
+                      table: str = "embeddings") -> str:
+    """Exact DuckDB twin of semdedup_keep for the SAME literal centroids:
+    row_number argmax assignment (the _ivf_pre pattern, proven
+    hash-identical to ivf_assign's ranked-array form in the driver gate),
+    within-cell pairs under the same round-6 threshold, the recursive-CTE
+    component fixed point (graph.components_sql_duck's body), and the
+    (cos_cent, id) keeper rule as a window."""
+    cos = cosine_sql_duck
+    vals = ", ".join(
+        f"({cid}, [{', '.join(repr(float(x)) for x in vec)}]::DOUBLE[])"
+        for cid, vec in centroids)
+    return f"""
+    WITH RECURSIVE cents AS (
+      SELECT * FROM (VALUES {vals}) AS t(centroid_id, c_emb)),
+    assigned AS (
+      SELECT vec_id, embedding, cell,
+             round({cos('embedding', 'c_emb', dim)}, 6) AS cos_cent
+      FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id AS cell, c.c_emb,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos('e.embedding', 'c.c_emb', dim)} DESC,
+                          c.centroid_id) AS c_rnk
+        FROM {table} e CROSS JOIN cents c)
+      WHERE c_rnk = 1),
+    edges AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({cos('a.embedding', 'b.embedding', dim)}, 6)
+            >= {threshold}),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION
+      SELECT id_b AS u, id_a AS v FROM edges),
+    reach(id, comp) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, r.comp FROM sym s JOIN reach r ON s.v = r.id),
+    labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+    keepers AS (
+      SELECT comp, id AS keeper FROM (
+        SELECT l.comp, l.id,
+               row_number() OVER (PARTITION BY l.comp
+                 ORDER BY a.cos_cent, l.id) AS k_rnk
+        FROM labels l JOIN assigned a ON a.vec_id = l.id)
+      WHERE k_rnk = 1)
+    SELECT a.vec_id, a.cell, a.cos_cent,
+           coalesce(k.keeper, a.vec_id) AS keeper,
+           coalesce(k.keeper, a.vec_id) = a.vec_id AS keep
+    FROM assigned a
+    LEFT JOIN labels l ON l.id = a.vec_id
+    LEFT JOIN keepers k ON k.comp = l.comp
+    """
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     """recall@k of an approximate ANN result against the exact top-k: the
     fraction of (query_id, neighbor_id) pairs in ``exact`` that ``approx``
