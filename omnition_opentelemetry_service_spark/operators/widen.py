@@ -21,7 +21,39 @@ At scale the guard is false and the operator stays literally zero-shuffle.
 
 from __future__ import annotations
 
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
+
+# Target compressed-input bytes per widened task. Measured on the sf0.1
+# documents table (594 KB, one row group) under local[32]: 4-16 tasks run
+# the MinHash kernel in ~0.31-0.35 s, 32 tasks in 0.41-0.64 s — per-task
+# Arrow/worker fixed cost dominates once tasks fall under ~40 KB of input.
+# 64 KB/task puts that file at ~10 tasks (the measured plateau) while any
+# real multi-split scan still caps at the session's full parallelism.
+WIDEN_TASK_INPUT_BYTES = 64 << 10
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of ``df``'s input files (metadata-only — no job).
+    None when the plan has no file source or a size can't be read."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(p.path or f)
+        except OSError:
+            return None
+    return total
 
 
 def has_exchange(df: DataFrame) -> bool:
@@ -48,11 +80,22 @@ def widen_if_narrow(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
     narrower than half that — otherwise return it untouched (the no-op
     path taken by every at-scale input). Plans that already shuffle are
     always untouched: AQE owns post-shuffle parallelism there, and probing
-    their width would eagerly execute the shuffle (see has_exchange)."""
+    their width would eagerly execute the shuffle (see has_exchange).
+
+    The target is additionally capped by input size (~64 KB of compressed
+    input per task, see WIDEN_TASK_INPUT_BYTES): splitting a sub-megabyte
+    scan across the full session parallelism makes each task's fixed
+    Arrow/worker cost exceed its work. At scale the cap is never the
+    binding term — any input past ``parallelism × 64 KB`` (a few MB)
+    already widens to full parallelism, and genuinely wide scans skip the
+    repartition entirely via the narrowness guard."""
     if has_exchange(df):
         return df
     spark = df.sparkSession
     target = min_tasks or spark.sparkContext.defaultParallelism
+    nbytes = _input_bytes(df)
+    if nbytes is not None:
+        target = min(target, max(2, nbytes // WIDEN_TASK_INPUT_BYTES + 1))
     if num_partitions(df) < max(1, target // 2):
         return df.repartition(target)
     return df

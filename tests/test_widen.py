@@ -51,6 +51,40 @@ def test_explicit_min_tasks_overrides_session_default(spark):
     assert num_partitions(out) == 6
 
 
+def test_small_file_scan_widens_to_byte_capped_tasks(spark, tmp_path):
+    """A small (but multi-64KB) file scan widens to ~64 KB of input per
+    task, NOT the session's full parallelism: per-task Arrow/worker fixed
+    cost exceeds the work once tasks fall under ~64 KB of input (measured,
+    see WIDEN_TASK_INPUT_BYTES). A sub-128KB file stays untouched entirely
+    (byte target 2, and 1 partition is not narrower than 2//2).
+    spark.range inputs have no files, so the cap never applies to them
+    (covered by the tests above)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    # ~300 KB compressed: md5 hex is high-entropy, so snappy keeps ~1 B/char
+    p = str(tmp_path / "small.parquet")
+    spark.range(9000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("a"),
+    ).coalesce(1).write.parquet(p)
+    nbytes = sum(os.path.getsize(f) for f in glob.glob(p + "/*.parquet"))
+    par = spark.sparkContext.defaultParallelism
+    expected = min(par, nbytes // (64 << 10) + 1)
+    assert 2 < expected < par, f"fixture out of range: {nbytes} bytes"
+    scan = spark.read.parquet(p)
+    assert not has_exchange(scan)
+    out = widen_if_narrow(scan)
+    assert num_partitions(out) == expected
+
+    # sub-128KB single-partition file: byte target 2 -> returned untouched
+    tiny = str(tmp_path / "tiny.parquet")
+    spark.range(50).coalesce(1).write.parquet(tiny)
+    tscan = spark.read.parquet(tiny)
+    assert widen_if_narrow(tscan) is tscan
+
+
 def test_shuffled_plan_untouched_and_no_job_runs(spark):
     """The AQE trap: Dataset.rdd() on a shuffled plan finalizes the
     adaptive plan and RUNS its map stages (observed: one eager job whose
