@@ -419,13 +419,27 @@ def main() -> None:
 
     emb = load(spark, SF_DIR, "embeddings").persist()
     exact = sim.brute_force_topk_pandas(emb, n_queries=8, k=5).persist()
+
+    def _quality(approx, frac):
+        # recall alone is meaningless without the scan cost: on this
+        # STRUCTURELESS fixture distribution, a random scan of fraction f
+        # has expected recall ~f, so lift = recall/frac is the real signal
+        # (lift >> 1 = the index concentrates true neighbors into the
+        # scanned candidates).
+        r = sim.recall_at_k(approx, exact)
+        return {"recall": round(r, 3), "scan_frac": round(frac, 4),
+                "lift": round(r / frac, 1) if frac > 0 else None}
+
     ann_recall = {
-        "ivf_nprobe2": round(sim.recall_at_k(
-            sim.ivf_ann_topk(emb, 8, 5, nprobe=2), exact), 3),
-        "lsh_single": round(sim.recall_at_k(
-            sim.lsh_ann_topk(emb, 8, 5), exact), 3),
-        "lsh_multiprobe_r2": round(sim.recall_at_k(
-            sim.lsh_ann_topk_multiprobe(emb, 8, 5, radius=2), exact), 3),
+        "ivf_nprobe2": _quality(
+            sim.ivf_ann_topk(emb, 8, 5, nprobe=2),
+            sim.ivf_candidate_fraction(emb, 8, nprobe=2)),
+        "lsh_single": _quality(
+            sim.lsh_ann_topk(emb, 8, 5),
+            sim.lsh_candidate_fraction(emb, 8, radius=0)),
+        "lsh_multiprobe_r2": _quality(
+            sim.lsh_ann_topk_multiprobe(emb, 8, 5, radius=2),
+            sim.lsh_candidate_fraction(emb, 8, radius=2)),
     }
     registry.release_caches(spark)
     spark.stop()

@@ -692,6 +692,72 @@ def _flip_bits_sql(bucket_col: str, n_planes: int,
     return "concat(" + ", ".join(parts) + ")"
 
 
+def _lsh_probe_expr(n_planes: int, radius: int) -> str:
+    """explode(...) SQL yielding every bucket string within Hamming
+    ``radius`` of the row's own 'bucket' column (the row's bucket itself
+    included, via the empty mask). Shared by lsh_ann_topk_multiprobe and
+    lsh_candidate_fraction — one probe-set definition."""
+    from itertools import combinations
+
+    if not 0 <= radius <= n_planes:
+        raise ValueError(f"radius must be in [0, {n_planes}]: got {radius}")
+    masks: list[tuple[int, ...]] = [()]
+    for r in range(1, radius + 1):
+        masks.extend(combinations(range(n_planes), r))
+    return "explode(array(" + ", ".join(
+        _flip_bits_sql("bucket", n_planes, m) for m in masks) + "))"
+
+
+def _scanned_fraction(probes: DataFrame, corpus_keyed: DataFrame,
+                      n_queries: int) -> float:
+    """Mean over queries of |candidates scanned| / (N-1): the cost side of
+    the ANN quality contract (recall alone is meaningless without it — a
+    full scan has recall 1.0). ``probes`` is (query_id, key);
+    ``corpus_keyed`` is one (key) row per corpus vector, each vector in
+    exactly ONE key, so a query's candidate sets across its probed keys
+    are disjoint and the sum of key sizes IS its candidate count. Each
+    query sits in exactly one of its own probed keys; search excludes self
+    (neighbor_id != query_id), so subtract one per query.
+
+    Scale shape: one groupBy over the corpus keys (map-side combinable)
+    then a broadcast join of the driver-bounded probe table — no corpus
+    shuffle beyond the histogram's."""
+    hist = corpus_keyed.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+    n = corpus_keyed.count()
+    if n < 2 or n_queries < 1:
+        raise ValueError("scanned fraction needs >=2 corpus rows and >=1 query")
+    tot = hist.join(broadcast(probes), "key").agg(
+        F.sum("cnt").alias("s")).first()["s"] or 0
+    return (int(tot) - n_queries) / (n_queries * (n - 1))
+
+
+def ivf_candidate_fraction(emb: DataFrame, n_queries: int = 8,
+                           nprobe: int = 2) -> float:
+    """Fraction of the corpus an ivf_ann_topk query actually scans (its
+    ``nprobe`` probed cells) — reported next to recall@k so the bench
+    sidecar reads as lift over a random scan of the same fraction."""
+    cents = ivf_centroids(emb)
+    corpus = ivf_assign(emb, cents, nprobe=1).select(
+        F.col("cell").alias("key"))
+    probes = ivf_assign(emb.filter(F.col("vec_id") < n_queries), cents,
+                        nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("key"))
+    return _scanned_fraction(probes, corpus, n_queries)
+
+
+def lsh_candidate_fraction(emb: DataFrame, n_queries: int = 8,
+                           n_planes: int = LSH_PLANES,
+                           radius: int = 0) -> float:
+    """Fraction of the corpus an lsh_ann_topk / _multiprobe query scans
+    (every bucket within Hamming ``radius`` of its own)."""
+    bucketed = emb.withColumn("bucket", lsh_bucket_expr("embedding", n_planes))
+    corpus = bucketed.select(F.col("bucket").alias("key"))
+    probes = (bucketed.filter(F.col("vec_id") < n_queries)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.expr(_lsh_probe_expr(n_planes, radius)).alias("key")))
+    return _scanned_fraction(probes, corpus, n_queries)
+
+
 def lsh_ann_topk_multiprobe(emb: DataFrame, n_queries: int = 8, k: int = 5,
                             n_planes: int = LSH_PLANES,
                             radius: int = 1) -> DataFrame:
@@ -708,17 +774,9 @@ def lsh_ann_topk_multiprobe(emb: DataFrame, n_queries: int = 8, k: int = 5,
     corpus per query; no cross product, no corpus shuffle beyond the
     bucket key. Probe buckets are distinct strings and corpus buckets are
     disjoint, so no candidate dedup is needed before ranking."""
-    from itertools import combinations
-
-    if not 0 <= radius <= n_planes:
-        raise ValueError(f"radius must be in [0, {n_planes}]: got {radius}")
     bucketed = emb.withColumn("bucket",
                               lsh_bucket_expr("embedding", n_planes))
-    masks: list[tuple[int, ...]] = [()]
-    for r in range(1, radius + 1):
-        masks.extend(combinations(range(n_planes), r))
-    probe = "explode(array(" + ", ".join(
-        _flip_bits_sql("bucket", n_planes, m) for m in masks) + "))"
+    probe = _lsh_probe_expr(n_planes, radius)
     q = (bucketed.filter(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),

@@ -151,6 +151,37 @@ def test_multiprobe_rejects_bad_radius(emb):
         sim.lsh_ann_topk_multiprobe(emb, NQ, K, n_planes=8, radius=9)
 
 
+def test_scanned_fraction_exact_on_hand_built_keys(spark):
+    """(3 rows in key a, 2 in b); q0 probes {a} and lives in a — scans the
+    2 OTHER a-rows of 4 non-self rows = 0.5. q-pair probing everything = 1."""
+    corpus = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("b",)], "key string")
+    probes = spark.createDataFrame([(0, "a")], "query_id long, key string")
+    assert sim._scanned_fraction(probes, corpus, n_queries=1) == 0.5
+    both = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "a"), (1, "b")], "query_id long, key string")
+    assert sim._scanned_fraction(both, corpus, n_queries=2) == 1.0
+
+
+def test_candidate_fraction_curves(emb, exact):
+    """Cost side of the quality contract: fraction grows with probes and
+    reaches exactly 1.0 when everything is probed; recall/fraction (lift)
+    must beat random even on the structureless fixture — the index
+    concentrates true neighbors into its candidates."""
+    nlist = sim.ivf_centroids(emb).count()
+    f1 = sim.ivf_candidate_fraction(emb, NQ, nprobe=1)
+    f2 = sim.ivf_candidate_fraction(emb, NQ, nprobe=2)
+    fall = sim.ivf_candidate_fraction(emb, NQ, nprobe=nlist)
+    assert 0 < f1 <= f2 <= fall == 1.0, (f1, f2, fall)
+    l0 = sim.lsh_candidate_fraction(emb, NQ, radius=0)
+    l2 = sim.lsh_candidate_fraction(emb, NQ, radius=2)
+    lall = sim.lsh_candidate_fraction(emb, NQ, radius=sim.LSH_PLANES)
+    assert 0 < l0 <= l2 <= lall == 1.0, (l0, l2, lall)
+    # lift: ivf nprobe=2 measured 0.55 recall at ~0.17 scan on sf0.001
+    r2 = sim.recall_at_k(sim.ivf_ann_topk(emb, NQ, K, nprobe=2), exact)
+    assert r2 / f2 > 1.5, f"ivf lift {r2}/{f2}"
+
+
 def test_recall_at_k_contract(spark, emb, exact):
     assert sim.recall_at_k(exact, exact) == 1.0
     empty = exact.filter("query_id < 0")
