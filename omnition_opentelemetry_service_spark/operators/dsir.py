@@ -212,6 +212,66 @@ def dsir_resample(docs: DataFrame, lam: dict[int, float], lam0: float,
             .select(id_col, "dsir_score", "sel_key"))
 
 
+def dsir_scores_e2e_sql_duck(target_where: str,
+                             n_buckets: int = DSIR_BUCKETS,
+                             rel: str = "documents", id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    """End-to-end DuckDB twin: recomputes the FIT in SQL (bucket counts +
+    Laplace log ratio) instead of inlining driver-side lam literals — an
+    independent re-derivation of the whole pipeline, not an echo of the
+    Spark model. ``target_where`` is a predicate over ``rel`` columns
+    selecting the target corpus; raw = all of ``rel``, so every scored
+    bucket is in rcnt and no lam0 fallback row is needed (kept anyway for
+    the general raw ⊉ target case). ln-at-round-9 parity is the lm.py
+    precedent (PARITY.md traps 8/9/11 applied the same way)."""
+    bucket = _bucket_sql_duck("g", n_buckets)
+    b = int(n_buckets)
+    lam0 = (f"round(ln(CAST(1 AS DOUBLE) / CAST(tt + {b} AS DOUBLE)) "
+            f"- ln(CAST(1 AS DOUBLE) / CAST(rt + {b} AS DOUBLE)), 9)")
+    return f"""
+    WITH words AS (SELECT {id_col}, ({target_where}) AS is_tgt,
+                          {_words_sql_duck(text_col)} AS ws FROM {rel}),
+    grams AS (
+      SELECT {id_col}, is_tgt, {bucket} AS b
+      FROM (SELECT {id_col}, is_tgt, unnest({_grams_case_duck()}) AS g
+            FROM words)),
+    tcnt AS (SELECT b, count(*) AS c FROM grams WHERE is_tgt GROUP BY b),
+    rcnt AS (SELECT b, count(*) AS c FROM grams GROUP BY b),
+    tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tcnt) AS tt,
+                   (SELECT coalesce(sum(c), 0) FROM rcnt) AS rt),
+    lam AS (
+      SELECT r.b,
+             round(ln(CAST(coalesce(t.c, 0) + 1 AS DOUBLE)
+                      / CAST(tt + {b} AS DOUBLE))
+                   - ln(CAST(r.c + 1 AS DOUBLE)
+                        / CAST(rt + {b} AS DOUBLE)), 9) AS lam
+      FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b CROSS JOIN tot),
+    joined AS (
+      SELECT g.{id_col},
+             CAST(coalesce(l.lam, (SELECT {lam0} FROM tot))
+                  AS DECIMAL(28,9)) AS lam_d
+      FROM grams g LEFT JOIN lam l ON g.b = l.b)
+    SELECT {id_col},
+           CAST(count(*) AS BIGINT) AS n_grams,
+           round(CAST(sum(lam_d) AS DOUBLE), 6) AS dsir_score
+    FROM joined GROUP BY 1"""
+
+
+def dsir_resample_e2e_sql_duck(target_where: str, k: int,
+                               seed: str = "dsir-v1",
+                               n_buckets: int = DSIR_BUCKETS,
+                               rel: str = "documents",
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> str:
+    inner = dsir_scores_e2e_sql_duck(target_where, n_buckets, rel,
+                                     id_col, text_col)
+    key = _gumbel_key_duck("dsir_score", id_col, seed)
+    return f"""
+    SELECT {id_col}, dsir_score, {key} AS sel_key
+    FROM ({inner})
+    ORDER BY sel_key DESC, {id_col} ASC LIMIT {int(k)}"""
+
+
 def dsir_resample_sql_duck(lam: dict[int, float], lam0: float, k: int,
                            seed: str = "dsir-v1",
                            n_buckets: int = DSIR_BUCKETS,

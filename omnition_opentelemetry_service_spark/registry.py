@@ -32,6 +32,7 @@ from .functions import text as tx
 from .functions.tokens import token_group_cols, tokens_str
 from .operators import caps
 from .operators import dedup as dd
+from .operators import dsir
 from .operators import packing as pk
 from .operators import similarity as sim
 from .operators.batcher import salted_counts
@@ -1134,10 +1135,32 @@ def q_ivf_cell_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_cell_sizes(load(spark, sf_dir, "embeddings"))
 
 
+# DSIR extras: target = the English slice, raw = the whole table. The k/seed
+# are pinned so the Gumbel selection is reproducible across engines and runs.
+_DSIR_TARGET_SPARK = "lang = 'en'"
+_DSIR_TARGET_DUCK = "lang = 'en'"
+_DSIR_K = 50
+_DSIR_SEED = "dsir-extras-v1"
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lam, lam0 = dsir.dsir_fit(docs.filter(_DSIR_TARGET_SPARK), docs)
+    return dsir.dsir_scores(docs, lam, lam0)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lam, lam0 = dsir.dsir_fit(docs.filter(_DSIR_TARGET_SPARK), docs)
+    return dsir.dsir_resample(docs, lam, lam0, k=_DSIR_K, seed=_DSIR_SEED)
+
+
 def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The rotated-out twins — NOT driver slots (the window is exactly 50);
     verified by check_oracle --extras and pytest with the identical gate."""
     return {
+        "dsir_scores": q_dsir_scores,
+        "dsir_select": q_dsir_select,
         "attrs_add": q_attrs_add,
         "attrs_rename": q_attrs_rename,
         "token_counts": q_token_counts,
@@ -1203,6 +1226,12 @@ def build_extra_oracle_sql() -> dict[str, str]:
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 18"""
+
+    # e2e twins: DuckDB recomputes the DSIR fit itself (independent
+    # re-derivation, not an echo of the Spark-side lam literals)
+    o["dsir_scores"] = dsir.dsir_scores_e2e_sql_duck(_DSIR_TARGET_DUCK)
+    o["dsir_select"] = dsir.dsir_resample_e2e_sql_duck(
+        _DSIR_TARGET_DUCK, k=_DSIR_K, seed=_DSIR_SEED)
 
     return o
 

@@ -32,7 +32,8 @@ def test_extras_full_oracle_hash_parity(spark):
     assert set(extras) == set(oracles) == {
         "attrs_add", "attrs_rename", "token_counts", "pack_stats",
         "quarantined_rows", "union_two_receivers", "ivf_cell_sizes",
-        "oversized_reject_counts", "simhash_pairs"}
+        "oversized_reject_counts", "simhash_pairs",
+        "dsir_scores", "dsir_select"}
     con = duckdb.connect()
     register_views(con, SF_DIR)
     failures = run_checks(spark, con, extras, oracles, SF_DIR)
