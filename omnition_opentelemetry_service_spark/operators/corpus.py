@@ -751,3 +751,99 @@ def corpus_filter_full_sql_duck(quality_min: float = 0.5,
     FROM exact e LEFT JOIN comp c ON e.doc_id = c.id
     WHERE coalesce(c.comp, e.doc_id) = e.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line-level dedup (C4, Raffel et al. 2020 §2.2 "we removed ...
+# repeated boilerplate"; RefinedWeb, Penedo et al. 2023 — line-wise
+# deduplication of nav menus / cookie banners). A line whose TRIMMED form
+# occurs >= min_count times across the whole corpus is removed EVERYWHERE
+# (the boilerplate-removal reading: a line that common carries no signal —
+# keep-one-occurrence would need a global keeper election for no benefit).
+# Blank lines never match (they are structure, not content) and survive.
+# ---------------------------------------------------------------------------
+
+
+def common_lines(docs: DataFrame, min_count: int = 2,
+                 text_col: str = "text") -> DataFrame:
+    """(line, n_occurrences) for every trimmed non-blank line occurring
+    >= min_count times corpus-wide — the removal set and the boilerplate
+    diagnostic. One explode + one map-side-combinable groupBy."""
+    return (docs
+            .select(F.explode(F.split(F.col(text_col), '\n')).alias("raw"))
+            .select(F.trim(F.col("raw")).alias("line"))
+            .filter(F.col("line") != "")
+            .groupBy("line").agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= int(min_count)))
+
+
+def line_dedup(docs: DataFrame, min_count: int = 2, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_lines, n_removed): every doc with corpus-wide
+    common lines stripped, original order and original (untrimmed) forms
+    preserved; a NULL text stays NULL with n_lines 0.
+
+    Shape at scale — three line-grain exchanges, no corpus-sized join:
+    count lines by trimmed form (map-side combinable), anti-join the
+    exploded lines against the removal set (plain equi-join on the line
+    string; Catalyst broadcasts it when small, which boilerplate sets
+    usually are), and regroup by the high-cardinality doc id. The struct
+    sort inside each doc is array_sort on (pos, line) — pos is unique per
+    doc, so reconstruction is deterministic under any partitioning."""
+    ls = F.split(F.col(text_col), '\n')
+    base = docs.select(id_col, text_col, F.size(ls).alias("n_lines"))
+    ex = (docs.select(
+        F.col(id_col),
+        F.posexplode(ls).alias("pos", "raw"))
+        .withColumn("line", F.trim(F.col("raw"))))
+    rm = common_lines(docs, min_count, text_col)
+    kept = ex.join(rm.select("line"), "line", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "raw"))),
+                lambda s: s["raw"]), "\n").alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"))
+    return (base.join(agg, id_col, "left")
+            .select(
+                id_col,
+                F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+                .otherwise(F.coalesce("kept_text", F.lit("")))
+                .alias("clean_text"),
+                F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+                (F.coalesce("n_lines", F.lit(0))
+                 - F.coalesce("n_kept", F.lit(0))).alias("n_removed")))
+
+
+def line_dedup_sql_duck(table: str = "documents", min_count: int = 2,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """DuckDB twin: same trimmed-form counts (trim(x, ' ') — PARITY.md
+    trap 5), same remove-everywhere rule, string_agg ORDER BY pos for the
+    deterministic reconstruction."""
+    return f"""
+    WITH ls AS (SELECT {id_col}, {text_col},
+                       string_split({text_col}, chr(10)) AS lines
+                FROM {table}),
+    ex AS (
+      SELECT {id_col}, pos, lines[pos] AS raw,
+             trim(lines[pos], ' ') AS line
+      FROM ls, unnest(range(1, len(lines) + 1)) t(pos)),
+    rm AS (
+      SELECT line FROM ex WHERE line <> ''
+      GROUP BY line HAVING count(*) >= {int(min_count)}),
+    kept AS (
+      SELECT e.* FROM ex e ANTI JOIN rm r ON e.line = r.line),
+    agg AS (
+      SELECT {id_col},
+             string_agg(raw, chr(10) ORDER BY pos) AS kept_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY {id_col})
+    SELECT b.{id_col},
+           CASE WHEN b.{text_col} IS NULL THEN NULL
+                ELSE coalesce(a.kept_text, '') END AS clean_text,
+           CAST(coalesce(len(string_split(b.{text_col}, chr(10))), 0)
+                AS INTEGER) AS n_lines,
+           CAST(coalesce(len(string_split(b.{text_col}, chr(10))), 0)
+                - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM {table} b LEFT JOIN agg a ON b.{id_col} = a.{id_col}"""
