@@ -158,6 +158,33 @@ def epoch_resample(df: DataFrame, weights: dict[str, float],
     )
 
 
+def temperature_weights(df: DataFrame, tau: float,
+                        source_col: str = "source",
+                        target_total: int | None = None,
+                        ) -> dict[str, float]:
+    """Temperature-based mixture reweighting (the multilingual-LM sampling
+    rule, e.g. Conneau & Lample 2019 §3.1; LLaMA-style source upsampling):
+    sampling probability of source i ∝ count_i^(1/tau), realized as
+    epoch_resample weights w_i = p_i · target_total / count_i. tau=1 is
+    the identity (every w_i = 1 when target_total defaults to the corpus
+    size); tau→∞ approaches a uniform source mix; tau<1 sharpens toward
+    the big sources. One bounded aggregate (source cardinality is small by
+    contract — this is a MIXING knob, not a per-doc one); the weights feed
+    epoch_resample, whose map-side row multiplication does the rest."""
+    if tau <= 0:
+        raise ValueError(f"temperature must be > 0: got {tau}")
+    counts = {r[source_col]: int(r.c) for r in
+              df.groupBy(source_col).agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    if not counts:
+        raise ValueError("temperature_weights: empty corpus has no mixture")
+    total = sum(counts.values())
+    tgt = total if target_total is None else int(target_total)
+    z = sum(n ** (1.0 / tau) for n in counts.values())
+    return {s: round((n ** (1.0 / tau) / z) * tgt / n, 6)
+            for s, n in counts.items()}
+
+
 def epoch_resample_sql_duck(table: str, weights: dict[str, float],
                             source_col: str = "source",
                             id_col: str = "doc_id",

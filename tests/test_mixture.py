@@ -173,3 +173,43 @@ def test_write_shuffled_roundtrip(spark, tmp_path):
     assert sorted(seq) == sorted(r.doc_id for r in
                                  docs.select("doc_id").collect())
     assert seq != sorted(seq)  # actually shuffled, not id order
+
+
+# ------------------------------------------------- temperature weights
+
+def test_temperature_identity_and_limits(spark):
+    docs = load(spark, SF, "documents")
+    # tau=1 with the default target preserves the corpus exactly: w_i = 1
+    w1 = mx.temperature_weights(docs, tau=1.0, source_col="lang")
+    assert all(v == 1.0 for v in w1.values())
+    # tau -> inf approaches a uniform source mix: every source's expected
+    # row count (w_i * n_i) converges to total / n_sources
+    counts = {r.lang: r.n for r in docs.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    total, k = sum(counts.values()), len(counts)
+    w_inf = mx.temperature_weights(docs, tau=1e9, source_col="lang")
+    for s, n in counts.items():
+        assert w_inf[s] * n == pytest.approx(total / k, rel=1e-3)
+    # tau > 1 flattens: the smallest source gains weight, the largest loses
+    w2 = mx.temperature_weights(docs, tau=2.0, source_col="lang")
+    lo = min(counts, key=counts.get)
+    hi = max(counts, key=counts.get)
+    assert w2[lo] > 1.0 > w2[hi]
+    with pytest.raises(ValueError, match="temperature"):
+        mx.temperature_weights(docs, tau=0.0)
+
+
+def test_temperature_composes_with_epoch_resample(spark):
+    """The realized mixture matches the temperature target: resampled
+    per-source counts land within hash-sampling noise of p_i * total."""
+    docs = load(spark, SF, "documents")
+    w = mx.temperature_weights(docs, tau=3.0, source_col="lang")
+    out = mx.epoch_resample(docs, w, source_col="lang")
+    got = {r.lang: r.n for r in out.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    counts = {r.lang: r.n for r in docs.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s, n in counts.items():
+        want = w[s] * n
+        # the fractional copy is a hash coin per row: binomial noise
+        assert abs(got[s] - want) <= 3 * (n ** 0.5) + 1, (s, got[s], want)
