@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import char_shingles, fingerprint
-from .widen import widen_if_narrow
+from .widen import materialize, widen_if_narrow
 
 # MinHash family constants (shared with the DuckDB oracle fragments).
 MH_HASHES = 16
@@ -200,7 +200,8 @@ def minhash_candidates(docs_with_sig: DataFrame, id_col: str = "doc_id") -> Data
     # lifecycle is CALLER-owned (the operator cannot know when the action
     # has run): release via registry.release_caches / clearCache after
     # consuming the result — bench and the oracle harness do.
-    sigs = docs_with_sig.select(F.col(id_col).alias("id"), "minhash").persist()
+    sigs = materialize(
+        docs_with_sig.select(F.col(id_col).alias("id"), "minhash"))
     keyed = sigs.select(
         "id", F.explode(lsh_band_keys_expr()).alias("band_key")
     )
@@ -220,7 +221,8 @@ def jaccard_verify(candidates: DataFrame, docs_with_shingles: DataFrame,
 
     The shingle table joins twice (id_a side, id_b side) — persist it so the
     shingling expression runs once, not once per side."""
-    sh = docs_with_shingles.select(F.col(id_col).alias("id"), "shingles").persist()
+    sh = materialize(
+        docs_with_shingles.select(F.col(id_col).alias("id"), "shingles"))
     j = (
         candidates
         .join(sh.withColumnRenamed("shingles", "sh_a"), F.col("id_a") == F.col("id"))
@@ -390,10 +392,10 @@ def simhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
     faster memoized numpy path) or 'expr' (the pure-JVM fold; bit-identical
     values, pytest-pinned)."""
     if sig_impl == "pandas":
-        sh = simhash_signatures_pandas(docs, id_col, text_col).persist()
+        sh = materialize(simhash_signatures_pandas(docs, id_col, text_col))
     else:
-        sh = docs.select(F.col(id_col).alias("id"),
-                         simhash_expr(text_col).alias("sh")).persist()
+        sh = materialize(docs.select(
+            F.col(id_col).alias("id"), simhash_expr(text_col).alias("sh")))
     mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = sh.select(
         "id", "sh",
@@ -465,8 +467,8 @@ def seq_near_dup_verified(seqs: DataFrame, k: int = 8,
     equi-join, never all-pairs; the shingle table persists once and feeds
     both the signature map and the verify join (caller releases, per the
     cache rule)."""
-    sh = with_seq_minhash(seqs, k, id_col, tokens_col).select(
-        F.col(id_col), "shingles", "minhash").persist()
+    sh = materialize(with_seq_minhash(seqs, k, id_col, tokens_col).select(
+        F.col(id_col), "shingles", "minhash"))
     cands = minhash_candidates(sh, id_col=id_col)
     return jaccard_verify(cands, sh.select(id_col, "shingles"),
                           id_col=id_col, threshold=threshold)

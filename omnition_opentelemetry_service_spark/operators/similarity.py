@@ -246,6 +246,10 @@ def near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
     # persist before the self-join: without the barrier, projection
     # collapse inlines the n_planes·dim bucket dot products into both join
     # sides (caller releases the cache, module convention)
+    # plain persist, NOT materialize(): the bucket exprs are cheap JVM
+    # sign-bit dots — the concurrent-first-scan double-compute costs less
+    # than materialize's extra full pass over the embedding-carrying rows
+    # (measured on the banked twin: 3.4 s -> 4.0 s with materialize)
     b = emb.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("e"),
         lsh_bucket_expr("embedding", n_planes, dim).alias("bk")).persist()
@@ -291,6 +295,8 @@ def near_dup_pairs_lsh_banked(emb: DataFrame, threshold: float = 0.4,
             all_planes[bank * n_planes:(bank + 1) * n_planes]) + ")"
         for bank in range(n_banks)
     ]
+    # plain persist — see near_dup_pairs_lsh: cheap-JVM bucket exprs,
+    # materialize() measured SLOWER here (3.4 s -> 4.0 s at sf0.1)
     keyed = emb.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("e"),
         F.explode(F.expr(f"array({', '.join(keys)})")).alias("bk")).persist()

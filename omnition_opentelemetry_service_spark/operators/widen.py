@@ -56,6 +56,23 @@ def _input_bytes(df: DataFrame) -> int | None:
     return total
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """persist + eager count — the fix for the CONCURRENT-FIRST-SCAN race:
+    a persist() alone does not dedupe work when its first two consumers run
+    inside ONE action. A self-join's two scans execute as concurrent map
+    stages, each computing the full subtree before the other has populated
+    the cache — measured on the banded SimHash join at sf0.1, the Arrow
+    signature kernel ran TWICE (0.65 s vs 0.26 s once a count() populated
+    the cache first), and the MinHash verify pipeline paid 2.7 s vs 0.8 s.
+    The count() is one extra pass over the subtree that would otherwise run
+    2+ times; at scale it is the 'write the signature table before
+    bucketing' step every production dedup pipeline has anyway. Cache
+    RELEASE stays caller-owned (registry.release_caches / clearCache)."""
+    df.persist()
+    df.count()
+    return df
+
+
 def has_exchange(df: DataFrame) -> bool:
     """True if ``df``'s physical plan already contains a shuffle. Uses the
     pre-adaptive sparkPlan (planning only — never executes): on an AQE plan
