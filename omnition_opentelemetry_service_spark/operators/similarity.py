@@ -442,8 +442,13 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
         "WHEN a.cid < b.cid THEN -1 WHEN a.cid > b.cid THEN 1 ELSE 0 END), "
         f"1, {int(nprobe)})"
     )
+    # widen before the per-row K-centroid scoring: the argmax expressions
+    # are interpreted lambda eval (no codegen) — on a single-split scan the
+    # whole assign serializes onto one task (measured 1.04 s for 2000×21
+    # at sf0.1; widened it parallelizes). At scale the scan is already
+    # wide and this is a no-op (widen's narrowness + byte-cap guards).
     return (
-        emb.crossJoin(broadcast(cents_row))
+        widen_if_narrow(emb).crossJoin(broadcast(cents_row))
         .select("vec_id", "embedding",
                 F.posexplode(F.expr(ranked)).alias("pos", "cell_s"))
         .select("vec_id", "embedding",
