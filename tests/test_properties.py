@@ -310,3 +310,86 @@ def test_winnowing_matches_python_model_on_arbitrary_text(spark, texts, k, w):
             want = sorted({min(hs[j:j + w])
                            for j in range(len(hs) - w + 1)})
         assert got[i] == want, (t, k, w)
+
+
+@SET
+@given(st.lists(st.text(alphabet="ab X\n\t", max_size=40),
+                min_size=1, max_size=12),
+       st.integers(2, 3))
+def test_line_dedup_matches_duckdb_on_arbitrary_text(spark, texts, mc):
+    """line_dedup ≡ its DuckDB twin on arbitrary newline-bearing text: the
+    tiny alphabet forces heavy cross-doc line collisions, tabs exercise the
+    space-only trim rule (a '\\t'-padded line is NOT the same line), and
+    trailing newlines pin the keep-trailing-empty split semantics of all
+    three engines."""
+    import duckdb
+    import pandas as pd
+
+    from omnition_opentelemetry_service_spark.operators import corpus
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, corpus.line_dedup(df, min_count=mc).collect()))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted((int(r[0]), r[1], int(r[2]), int(r[3])) for r in con.execute(
+        corpus.line_dedup_sql_duck(min_count=mc)).fetchall())
+    assert got == want
+
+
+@SET
+@given(st.lists(st.text(alphabet="abc \n\u00a0", max_size=30),
+                min_size=2, max_size=10))
+def test_dsir_scores_match_python_on_arbitrary_text(spark, texts):
+    """dsir fit+score ≡ an independent python model on arbitrary text —
+    including U+00A0, which python .split() would treat as whitespace but
+    the engines' explicit ASCII class does not (the model replicates the
+    WS class exactly)."""
+    import hashlib
+    import math
+    import re
+
+    from omnition_opentelemetry_service_spark.operators import dsir
+
+    B = 32
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") % 2 == 0)
+    lam, lam0 = dsir.dsir_fit(target, df, n_buckets=B)
+
+    ws_rx = re.compile("[ \t\n\x0b\f\r]+")
+
+    def grams(t):
+        words = [w for w in ws_rx.split((t or "").strip(" ")) if w]
+        if len(words) < 2:
+            return list(words)
+        return words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    t_cnt: dict[int, int] = {}
+    r_cnt: dict[int, int] = {}
+    for i, t in rows:
+        for g in grams(t):
+            b = bucket(g)
+            r_cnt[b] = r_cnt.get(b, 0) + 1
+            if i % 2 == 0:
+                t_cnt[b] = t_cnt.get(b, 0) + 1
+    td = float(sum(t_cnt.values()) + B)
+    rd = float(sum(r_cnt.values()) + B)
+    want_lam = {b: round(math.log((t_cnt.get(b, 0) + 1) / td)
+                         - math.log((r_cnt.get(b, 0) + 1) / rd), 9)
+                for b in set(t_cnt) | set(r_cnt)}
+    assert lam == want_lam
+
+    got = {r.doc_id: (r.n_grams, r.dsir_score) for r in
+           dsir.dsir_scores(df, lam, lam0, n_buckets=B).collect()}
+    for i, t in rows:
+        gs = grams(t)
+        if not gs:
+            assert i not in got
+            continue
+        want = round(sum(lam.get(bucket(g), lam0) for g in gs), 6)
+        assert got[i][0] == len(gs)
+        assert abs(got[i][1] - want) < 2e-6, (i, t)
