@@ -150,3 +150,14 @@ def test_target_like_docs_outscore_off_domain(raw_docs, model):
     sel = {r.doc_id for r in dsir.dsir_resample(
         raw_docs, lam, lam0, k=9, seed="s1", n_buckets=B).collect()}
     assert 7 not in sel and 8 not in sel
+
+
+def test_scores_plan_broadcasts_lam_table(spark, raw_docs, model):
+    """Plan-shape contract: the B-row lam table joins the exploded n-grams
+    as a broadcast hash join (it is bucket-bounded by construction); no
+    cartesian product anywhere in the score pipeline."""
+    lam, lam0 = model
+    plan = dsir.dsir_scores(raw_docs, lam, lam0, B)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
