@@ -257,6 +257,14 @@ def main() -> None:
     ap.add_argument("--max-dup-frac", type=float, default=None,
                     help="drop docs with > this fraction of corpus-duplicated "
                          "k-token windows (off when omitted)")
+    ap.add_argument("--dsir-target", default=None,
+                    help="with --input-docs: SQL predicate over the docs "
+                         "selecting the DSIR target corpus (e.g. "
+                         "\"lang = 'en'\"); the release keeps only the "
+                         "--dsir-keep docs Gumbel-top-k-resampled by hashed "
+                         "n-gram importance (operators/dsir)")
+    ap.add_argument("--dsir-keep", type=int, default=None,
+                    help="with --dsir-target: number of docs to keep")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="commit the cleaned (dedup+gate) stage to a "
                          "snapshot table; reruns under the same input/gate "
@@ -271,6 +279,11 @@ def main() -> None:
     if args.bpe_merges is not None and args.input_docs is None:
         raise SystemExit("--bpe-merges requires --input-docs (it trains the "
                          "tokenizer on the raw text being ingested)")
+    if (args.dsir_target is None) != (args.dsir_keep is None):
+        raise SystemExit("--dsir-target and --dsir-keep go together")
+    if args.dsir_target is not None and args.input_docs is None:
+        raise SystemExit("--dsir-target requires --input-docs (selection "
+                         "runs on raw text before tokenization)")
 
     try:
         from omnition_opentelemetry_service_spark import fixtures
@@ -299,6 +312,22 @@ def main() -> None:
             )
 
             docs = spark.read.parquet(args.input_docs)
+            if args.dsir_target is not None:
+                # target-domain selection BEFORE tokenization: fit the
+                # hashed n-gram importance ratio on (target slice, all),
+                # keep the Gumbel-top-k. The selection params join the
+                # checkpoint fingerprint via input_token below, so a rerun
+                # with a different target/keep never resumes a stale
+                # cleaned stage.
+                from omnition_opentelemetry_service_spark.operators import (
+                    dsir as dsir_mod,
+                )
+
+                lam, lam0 = dsir_mod.dsir_fit(
+                    docs.filter(args.dsir_target), docs)
+                sel = dsir_mod.dsir_resample(
+                    docs, lam, lam0, k=args.dsir_keep, seed="release-dsir")
+                docs = docs.join(sel.select("doc_id"), "doc_id", "leftsemi")
             if args.bpe_merges is not None:
                 from omnition_opentelemetry_service_spark.operators import (
                     bpe,
@@ -311,6 +340,8 @@ def main() -> None:
             else:
                 tokenized = tokenize_documents(docs)
                 input_token = f"docs={args.input_docs}"
+            if args.dsir_target is not None:
+                input_token += f"|dsir={args.dsir_target}/{args.dsir_keep}"
             seqs = (tokenized
                     .filter(F.col("tokens").isNotNull())
                     .withColumn("seq_no", F.col("doc_id")))

@@ -107,3 +107,32 @@ def test_docs_release_cli_end_to_end(spark, tmp_path):
     splits = rep["per_split"]
     assert set(splits) <= {"train", "val", "test"} and "train" in splits
     assert sum(v[0] for v in splits.values()) > 0
+
+
+def test_docs_release_cli_with_dsir_selection(spark, tmp_path):
+    """--dsir-target/--dsir-keep: the release keeps exactly the k docs the
+    Gumbel-top-k importance resample selected (selected docs carry >= 1
+    n-gram, hence non-NULL tokens, so none drop at the quarantine gate)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "make_release.py"),
+         "--input-docs", os.path.join(SF, "documents.parquet"),
+         "--dsir-target", "lang = 'en'", "--dsir-keep", "100",
+         "--out", str(tmp_path / "rel"), "--budget", "512",
+         "--shards", "4", "--parallelism", "4"],
+        capture_output=True, text=True, cwd=repo)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert sum(v[0] for v in rep["per_split"].values()) == 100
+    # flag validation: --dsir-keep without --dsir-target is rejected
+    bad = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "make_release.py"),
+         "--input-docs", os.path.join(SF, "documents.parquet"),
+         "--dsir-keep", "10", "--out", str(tmp_path / "rel2")],
+        capture_output=True, text=True, cwd=repo)
+    assert bad.returncode != 0 and "go together" in bad.stderr
