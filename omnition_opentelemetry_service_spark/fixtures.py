@@ -115,13 +115,27 @@ def _materialized(spark: SparkSession, name: str, n: int) -> DataFrame | None:
     return spark.read.parquet(p)
 
 
+def _source_fingerprint() -> str:
+    """md5 prefix of THIS module's source — the generators are pure
+    functions of (n, this file), so the cache key must include the file:
+    a persistent /tmp cache keyed on n alone would silently feed stale
+    data into bench after any generator change."""
+    import hashlib
+
+    with open(__file__, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()[:10]
+
+
 def materialize_fixture_tables(spark: SparkSession, n: int,
                                path: str) -> str:
-    """Write each redirectable generator's output once (skips tables whose
-    _SUCCESS marker already exists — the tables are pure functions of n).
-    Call BEFORE set_materialized_fixtures."""
+    """Write each redirectable generator's output once under
+    ``{path}_{source-fingerprint}`` (skips tables whose _SUCCESS marker
+    already exists — valid because the fingerprinted dir pins the
+    generator version). Returns the fingerprinted dir; pass THAT to
+    set_materialized_fixtures."""
     import os
 
+    path = f"{path}_{_source_fingerprint()}"
     for name, gen in _REDIRECTABLE.items():
         p = os.path.join(path, f"{name}_{n}")
         if not os.path.exists(os.path.join(p, "_SUCCESS")):

@@ -185,12 +185,28 @@ _GUMBEL_SPARK = (
 )
 
 
+def _check_seed(seed: str) -> str:
+    """The seed is interpolated as a single-quoted literal into BOTH
+    engines' SQL; restrict it to characters that are literal-safe AND
+    escape-free in both (Spark treats backslash as an escape, DuckDB does
+    not — so escaping can't be made parity-safe, only validation can)."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", seed):
+        raise ValueError(
+            f"dsir seed must match [A-Za-z0-9._-]+ (it is inlined as a "
+            f"SQL literal in two engines): {seed!r}")
+    return seed
+
+
 def _gumbel_key_spark(score_col: str, id_col: str, seed: str) -> str:
+    seed = _check_seed(seed)
     h = _XH_SPARK.format(s=f"concat(CAST({id_col} AS STRING), '|', '{seed}')")
     return _GUMBEL_SPARK.format(score=score_col, h=h)
 
 
 def _gumbel_key_duck(score_col: str, id_col: str, seed: str) -> str:
+    seed = _check_seed(seed)
     h = _XH_DUCK.format(s=f"concat(CAST({id_col} AS VARCHAR), '|', '{seed}')")
     return _GUMBEL_SPARK.format(score=score_col, h=h)
 

@@ -358,7 +358,6 @@ def decode_mp4_meta(buf: bytes) -> tuple[int, int, int | None, int | None]:
             elif t2 == b"trak":
                 for t3, d0, d1 in _mp4_boxes(buf, c0, c1):
                     if t3 == b"tkhd":
-                        ver = buf[d0]
                         off = d1 - d0 - 8  # width/height are the LAST 8 bytes
                         w_fx, h_fx = struct.unpack(
                             ">II", buf[d0 + off:d0 + off + 8])

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from .widen import widen_if_narrow
+from .widen import materialize, widen_if_narrow
 
 EMB_DIM = 64
 LSH_PLANES = 8
@@ -598,13 +598,17 @@ def semdedup_keep(emb: DataFrame,
     from .kmeans import trained_centroids_df
 
     cents = trained_centroids_df(emb.sparkSession, centroids)
-    assigned = (
+    # materialize (persist + eager count), not bare persist: the a/b
+    # self-join's two scans run as CONCURRENT map stages inside one action
+    # and would each compute the interpreted K-centroid argmax subtree
+    # before either populates the cache (widen.materialize's measured
+    # race; same fix as dedup.py's signature tables).
+    assigned = materialize(
         ivf_assign(emb, cents, nprobe=1)
         .join(broadcast(cents), F.col("cell") == F.col("centroid_id"))
         .select("vec_id", "embedding", "cell",
                 F.round(cosine_expr("embedding", "c_emb"), 6)
                 .alias("cos_cent"))
-        .persist()
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     edges = (

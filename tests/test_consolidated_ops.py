@@ -26,7 +26,8 @@ N = 400
 
 def test_extras_full_oracle_hash_parity(spark):
     """Every rotated-out slot keeps driver-grade verification: the same
-    gate the driver runs, over all 9 extras at the oracle's pinned sf."""
+    gate the driver runs, over all 11 extras (9 rotated-out slots + the
+    2 DSIR e2e twins) at the oracle's pinned sf."""
     extras = registry.build_extra_queries()
     oracles = registry.build_extra_oracle_sql()
     assert set(extras) == set(oracles) == {

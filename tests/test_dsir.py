@@ -161,3 +161,18 @@ def test_scores_plan_broadcasts_lam_table(spark, raw_docs, model):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_seed_is_validated_as_sql_literal(raw_docs, model):
+    """The seed is inlined as a single-quoted literal in BOTH engines'
+    SQL, and escaping can't be made parity-safe (Spark honors backslash
+    escapes, DuckDB doesn't) — so unsafe seeds must be REJECTED, not
+    interpolated."""
+    lam, lam0 = model
+    for bad in ("it's-v1", "a\\b", "x'y", "s;drop", ""):
+        with pytest.raises(ValueError, match="seed"):
+            dsir.dsir_resample(raw_docs, lam, lam0, k=3, seed=bad,
+                               n_buckets=B)
+        with pytest.raises(ValueError, match="seed"):
+            dsir.dsir_resample_sql_duck(lam, lam0, k=3, seed=bad,
+                                        n_buckets=B)
