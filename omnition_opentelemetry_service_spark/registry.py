@@ -1162,10 +1162,48 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_resample(docs, lam, lam0, k=_DSIR_K, seed=_DSIR_SEED)
 
 
+_BLOOM_M = 1 << 14
+_BLOOM_K = 5
+
+
+def q_bloom_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership flags: history = fingerprints of even doc_ids,
+    probes = every doc's fingerprint (operators/bloom.py — the fixed-size
+    membership artifact for incremental dedup)."""
+    from .operators import bloom
+
+    docs = load(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0).select(
+        tx.fingerprint("text").alias("fp"))
+    probes = docs.select(tx.fingerprint("text").alias("fp"))
+    words = bloom.bloom_build(history, "fp", _BLOOM_M, _BLOOM_K)
+    return (bloom.bloom_might_contain(probes, words, "fp",
+                                      _BLOOM_M, _BLOOM_K)
+            .withColumnRenamed("key", "fp"))
+
+
+_DRIFT_A = "source = 'src0'"
+_DRIFT_B = "source <> 'src0'"
+_DRIFT_BUCKETS = 512
+
+
+def q_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top drifted n-gram buckets between the src0 slice and the rest
+    (operators/drift.py — exact integer ranking, see module doc)."""
+    from .operators import drift
+
+    docs = load(spark, sf_dir, "documents")
+    return (drift.drift_topk(docs.filter(_DRIFT_A), docs.filter(_DRIFT_B),
+                             k=25, n_buckets=_DRIFT_BUCKETS)
+            .withColumn("drift_num", F.col("drift_num").cast("string")))
+
+
 def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The rotated-out twins — NOT driver slots (the window is exactly 50);
     verified by check_oracle --extras and pytest with the identical gate."""
     return {
+        "bloom_flags": q_bloom_flags,
+        "drift_topk": q_drift_topk,
         "dsir_scores": q_dsir_scores,
         "dsir_select": q_dsir_select,
         "attrs_add": q_attrs_add,
@@ -1239,6 +1277,20 @@ def build_extra_oracle_sql() -> dict[str, str]:
     o["dsir_scores"] = dsir.dsir_scores_e2e_sql_duck(_DSIR_TARGET_DUCK)
     o["dsir_select"] = dsir.dsir_resample_e2e_sql_duck(
         _DSIR_TARGET_DUCK, k=_DSIR_K, seed=_DSIR_SEED)
+
+    from .operators import bloom, drift
+
+    fp = tx.fingerprint_sql_duck("text")
+    o["bloom_flags"] = bloom.bloom_might_contain_sql_duck(
+        probes_sql=f"SELECT {fp} AS fp FROM documents",
+        keys_sql=f"SELECT {fp} AS fp FROM documents WHERE doc_id % 2 = 0",
+        key_col="fp", m_bits=_BLOOM_M, k=_BLOOM_K)
+
+    drift_inner = drift.drift_topk_sql_duck(
+        _DRIFT_A, _DRIFT_B, 25, _DRIFT_BUCKETS)
+    o["drift_topk"] = (
+        f"SELECT b, c_a, c_b, CAST(drift_num AS VARCHAR) AS drift_num "
+        f"FROM ({drift_inner})")
 
     return o
 
