@@ -28,6 +28,11 @@ Shape at scale (history ~10^12 rows, batch ~10^6..10^9):
   shingle sets.
 - **Append**: survivors' store rows union into the store (at scale: an
   Iceberg append of the same partitioning; here parquet-dir append).
+- **Bloom sibling** (operators/bloom.py): a fixed-size membership filter
+  built once per store epoch answers "definitely new" WITHOUT touching
+  the store at all; only the maybe-present fraction reaches the pruned
+  anti-join above. Complementary, not competing: the fpb pruning bounds
+  what the join scans, the Bloom bounds how often the join runs.
 
 Cross-engine parity: every derivation (fingerprint, shingles, minhash,
 band keys, position-agreement estimate) reuses the ONE-definition-per-engine
