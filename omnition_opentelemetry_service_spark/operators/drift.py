@@ -122,6 +122,58 @@ def drift_topk_sql_duck(where_a: str, where_b: str, k: int = 20,
     ORDER BY abs({d}) DESC, b ASC LIMIT {int(k)}"""
 
 
+def drift_topk_grams(docs_a: DataFrame, docs_b: DataFrame, k: int = 20,
+                     text_col: str = "text") -> DataFrame:
+    """Interpretable drift: top-k drifted GRAMS (the unigram/bigram
+    strings themselves, not hashed buckets) — what an operator actually
+    reads in an alarm. Same exact-integer ranking as :func:`drift_topk`
+    but grouped on the gram string: the exchange carries distinct grams
+    (word-count shape, map-side combinable — large but linear at 100 TB),
+    and the top-k is a TakeOrdered, so nothing corpus-sized reaches the
+    driver."""
+    tagged = (docs_a.select(F.expr(_grams_sql_spark(text_col)).alias("gs"),
+                            F.lit(1).alias("is_a"))
+              .unionByName(
+                  docs_b.select(
+                      F.expr(_grams_sql_spark(text_col)).alias("gs"),
+                      F.lit(0).alias("is_a"))))
+    counts = (tagged.select(F.explode("gs").alias("gram"), "is_a")
+              .groupBy("gram")
+              .agg(F.sum("is_a").alias("c_a"),
+                   F.sum(1 - F.col("is_a")).alias("c_b")))
+    tot = counts.agg(F.sum("c_a").alias("ta"), F.sum("c_b").alias("tb"))
+    # no Laplace here: every output gram was seen, and the ranking only
+    # compares rates — d = c_a*tb - c_b*ta over the common denom ta*tb
+    d = ("CAST(c_a AS DECIMAL(38,0)) * CAST(tb AS DECIMAL(38,0))"
+         " - CAST(c_b AS DECIMAL(38,0)) * CAST(ta AS DECIMAL(38,0))")
+    return (counts.crossJoin(F.broadcast(tot))
+            .withColumn("drift_num", F.expr(d))
+            .orderBy(F.desc(F.abs(F.col("drift_num"))), F.asc("gram"))
+            .limit(int(k))
+            .select("gram", "c_a", "c_b", "drift_num"))
+
+
+def drift_topk_grams_sql_duck(where_a: str, where_b: str, k: int = 20,
+                              rel: str = "documents",
+                              text_col: str = "text") -> str:
+    d = ("CAST(c_a AS DECIMAL(38,0)) * CAST(tb AS DECIMAL(38,0))"
+         " - CAST(c_b AS DECIMAL(38,0)) * CAST(ta AS DECIMAL(38,0))")
+    return f"""
+    WITH words AS (SELECT CASE WHEN ({where_a}) THEN 1 ELSE 0 END AS is_a,
+                          {_words_sql_duck(text_col)} AS ws
+                   FROM {rel} WHERE ({where_a}) OR ({where_b})),
+    grams AS (SELECT is_a, g AS gram
+              FROM (SELECT is_a, unnest({_grams_case_duck()}) AS g
+                    FROM words)),
+    counts AS (SELECT gram, sum(is_a) AS c_a, sum(1 - is_a) AS c_b
+               FROM grams GROUP BY gram),
+    tot AS (SELECT sum(c_a) AS ta, sum(c_b) AS tb FROM counts)
+    SELECT gram, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           {d} AS drift_num
+    FROM counts CROSS JOIN tot
+    ORDER BY abs({d}) DESC, gram ASC LIMIT {int(k)}"""
+
+
 def kl_tvd(counts_rows, n_buckets: int = DSIR_BUCKETS) -> dict[str, float]:
     """Driver-side scalars over the B-bounded counts table (list of rows
     with .b/.c_a/.c_b or (b, c_a, c_b) tuples): Laplace-smoothed

@@ -1198,12 +1198,23 @@ def q_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("drift_num", F.col("drift_num").cast("string")))
 
 
+def q_drift_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interpretable per-gram drift view (operators/drift.py)."""
+    from .operators import drift
+
+    docs = load(spark, sf_dir, "documents")
+    return (drift.drift_topk_grams(docs.filter(_DRIFT_A),
+                                   docs.filter(_DRIFT_B), k=25)
+            .withColumn("drift_num", F.col("drift_num").cast("string")))
+
+
 def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The rotated-out twins — NOT driver slots (the window is exactly 50);
     verified by check_oracle --extras and pytest with the identical gate."""
     return {
         "bloom_flags": q_bloom_flags,
         "drift_topk": q_drift_topk,
+        "drift_grams": q_drift_grams,
         "dsir_scores": q_dsir_scores,
         "dsir_select": q_dsir_select,
         "attrs_add": q_attrs_add,
@@ -1291,6 +1302,11 @@ def build_extra_oracle_sql() -> dict[str, str]:
     o["drift_topk"] = (
         f"SELECT b, c_a, c_b, CAST(drift_num AS VARCHAR) AS drift_num "
         f"FROM ({drift_inner})")
+
+    grams_inner = drift.drift_topk_grams_sql_duck(_DRIFT_A, _DRIFT_B, 25)
+    o["drift_grams"] = (
+        f"SELECT gram, c_a, c_b, CAST(drift_num AS VARCHAR) AS drift_num "
+        f"FROM ({grams_inner})")
 
     return o
 

@@ -102,3 +102,16 @@ def test_kl_tvd_scalars(spark, docs, con):
     kl_unseen = (B - seen) * (1 / da) * (math.log(1 / da)
                                          - math.log(1 / db))
     assert m["kl_ab"] == pytest.approx(kl_seen + kl_unseen, abs=1e-9)
+
+
+def test_topk_grams_matches_duckdb_exactly(docs, con):
+    """The interpretable per-gram drift view: exact parity of ranking,
+    counts, and the integer numerator."""
+    got = [(r.gram, r.c_a, r.c_b, int(r.drift_num))
+           for r in drift.drift_topk_grams(
+               docs.filter(WA), docs.filter(WB), k=15).collect()]
+    want = [(g, ca, cb, int(d)) for g, ca, cb, d in con.execute(
+        drift.drift_topk_grams_sql_duck(WA, WB, 15)).fetchall()]
+    assert got == want
+    assert len(got) == 15
+    assert all(ca >= 0 and cb >= 0 for _, ca, cb, _ in got)
