@@ -499,8 +499,13 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(fp).min_by — no keeper join at all. (The earlier broadcast-join
     form was a scale bug: the keeper table is one row per DISTINCT
     fingerprint, i.e. corpus-sized at 10^12 docs — never broadcastable.
-    min_by also collapses a hot fingerprint map-side.)"""
-    docs = load(spark, sf_dir, "documents")
+    min_by also collapses a hot fingerprint map-side.)
+
+    The scan is widened before the three regex-heavy scoring expressions:
+    the sf0.1 documents parquet is ONE file → one task otherwise
+    (measured 1.5-1.9 → 1.0 s warm); at scale the byte cap makes the
+    widen a no-op (widen.py)."""
+    docs = widen_if_narrow(load(spark, sf_dir, "documents"))
     scored = docs.select(
         "doc_id",
         tx.quality_score("text").alias("quality"),
