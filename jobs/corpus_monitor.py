@@ -45,9 +45,11 @@ if __package__ in (None, ""):  # direct `python jobs/corpus_monitor.py`
 
 
 def snapshot_stats(docs: DataFrame) -> dict:
-    """Per-source volume + quality/lang pass rates + the fp table, all
-    from ONE scan (the fp column feeds the dup-rate agg without a second
-    pass). Returns driver-bounded values only."""
+    """Per-source volume + quality/lang pass rates from one scan, plus a
+    second scan for the global distinct-fp count (countDistinct cannot
+    ride the per-source agg: cross-source duplicate fps would double
+    count, and persisting a corpus-sized intermediate to save the scan is
+    the wrong trade at 100 TB). Returns driver-bounded values only."""
     from omnition_opentelemetry_service_spark.functions import text as tx
 
     scored = docs.select(

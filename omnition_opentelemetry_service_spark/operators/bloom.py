@@ -174,7 +174,12 @@ def bloom_prefilter_new(batch: DataFrame, history: DataFrame,
                                 key_col, m_bits, k)
     flagged = batch.join(
         flags.withColumnRenamed("key", key_col), key_col, "left")
-    definite_new = flagged.filter(~F.col("might_contain")) \
+    # NULL batch keys never join flags (NULL != NULL), leaving
+    # might_contain NULL; the plain anti-join RETAINS null-key rows
+    # (NULL never matches history), so route them to definitely-new —
+    # without the coalesce both filters would silently drop them.
+    definite_new = flagged.filter(
+        ~F.coalesce(F.col("might_contain"), F.lit(False))) \
         .drop("might_contain")
     maybe = flagged.filter(F.col("might_contain")).drop("might_contain")
     verified_new = maybe.join(history.select(key_col).distinct(),

@@ -103,13 +103,20 @@ def test_prefilter_equals_plain_anti_join(spark, history):
     batch = spark.range(0, 800).select(
         F.when(F.col("id") % 2 == 0,
                F.concat(F.lit("h"), F.col("id").cast("string")))
+        .when(F.col("id") % 7 == 3, F.lit(None).cast("string"))
         .otherwise(F.concat(F.lit("b"), F.col("id").cast("string")))
         .alias("fp"),
         (F.col("id") * 10).alias("payload"))
+    # the when-chain plants NULL fps (id%2!=0 and id%7==3): the plain
+    # anti-join keeps them, so the prefilter must too
+    assert batch.filter(F.col("fp").isNull()).count() > 0
+    by_payload = lambda t: t[1]  # payload is unique; fp may be NULL
     got = sorted(map(tuple, bloom.bloom_prefilter_new(
-        batch, history, "fp", M, K).select("fp", "payload").collect()))
+        batch, history, "fp", M, K).select("fp", "payload").collect()),
+        key=by_payload)
     want = sorted(map(tuple, batch.join(
-        history, "fp", "left_anti").select("fp", "payload").collect()))
+        history, "fp", "left_anti").select("fp", "payload").collect()),
+        key=by_payload)
     assert got == want
     # and the bloom actually prunes: the definitely-new split is non-empty
     words = bloom.bloom_build(history, "fp", M, K)
