@@ -847,3 +847,68 @@ def line_dedup_sql_duck(table: str = "documents", min_count: int = 2,
            CAST(coalesce(len(string_split(b.{text_col}, chr(10))), 0)
                 - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
     FROM {table} b LEFT JOIN agg a ON b.{id_col} = a.{id_col}"""
+
+
+# ---------------------------------------------------------------------------
+# Per-stratum quota cap (RefinedWeb-style "at most N documents per domain",
+# Penedo et al. 2023 §3: per-domain caps stop a handful of mega-domains from
+# dominating the corpus the way rate-based sampling cannot — a rate keeps a
+# FRACTION of a hot domain, a quota keeps a COUNT).
+# ---------------------------------------------------------------------------
+
+
+def quota_per_stratum(df: DataFrame, cap: int, strata_col: str = "source",
+                      key_col: str = "doc_id", n_salts: int = 32,
+                      salt: str = "quota-v1") -> DataFrame:
+    """Keep at most ``cap`` rows per stratum — deterministically the ``cap``
+    rows with the SMALLEST 48-bit salted hash of the key (uniform choice,
+    reproducible across runs/parallelism; key tiebreak for byte-identical
+    reruns). Strata smaller than the cap survive whole.
+
+    Shape at scale (the skew case IS the use case — the hot domain is why
+    the quota exists): a single ``Window.partitionBy(stratum)`` would
+    serialize the hottest domain onto one task, so selection is two-phase
+    and EXACT: phase 1 takes the per-(stratum, hash%n_salts) local top-cap
+    (every global top-cap row is top-cap within its own salt class — rank
+    within a subset never exceeds global rank), bounding phase 2's exact
+    per-stratum window to ≤ n_salts·cap rows per stratum. Phase-1 window
+    partitions are ~|stratum|/n_salts (size n_salts for the observed skew);
+    both exchanges hash-partition, nothing collects. Reference analog: the
+    same hot-`source`-key discipline as the salted two-phase aggregation
+    the north star names (components.go pipeline fan-out counters).
+    """
+    from pyspark.sql import Window
+
+    from .mixture import mix_hash_wide
+
+    if cap < 1:
+        raise ValueError(f"quota cap must be >= 1: {cap}")
+    h = mix_hash_wide(key_col, salt)
+    salted = df.withColumn("_qh", h).withColumn(
+        "_qs", F.pmod(F.col("_qh"), F.lit(int(n_salts))))
+    w1 = (Window.partitionBy(strata_col, "_qs")
+          .orderBy(F.asc("_qh"), F.asc(key_col)))
+    survivors = (salted.withColumn("_qr", F.row_number().over(w1))
+                 .filter(F.col("_qr") <= int(cap)).drop("_qr", "_qs"))
+    w2 = Window.partitionBy(strata_col).orderBy(F.asc("_qh"), F.asc(key_col))
+    return (survivors.withColumn("_qr", F.row_number().over(w2))
+            .filter(F.col("_qr") <= int(cap)).drop("_qr", "_qh"))
+
+
+def quota_per_stratum_sql_duck(table: str = "documents", cap: int = 40,
+                               strata_col: str = "source",
+                               key_col: str = "doc_id",
+                               salt: str = "quota-v1",
+                               cols: str = "doc_id, source") -> str:
+    """DuckDB twin: the one-window form (the oracle never needs the salt
+    split — phase 1 is a pure superset step, so both forms select the same
+    rows)."""
+    from .mixture import mix_hash_wide_sql_duck
+
+    h = mix_hash_wide_sql_duck(key_col, salt)
+    return f"""
+    SELECT {cols} FROM (
+      SELECT *, row_number() OVER (PARTITION BY {strata_col}
+                ORDER BY {h} ASC, {key_col} ASC) AS qr
+      FROM {table})
+    WHERE qr <= {int(cap)}"""

@@ -31,6 +31,7 @@ from .functions import parse as parse_fns
 from .functions import text as tx
 from .functions.tokens import token_group_cols, tokens_str
 from .operators import caps
+from .operators import corpus as cp
 from .operators import dedup as dd
 from .operators import dsir
 from .operators import packing as pk
@@ -1213,6 +1214,19 @@ def q_drift_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("drift_num", F.col("drift_num").cast("string")))
 
 
+# sf0.01 documents: 20 sources x 25 docs — 15 BINDS on every stratum
+# (keeps 300 of 500), so the extra verifies real selection, not a no-op
+_QUOTA_CAP = 15
+
+
+def q_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (corpus.quota_per_stratum — RefinedWeb-style
+    at-most-N-per-domain; exact two-phase skew-proof selection)."""
+    docs = load(spark, sf_dir, "documents")
+    return (cp.quota_per_stratum(docs, cap=_QUOTA_CAP, n_salts=8)
+            .select("doc_id", "source"))
+
+
 def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The rotated-out twins — NOT driver slots (the window is exactly 50);
     verified by check_oracle --extras and pytest with the identical gate."""
@@ -1220,6 +1234,7 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bloom_flags": q_bloom_flags,
         "drift_topk": q_drift_topk,
         "drift_grams": q_drift_grams,
+        "quota_docs": q_quota_docs,
         "dsir_scores": q_dsir_scores,
         "dsir_select": q_dsir_select,
         "attrs_add": q_attrs_add,
@@ -1312,6 +1327,9 @@ def build_extra_oracle_sql() -> dict[str, str]:
     o["drift_grams"] = (
         f"SELECT gram, c_a, c_b, CAST(drift_num AS VARCHAR) AS drift_num "
         f"FROM ({grams_inner})")
+
+    o["quota_docs"] = cp.quota_per_stratum_sql_duck(
+        "documents", cap=_QUOTA_CAP)
 
     return o
 
