@@ -17,9 +17,12 @@ drop), one run emits:
 - **alarms**: threshold flags over the above — the bit a scheduler pages
   on.
 
-Shape at scale: two corpus scans total (one per snapshot — volume +
-quality + fp all computed in the same pass), one B-bounded drift
-exchange, one fp-keyed agg for the dup rate. Driver state is
+Shape at scale, per snapshot: ONE scoring pass (quality + lang + fp —
+the heavy regex/md5 work) over a persisted narrow projection feeding
+both the per-source agg and the distinct-fp agg, plus two raw-text
+drift scans (bucket counts and per-gram top-k group on different keys,
+so they cannot share an exchange). Drift exchanges are B-bounded /
+distinct-gram-bounded; the dup-rate agg keys on fp. Driver state is
 O(sources + n_buckets + k): never corpus-bounded.
 
 Usage (sandbox; cluster: package with tools/package.sh + --py-files):
@@ -45,19 +48,35 @@ if __package__ in (None, ""):  # direct `python jobs/corpus_monitor.py`
 
 
 def snapshot_stats(docs: DataFrame) -> dict:
-    """Per-source volume + quality/lang pass rates from one scan, plus a
-    second scan for the global distinct-fp count (countDistinct cannot
-    ride the per-source agg: cross-source duplicate fps would double
-    count, and persisting a corpus-sized intermediate to save the scan is
-    the wrong trade at 100 TB). Returns driver-bounded values only."""
+    """Per-source volume + quality/lang pass rates + the global
+    distinct-fp count. TWO aggregation passes over a persisted SCORED
+    projection (countDistinct cannot ride the per-source agg:
+    cross-source duplicate fps would double count) — the projection is
+    narrow (source + 3 small columns), so persisting it pays the heavy
+    regex/md5 text scoring once; released before return (this job is the
+    cache's caller per the repo convention). Returns driver-bounded
+    values only.
+
+    NULL handling (a crawl with missing metadata must be MONITORED, not
+    crash the monitor): a NULL source is counted under the
+    ``(null source)`` label (a real string — sorted()/json.dumps chokes
+    on mixed None/str keys), and a NULL-text fingerprint gets the
+    per-doc ``null:<id>`` sentinel (operators/incremental.signature_store
+    convention) so fetch-failed docs are NOT counted as duplicates of
+    each other — countDistinct ignores NULLs, which would otherwise
+    report n_null - 1 phantom dups and false-page the dup alarm."""
     from omnition_opentelemetry_service_spark.functions import text as tx
 
     scored = docs.select(
-        "source",
+        F.coalesce(F.col("source").cast("string"),
+                   F.lit("(null source)")).alias("source"),
         (tx.quality_score("text") >= 0.5).cast("int").alias("q_ok"),
         (tx.lang_id("text") != "und").cast("int").alias("lang_ok"),
-        tx.fingerprint("text").alias("fp"),
-    )
+        F.coalesce(
+            tx.fingerprint("text"),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")))
+        .alias("fp"),
+    ).persist()
     per_source = (scored.groupBy("source")
                   .agg(F.count(F.lit(1)).alias("docs"),
                        F.sum("q_ok").alias("q_ok"),
@@ -70,6 +89,7 @@ def snapshot_stats(docs: DataFrame) -> dict:
         distinct_fp = scored.agg(
             F.countDistinct("fp").alias("d")).collect()[0].d
         dup = n - distinct_fp
+    scored.unpersist()
     return {
         "docs": n,
         "by_source": {r.source: int(r.docs) for r in per_source},

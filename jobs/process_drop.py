@@ -73,7 +73,13 @@ def main() -> None:
             incremental.write_signature_store(
                 incremental.signature_store(corpus), args.store)
 
-        history = incremental.read_signature_store(spark, args.store)
+        # read via the streaming module's full-history view: base store +
+        # committed stream batch dirs (the interleaving contract — a batch
+        # drop must see stream-committed survivors or it re-admits their
+        # dups) + crashed-compaction recovery
+        from omnition_opentelemetry_service_spark.streaming.incremental \
+            import read_full_history
+        history = read_full_history(spark, args.store)
         batch = spark.read.parquet(args.batch)
         bstore = incremental.signature_store(batch).persist()
         buckets = incremental.batch_bucket_list(bstore)

@@ -65,9 +65,15 @@ def _pos_sql_spark(key: str, j: str, m_bits: int) -> str:
 
 
 def _pos_sql_duck(key: str, j: str, m_bits: int) -> str:
+    """NULL keys must yield a NULL position, as Spark's concat does.
+    DuckDB's concat IGNORES NULL args (PARITY.md trap 25), so an unguarded
+    NULL key would hash the literal '|j' — and worse, _XH_DUCK's inner
+    concat('0x', NULL-substr) collapses to '0x', which CAST(... AS BIGINT)
+    refuses at runtime. The CASE guard short-circuits both."""
     h = _XH_DUCK.format(
         s=f"concat(CAST({key} AS VARCHAR), '|', CAST({j} AS VARCHAR))")
-    return f"({h}) % {int(m_bits)}"
+    return (f"(CASE WHEN ({key}) IS NULL THEN NULL "
+            f"ELSE ({h}) % {int(m_bits)} END)")
 
 
 def bloom_fpr_bound(n_keys: int, m_bits: int = BLOOM_BITS,
@@ -81,9 +87,12 @@ def bloom_build(keys: DataFrame, key_col: str = "fp",
                 k: int = BLOOM_HASHES) -> DataFrame:
     """(w, bits): the packed word table — ≤ m_bits/32 rows, fixed size
     regardless of |keys|. Duplicate keys are harmless (bit_or is
-    idempotent), so no pre-distinct pass is needed."""
+    idempotent), so no pre-distinct pass is needed. NULL keys are dropped:
+    they carry no identity to remember, and unfiltered they would emit a
+    spurious (NULL, NULL) word row."""
     js = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j")
     pos = (keys.select(F.col(key_col).alias("key"), js)
+           .filter(F.col("key").isNotNull())
            .select(F.expr(_pos_sql_spark("key", "j", m_bits)).alias("p")))
     return (pos
             .select((F.col("p") / 32).cast("bigint").alias("w"),
@@ -97,10 +106,11 @@ def bloom_build_sql_duck(keys_sql: str, key_col: str = "fp",
                          m_bits: int = BLOOM_BITS,
                          k: int = BLOOM_HASHES) -> str:
     """DuckDB twin of the word table (``keys_sql`` is a relation with
-    ``key_col``)."""
+    ``key_col``). NULL keys dropped, mirroring bloom_build."""
     pos = _pos_sql_duck("key", "j", m_bits)
     return f"""
-    WITH ks AS (SELECT CAST({key_col} AS VARCHAR) AS key FROM ({keys_sql})),
+    WITH ks AS (SELECT CAST({key_col} AS VARCHAR) AS key FROM ({keys_sql})
+                WHERE {key_col} IS NOT NULL),
     pos AS (SELECT {pos} AS p
             FROM ks CROSS JOIN (SELECT unnest(range({int(k)})) AS j))
     SELECT CAST(p // 32 AS BIGINT) AS w,
@@ -112,10 +122,14 @@ def bloom_might_contain(probes: DataFrame, words: DataFrame,
                         key_col: str = "fp",
                         m_bits: int = BLOOM_BITS,
                         k: int = BLOOM_HASHES) -> DataFrame:
-    """(key, might_contain): one row per DISTINCT probe key. The word
-    table joins broadcast (fixed ≤ m_bits/32 rows); member iff every one
-    of the k positions is covered (a position hit twice by two j's is
-    simply tested twice — the all-k count stays correct)."""
+    """(<key_col>, might_contain): one row per DISTINCT probe key (the
+    output key column keeps the caller's name — the DuckDB twin emits the
+    same, so the pair is oracle-slot-ready). The word table joins
+    broadcast (fixed ≤ m_bits/32 rows); member iff every one of the k
+    positions is covered (a position hit twice by two j's is simply
+    tested twice — the all-k count stays correct). A NULL probe key
+    yields might_contain=false in BOTH engines (its positions are NULL,
+    never covered) — consistent with build dropping NULL keys."""
     js = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j")
     pos = (probes.select(F.col(key_col).alias("key")).distinct()
            .select("key", js)
@@ -131,7 +145,8 @@ def bloom_might_contain(probes: DataFrame, words: DataFrame,
     return (pos.join(broadcast(words), "w", "left")
             .select("key", covered.alias("c"))
             .groupBy("key")
-            .agg((F.sum("c") == F.lit(k)).alias("might_contain")))
+            .agg((F.sum("c") == F.lit(k)).alias("might_contain"))
+            .withColumnRenamed("key", key_col))
 
 
 def bloom_might_contain_sql_duck(probes_sql: str, keys_sql: str,
@@ -172,8 +187,7 @@ def bloom_prefilter_new(batch: DataFrame, history: DataFrame,
     words = bloom_build(history.select(key_col), key_col, m_bits, k)
     flags = bloom_might_contain(batch.select(key_col), words,
                                 key_col, m_bits, k)
-    flagged = batch.join(
-        flags.withColumnRenamed("key", key_col), key_col, "left")
+    flagged = batch.join(flags, key_col, "left")
     # NULL batch keys never join flags (NULL != NULL), leaving
     # might_contain NULL; the plain anti-join RETAINS null-key rows
     # (NULL never matches history), so route them to definitely-new —

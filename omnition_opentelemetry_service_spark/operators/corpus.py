@@ -865,6 +865,16 @@ def quota_per_stratum(df: DataFrame, cap: int, strata_col: str = "source",
     reproducible across runs/parallelism; key tiebreak for byte-identical
     reruns). Strata smaller than the cap survive whole.
 
+    NULL keys are EXCLUDED (both engines): the selection hash needs an
+    identity, and no deterministic NULL rule survives cross-engine parity
+    — Spark's concat makes the hash NULL and sorts ASC NULLS FIRST
+    (always kept) while DuckDB's concat ignores the NULL arg and competes
+    a phantom hash NULLS LAST (PARITY.md trap 25); several NULL-key rows
+    would also tie unbreakably on (hash, key), making row_number
+    nondeterministic. Same routing rule as reject_oversized /
+    quarantine_split: rows failing the key predicate go to a counted-out
+    side, never silently into the sample.
+
     Shape at scale (the skew case IS the use case — the hot domain is why
     the quota exists): a single ``Window.partitionBy(stratum)`` would
     serialize the hottest domain onto one task, so selection is two-phase
@@ -884,8 +894,10 @@ def quota_per_stratum(df: DataFrame, cap: int, strata_col: str = "source",
     if cap < 1:
         raise ValueError(f"quota cap must be >= 1: {cap}")
     h = mix_hash_wide(key_col, salt)
-    salted = df.withColumn("_qh", h).withColumn(
-        "_qs", F.pmod(F.col("_qh"), F.lit(int(n_salts))))
+    salted = (df.filter(F.col(key_col).isNotNull())
+              .withColumn("_qh", h)
+              .withColumn("_qs", F.pmod(F.col("_qh"),
+                                        F.lit(int(n_salts)))))
     w1 = (Window.partitionBy(strata_col, "_qs")
           .orderBy(F.asc("_qh"), F.asc(key_col)))
     survivors = (salted.withColumn("_qr", F.row_number().over(w1))
@@ -910,5 +922,5 @@ def quota_per_stratum_sql_duck(table: str = "documents", cap: int = 40,
     SELECT {cols} FROM (
       SELECT *, row_number() OVER (PARTITION BY {strata_col}
                 ORDER BY {h} ASC, {key_col} ASC) AS qr
-      FROM {table})
+      FROM {table} WHERE {key_col} IS NOT NULL)
     WHERE qr <= {int(cap)}"""

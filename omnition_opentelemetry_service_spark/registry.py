@@ -1183,9 +1183,8 @@ def q_bloom_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.fingerprint("text").alias("fp"))
     probes = docs.select(tx.fingerprint("text").alias("fp"))
     words = bloom.bloom_build(history, "fp", _BLOOM_M, _BLOOM_K)
-    return (bloom.bloom_might_contain(probes, words, "fp",
-                                      _BLOOM_M, _BLOOM_K)
-            .withColumnRenamed("key", "fp"))
+    return bloom.bloom_might_contain(probes, words, "fp",
+                                     _BLOOM_M, _BLOOM_K)
 
 
 _DRIFT_A = "source = 'src0'"

@@ -18,9 +18,14 @@ SIBLING of the base store, not inside it (nesting a second partition layout
 under the fpb-partitioned store trips Spark's partition discovery with
 CONFLICTING_DIRECTORY_STRUCTURES) — with the same idempotent per-batch-
 directory recipe as stream_pipeline.run_routed_to_parquet: re-delivery of
-batch N overwrites batch N, never duplicates it. The history read unions
-the base store with all committed batch dirs; a crash between commit and
-checkpoint advance re-runs the batch and the overwrite makes that safe.
+batch N overwrites batch N, never duplicates it. The history read for
+batch N unions the base store with committed batch dirs id < N ONLY —
+including N itself (possible after a commit-then-crash-before-checkpoint
+window) would dedup the re-delivered batch against its own output to zero
+survivors and overwrite the commit with an empty dir; with the exclusion,
+re-delivery recomputes the identical survivor set and the overwrite is
+genuinely idempotent (pinned in test_streaming_incremental's re-delivery
+test).
 """
 
 from __future__ import annotations
@@ -38,16 +43,33 @@ def batches_dir(store_path: str) -> str:
     return store_path.rstrip("/") + "_batches"
 
 
-def read_full_history(spark: SparkSession, store_path: str) -> DataFrame:
-    """Base store + every committed streaming batch append."""
+def read_full_history(spark: SparkSession, store_path: str,
+                      before_batch_id: int | None = None) -> DataFrame:
+    """Base store + every committed streaming batch append.
+
+    ``before_batch_id`` excludes batch dirs with batch_id >= the given id —
+    REQUIRED when reading history for batch N itself: a crash between
+    batch N's commit and the checkpoint advance re-delivers batch N, and
+    with its own committed output in the history every one of its fps
+    looks like a dup, so the idempotent overwrite would replace the commit
+    with an EMPTY directory — permanent data loss, not a harmless re-run.
+
+    Also heals a crashed compaction first (recover_compaction is local,
+    idempotent, and cheap): a bucket left invisible mid-swap is a
+    DURABILITY hole for a dedup reader — absent history rows admit
+    permanent duplicates — not just an availability blip."""
+    recover_compaction(store_path)
     hist = inc.read_signature_store(spark, store_path)
     bdir = batches_dir(store_path)
     if os.path.isdir(bdir) and any(
             n.startswith("batch_id=") for n in os.listdir(bdir)):
-        extra = (spark.read.option("basePath", bdir).parquet(
+        extra = spark.read.option("basePath", bdir).parquet(
             os.path.join(bdir, "batch_id=*"))
-            .select("id", "fp", "minhash", "fpb"))
-        hist = hist.unionByName(extra)
+        if before_batch_id is not None:
+            # partition-pruned: batch_id is a partition column under bdir
+            extra = extra.filter(F.col("batch_id") < int(before_batch_id))
+        hist = hist.unionByName(
+            extra.select("id", "fp", "minhash", "fpb"))
     return hist
 
 
@@ -66,7 +88,11 @@ def run_dedup_stream(stream_docs: DataFrame, store_path: str,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        history = read_full_history(spark, store_path)
+        # exclude THIS batch's own (possibly committed) dir from history:
+        # on re-delivery it would dedup the batch against itself to zero
+        # and the idempotent overwrite would erase the commit
+        history = read_full_history(spark, store_path,
+                                    before_batch_id=batch_id)
         bstore = inc.signature_store(batch_df, id_col, text_col).persist()
         buckets = inc.batch_bucket_list(bstore)
         survivors, _near = inc.incremental_dedup(
@@ -112,11 +138,13 @@ def compact_store(spark: SparkSession, store_path: str,
     - staging is written fully before any swap; a crash before the first
       swap leaves the store untouched.
     - each partition swap is two renames (old → trash, staging → live); a
-      crash between them leaves that one bucket invisible to readers until
-      the next compact_store / recover_compaction call, which restores any
-      trash partition missing from the live store BEFORE doing anything
-      else — no committed row is ever lost, the window is availability,
-      not durability.
+      crash between them leaves that one bucket invisible until the next
+      recover_compaction, which restores any trash partition missing from
+      the live store. For a dedup reader an invisible bucket is a
+      DURABILITY hole (absent history admits permanent duplicates), so
+      read_full_history recovers unconditionally before every read —
+      compact_store and the stream path both go through it or call
+      recover_compaction first; no committed row is ever lost.
     - batch dirs are deleted only after ALL swaps; a crash in between
       leaves their rows duplicated against the freshly-folded partitions —
       harmless for dedup (anti-join/banding are idempotent under duplicate

@@ -74,26 +74,41 @@ def test_fpr_within_bound(spark, history, words):
 
 def test_flags_match_duckdb_exactly(spark, history):
     """Cross-engine parity of the full build+probe pipeline on mixed
-    member/non-member probes (DuckDB re-derives the word table itself)."""
+    member/non-member probes INCLUDING NULL keys on both sides (DuckDB
+    re-derives the word table itself). NULL semantics are the trap:
+    DuckDB's concat ignores NULL args (PARITY.md trap 25), so without
+    the CASE guard a NULL history key would set spurious bits and a NULL
+    probe would crash _XH_DUCK's '0x' cast."""
+    hist_nulls = history.unionByName(
+        spark.range(0, 3).select(F.lit(None).cast("string").alias("fp")))
     probes = spark.range(0, 1000).select(
         F.when(F.col("id") % 2 == 0,
                F.concat(F.lit("h"), F.col("id").cast("string")))
+        .when(F.col("id") % 9 == 1, F.lit(None).cast("string"))
         .otherwise(F.concat(F.lit("p"), F.col("id").cast("string")))
         .alias("fp"))
-    words = bloom.bloom_build(history, "fp", M, K)
-    got = sorted(map(tuple, bloom.bloom_might_contain(
-        probes, words, "fp", M, K).collect()))
+    words = bloom.bloom_build(hist_nulls, "fp", M, K)
+    by_key = lambda t: (t[0] is None, t[0] or "")
+    flags = bloom.bloom_might_contain(probes, words, "fp", M, K)
+    # output key column carries the caller's name — twin-aligned
+    assert flags.columns == ["fp", "might_contain"]
+    got = sorted(map(tuple, flags.collect()), key=by_key)
 
     con = duckdb.connect()
     keys_sql = ("SELECT concat('h', CAST(r AS VARCHAR)) AS fp "
-                "FROM (SELECT unnest(range(4000)) AS r)")
+                "FROM (SELECT unnest(range(4000)) AS r) "
+                "UNION ALL SELECT CAST(NULL AS VARCHAR) "
+                "FROM (SELECT unnest(range(3)))")
     probes_sql = (
         "SELECT CASE WHEN r % 2 = 0 THEN concat('h', CAST(r AS VARCHAR)) "
+        "WHEN r % 9 = 1 THEN CAST(NULL AS VARCHAR) "
         "ELSE concat('p', CAST(r AS VARCHAR)) END AS fp "
         "FROM (SELECT unnest(range(1000)) AS r)")
     want = sorted(map(tuple, con.execute(bloom.bloom_might_contain_sql_duck(
-        probes_sql, keys_sql, "fp", M, K)).fetchall()))
+        probes_sql, keys_sql, "fp", M, K)).fetchall()), key=by_key)
     assert got == want
+    # the NULL probe row exists and is flagged definitely-absent
+    assert (None, False) in got
 
 
 def test_prefilter_equals_plain_anti_join(spark, history):

@@ -74,6 +74,30 @@ def test_planted_dup_trips_dup_alarm(spark, docs):
     assert r["cur"]["dup_rate"] > 0.2
 
 
+def test_null_source_and_null_text_are_monitored_not_crashes(spark, docs):
+    """A crawl with missing metadata must be monitored, not kill the
+    monitor: NULL sources count under '(null source)' (mixed None/str
+    would TypeError in sorted()/json.dumps), and NULL-text docs are NOT
+    duplicates of each other (countDistinct ignoring NULL fps would
+    report n-1 phantom dups and false-page the dup alarm)."""
+    import json
+
+    holey = docs.withColumn(
+        "source", F.when(F.col("doc_id") % 4 == 0, F.lit(None))
+        .otherwise(F.col("source"))).withColumn(
+        "text", F.when(F.col("doc_id") % 4 == 0, F.lit(None))
+        .otherwise(F.col("text")))
+    s = snapshot_stats(holey)
+    assert s["docs"] == docs.count()
+    assert "(null source)" in s["by_source"]
+    # the unique docs stay unique: NULL texts carry per-doc sentinels
+    assert s["dup_rate"] == 0.0
+    r = monitor_corpus(docs, holey, n_buckets=256)
+    json.dumps(r, sort_keys=True)  # report must serialize
+    assert r["alarms"]["dup"] is False
+    assert "(null source)" in r["alarms"]["new_source"]
+
+
 def test_planted_quality_drop_and_source_change(spark, docs):
     bad = docs.withColumn(
         "text", F.lit("!!! ??? !!! ??? !!!")).withColumn(

@@ -79,6 +79,30 @@ def test_columns_and_validation(spark):
         pass
 
 
+def test_null_keys_excluded_both_engines(spark):
+    """NULL keys are routed out (no deterministic cross-engine NULL rule
+    exists — PARITY.md trap 25 + unbreakable (hash, key) ties); the Spark
+    op and the DuckDB twin agree on the surviving set."""
+    import duckdb
+
+    docs = _docs(spark).select(
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("doc_id")).alias("doc_id"), "source")
+    out = cp.quota_per_stratum(docs, cap=9)
+    assert out.filter(F.col("doc_id").isNull()).count() == 0
+    got = sorted(r.doc_id for r in out.select("doc_id").collect())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW base AS SELECT * FROM "
+                f"'{SF_DIR}/documents.parquet'")
+    con.execute("CREATE VIEW docs AS SELECT CASE WHEN doc_id % 5 = 0 "
+                "THEN NULL ELSE doc_id END AS doc_id, source FROM base")
+    want = sorted(r[0] for r in con.execute(
+        cp.quota_per_stratum_sql_duck("docs", cap=9, cols="doc_id")
+    ).fetchall())
+    assert got == want and len(got) > 0
+
+
 def test_plan_shape(spark):
     plan = cp.quota_per_stratum(_docs(spark), cap=7) \
         ._jdf.queryExecution().executedPlan().toString()

@@ -69,6 +69,55 @@ def test_streaming_drops_dedup_against_store_and_each_other(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_redelivered_batch_preserves_its_commit(spark, tmp_path):
+    """Commit-then-crash-before-checkpoint: re-delivery of batch N must
+    recompute the SAME survivors, not dedup the batch against its own
+    committed output to zero and erase the commit with the idempotent
+    overwrite (the before_batch_id exclusion in read_full_history)."""
+    corpus = [(i, f"redelivery corpus doc {i}") for i in range(8)]
+    store = str(tmp_path / "store")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    inc.write_signature_store(
+        inc.signature_store(spark.createDataFrame(corpus, SCHEMA)), store)
+    drop = [(300, corpus[0][1]), (301, "redelivered fresh doc one"),
+            (302, "redelivered fresh doc two")]
+    _write_drop(spark, drop, in_dir, "d1")
+    _run_once(spark, in_dir, store, str(tmp_path / "ckpt1"))
+    assert _kept_ids(spark, store) == [301, 302]
+    # a FRESH checkpoint replays the same input as batch 0 again — the
+    # exact state after a crash between commit and checkpoint advance
+    _run_once(spark, in_dir, store, str(tmp_path / "ckpt2"))
+    assert _kept_ids(spark, store) == [301, 302]  # not erased
+    spark.catalog.clearCache()
+
+
+@pytest.mark.slow
+def test_stream_read_heals_crashed_compaction(spark, tmp_path):
+    """A compact_store crash mid-swap leaves a bucket in trash with no
+    live counterpart; read_full_history must restore it BEFORE reading —
+    absent history rows would admit permanent duplicates (durability,
+    not availability)."""
+    corpus = [(i, f"compaction heal doc {i}") for i in range(12)]
+    store = str(tmp_path / "store")
+    inc.write_signature_store(
+        inc.signature_store(spark.createDataFrame(corpus, SCHEMA)), store)
+    full = sinc.read_full_history(spark, store).count()
+    assert full == 12
+    # simulate the crash window: one live bucket moved to trash, new copy
+    # never landed
+    live = sorted(d for d in os.listdir(store) if d.startswith("fpb="))
+    trash = store.rstrip("/") + ".compact.trash"
+    os.makedirs(trash)
+    os.rename(os.path.join(store, live[0]), os.path.join(trash, live[0]))
+    spark.catalog.refreshByPath(store)
+    hist = sinc.read_full_history(spark, store)
+    assert hist.count() == full  # healed, nothing lost
+    assert not os.path.isdir(os.path.join(trash, live[0]))
+    spark.catalog.clearCache()
+
+
+@pytest.mark.slow
 def test_full_history_unions_base_and_batches(spark, tmp_path):
     corpus = [(i, f"base doc {i}") for i in range(5)]
     store = str(tmp_path / "store")
