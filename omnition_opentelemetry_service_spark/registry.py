@@ -36,6 +36,7 @@ from .operators import dedup as dd
 from .operators import dsir
 from .operators import packing as pk
 from .operators import similarity as sim
+from .operators import urls as ur
 from .operators.batcher import salted_counts
 from .operators.carryforward import carry_forward
 from .operators.enrich import attrs_add, attrs_rename, attrs_to_str, enrich_with_dim
@@ -1226,6 +1227,27 @@ def q_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urls.py) over the deterministic
+    url fixture — every canon rule (scheme/www/port/userinfo/trailing
+    slash/tracking params/param sort/fragment/NULL) value-verified."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        F.expr(ur.url_fixture_sql("doc_id")).alias("url"))
+            .withColumn("canon_url", ur.canonical_url("url")))
+
+
+def q_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup group table (urls.url_dedup_groups — the CCNet
+    cheapest-identity pass). Fixture doc_ids congruent mod 100 with
+    variants in the same canon class COLLIDE, so dup_cnt > 1 groups are
+    guaranteed non-vacuous at sf0.01."""
+    docs = load(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id", F.expr(ur.url_fixture_sql("doc_id")).alias("url"))
+    return ur.url_dedup_groups(with_url)
+
+
 def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The rotated-out twins — NOT driver slots (the window is exactly 50);
     verified by check_oracle --extras and pytest with the identical gate."""
@@ -1234,6 +1256,8 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "drift_topk": q_drift_topk,
         "drift_grams": q_drift_grams,
         "quota_docs": q_quota_docs,
+        "url_canon": q_url_canon,
+        "url_dedup_groups": q_url_dedup_groups,
         "dsir_scores": q_dsir_scores,
         "dsir_select": q_dsir_select,
         "attrs_add": q_attrs_add,
@@ -1329,6 +1353,14 @@ def build_extra_oracle_sql() -> dict[str, str]:
 
     o["quota_docs"] = cp.quota_per_stratum_sql_duck(
         "documents", cap=_QUOTA_CAP)
+
+    # url fixture SQL is engine-NEUTRAL (CAST AS STRING aliases VARCHAR in
+    # DuckDB), so both engines synthesize byte-identical urls from doc_id
+    _url_fx = f"SELECT doc_id, {ur.url_fixture_sql('doc_id')} AS url FROM documents"
+    o["url_canon"] = (
+        f"SELECT doc_id, url, {ur.canonical_url_sql_duck('url')} AS canon_url "
+        f"FROM ({_url_fx})")
+    o["url_dedup_groups"] = ur.url_dedup_groups_sql_duck(_url_fx)
 
     return o
 

@@ -96,11 +96,18 @@ def test_recover_compaction_restores_mid_swap_bucket(spark, tmp_path):
     os.makedirs(trash)
     os.rename(os.path.join(store, bucket_dir), os.path.join(trash, bucket_dir))
     spark.catalog.refreshByPath(store)
-    assert len(_history_rows(spark, store)) < len(before)  # window visible
+    # the hole exists at the STORAGE level (raw read bypassing the heal)...
+    raw = spark.read.parquet(store).count()
+    assert raw < len(before)
+    # ...but read_full_history heals unconditionally before reading — an
+    # invisible bucket is a DURABILITY hole for a dedup reader, so the
+    # window must not be observable through the real read path
+    assert _history_rows(spark, store) == before
+    assert not os.listdir(trash)  # bucket moved back by the read's heal
 
-    restored = sinc.recover_compaction(store)
+    # the read already restored it, so an explicit recover is a no-op
     spark.catalog.refreshByPath(store)
-    assert restored == 1
+    assert sinc.recover_compaction(store) == 0
     assert _history_rows(spark, store) == before
 
     # a full compact after recovery works and is a no-op on content
