@@ -849,6 +849,106 @@ def line_dedup_sql_duck(table: str = "documents", min_count: int = 2,
     FROM {table} b LEFT JOIN agg a ON b.{id_col} = a.{id_col}"""
 
 
+def common_lines_grouped(docs: DataFrame, group_col: str,
+                         min_count: int = 2,
+                         text_col: str = "text") -> DataFrame:
+    """(group, line, n_occurrences): trimmed non-blank lines occurring
+    >= min_count times WITHIN one group — the per-host boilerplate set.
+    A site's nav/footer repeats on every page of THAT host while being
+    globally rare, so the corpus-wide count (common_lines) never reaches
+    min_count for it; keying the count by (group, line) is the CCNet
+    shard-local reading with the group as the shard. One explode + one
+    map-side-combinable groupBy on (group, line) — the composite key also
+    spreads a globally-hot line (e.g. a cookie banner shared by many
+    hosts) across groups instead of one reducer."""
+    return (docs
+            .select(F.col(group_col).alias("grp"),
+                    F.explode(F.split(F.col(text_col), '\n')).alias("raw"))
+            .select("grp", F.trim(F.col("raw")).alias("line"))
+            .filter(F.col("line") != "")
+            .groupBy("grp", "line")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= int(min_count))
+            .withColumnRenamed("grp", group_col))
+
+
+def line_dedup_grouped(docs: DataFrame, group_col: str, min_count: int = 2,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_lines, n_removed): line_dedup with the
+    removal set keyed PER GROUP (canonical host via urls.url_host, or
+    source) — a line is stripped from a doc only when common within that
+    doc's own group. NULL-group docs form their own group (Spark's
+    groupBy keeps a NULL key and the join below matches it via the
+    null-safe equality), so ungrouped docs still get within-group
+    dedup rather than silently skipping removal.
+
+    Shape at scale: identical to line_dedup (three line-grain exchanges,
+    no corpus-sized join) with (group, line) as the removal-join key —
+    strictly better skewed than the global line key."""
+    ls = F.split(F.col(text_col), '\n')
+    base = docs.select(id_col, text_col, F.size(ls).alias("n_lines"))
+    ex = (docs.select(
+        F.col(id_col), F.col(group_col).alias("_g"),
+        F.posexplode(ls).alias("pos", "raw"))
+        .withColumn("line", F.trim(F.col("raw"))))
+    rm = (common_lines_grouped(docs, group_col, min_count, text_col)
+          .select(F.col(group_col).alias("_g"), "line"))
+    kept = ex.join(rm, [ex["_g"].eqNullSafe(rm["_g"]),
+                        ex["line"] == rm["line"]], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "raw"))),
+                lambda s: s["raw"]), "\n").alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"))
+    return (base.join(agg, id_col, "left")
+            .select(
+                id_col,
+                F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+                .otherwise(F.coalesce("kept_text", F.lit("")))
+                .alias("clean_text"),
+                F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+                (F.coalesce("n_lines", F.lit(0))
+                 - F.coalesce("n_kept", F.lit(0))).alias("n_removed")))
+
+
+def line_dedup_grouped_sql_duck(table: str = "documents",
+                                group_col: str = "source",
+                                min_count: int = 2, id_col: str = "doc_id",
+                                text_col: str = "text") -> str:
+    """DuckDB twin of line_dedup_grouped: same trimmed-form counts per
+    (group, line), NULL-group matched via IS NOT DISTINCT FROM (the
+    null-safe-equality twin of eqNullSafe)."""
+    return f"""
+    WITH ls AS (SELECT {id_col}, {group_col} AS grp, {text_col},
+                       string_split({text_col}, chr(10)) AS lines
+                FROM {table}),
+    ex AS (
+      SELECT {id_col}, grp, pos, lines[pos] AS raw,
+             trim(lines[pos], ' ') AS line
+      FROM ls, unnest(range(1, len(lines) + 1)) t(pos)),
+    rm AS (
+      SELECT grp, line FROM ex WHERE line <> ''
+      GROUP BY grp, line HAVING count(*) >= {int(min_count)}),
+    kept AS (
+      SELECT e.* FROM ex e ANTI JOIN rm r
+      ON e.grp IS NOT DISTINCT FROM r.grp AND e.line = r.line),
+    agg AS (
+      SELECT {id_col},
+             string_agg(raw, chr(10) ORDER BY pos) AS kept_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY {id_col})
+    SELECT b.{id_col},
+           CASE WHEN b.{text_col} IS NULL THEN NULL
+                ELSE coalesce(a.kept_text, '') END AS clean_text,
+           CAST(coalesce(len(string_split(b.{text_col}, chr(10))), 0)
+                AS INTEGER) AS n_lines,
+           CAST(coalesce(len(string_split(b.{text_col}, chr(10))), 0)
+                - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM {table} b LEFT JOIN agg a ON b.{id_col} = a.{id_col}"""
+
+
 # ---------------------------------------------------------------------------
 # Per-stratum quota cap (RefinedWeb-style "at most N documents per domain",
 # Penedo et al. 2023 §3: per-domain caps stop a handful of mega-domains from
