@@ -1024,3 +1024,151 @@ def quota_per_stratum_sql_duck(table: str = "documents", cap: int = 40,
                 ORDER BY {h} ASC, {key_col} ASC) AS qr
       FROM {table} WHERE {key_col} IS NOT NULL)
     WHERE qr <= {int(cap)}"""
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr REMOVAL (Lee et al. 2021 §4.1, "ExactSubstr"): cut the
+# duplicated token runs OUT of each sequence, not just inventory them.
+# duplicated_token_spans / token_span_dedup_stats answer "how duplicated is
+# this doc"; this operator performs the actual surgery the paper ships —
+# every token position covered by a k-token window that also appears in
+# another sequence is removed, EXCEPT in the window's canonical keeper
+# sequence (min id over the sequences containing the gram), so exactly one
+# copy of every duplicated run survives corpus-wide.
+# ---------------------------------------------------------------------------
+
+
+def _cut_starts(seqs: DataFrame, k: int, min_docs: int, id_col: str,
+                tokens_col: str) -> DataFrame:
+    """(id, pos) — 1-based window starts to cut: occurrences of a hot gram
+    (shared by >= min_docs sequences) in every sequence EXCEPT the gram's
+    keeper (min id). Shuffles: explode -> groupBy(gram) for the hot set
+    (map-side partial min/countDistinct), equi-join occ<->hot on gram
+    (co-partitioned by the groupBy), then the caller's groupBy(id). The
+    exploded occ table is recomputed by the join rather than persisted —
+    at corpus scale a cached explode is bigger than the rescan (the
+    span_dedup_stats two-consumer note)."""
+    occ = seqs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr(_token_grams_expr(k, tokens_col)))
+        .alias("pos0", "gram"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "gram")
+    hot = (occ.groupBy("gram")
+           .agg(F.countDistinct("id").alias("n_docs"),
+                F.min("id").alias("keep_id"))
+           .filter(F.col("n_docs") >= int(min_docs))
+           .select("gram", "keep_id"))
+    return (occ.join(hot, "gram")
+            .filter(F.col("id") != F.col("keep_id"))
+            .select("id", "pos"))
+
+
+def remove_duplicated_token_spans(seqs: DataFrame, k: int = 8,
+                                  min_docs: int = 2, id_col: str = "doc_id",
+                                  tokens_col: str = "tokens") -> DataFrame:
+    """ExactSubstr-cut (Lee et al. 2021): per sequence, drop every token
+    position covered by a cross-sequence-duplicated k-window whose keeper
+    is another sequence. Returns the full input row set (cut or not) as
+    (id_col, n_before, n_kept, kept_tokens) — callers needing the
+    space-joined string form use remove_duplicated_token_spans_str.
+
+    Semantics (deterministic, engine-identical):
+    - hot gram = k-window string shared by >= min_docs DISTINCT sequences;
+      its keeper is the min id (string compare — ASCII ids in both
+      engines). The keeper keeps ALL its occurrences (including in-doc
+      repeats: in-doc repetition is Gopher's job, repetition_stats);
+      every other sequence cuts positions [pos, pos+k-1] per occurrence.
+    - overlapping cut windows merge naturally (position-level union);
+      sequences shorter than k have no windows and pass through whole.
+
+    Shape at scale: two corpus exchanges (gram, then id for the cut-list
+    groupBy) plus one id-keyed left join back to the input — no
+    all-pairs anywhere; the cut list per sequence is bounded by its
+    window count. The doc-local rebuild is O(n_tok * n_cut_starts) worst
+    case, both factors bounded by the sequence-length cap the pipeline
+    enforces upstream (caps.reject_oversized).
+    """
+    cuts = (_cut_starts(seqs, k, min_docs, id_col, tokens_col)
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.sort_array(F.collect_set("pos")).alias("_cut_starts")))
+    kept = (
+        f"CASE WHEN _cut_starts IS NULL THEN {tokens_col} "
+        f"ELSE transform(filter(sequence(1, size({tokens_col})), "
+        f"p -> NOT exists(_cut_starts, s -> p >= s AND p <= s + {k} - 1)), "
+        f"p -> {tokens_col}[p - 1]) END"
+    )
+    return (seqs.join(cuts, id_col, "left")
+            .select(F.col(id_col),
+                    F.size(tokens_col).alias("n_before"),
+                    F.expr(kept).alias("kept_tokens"))
+            .withColumn("n_kept", F.size("kept_tokens"))
+            .select(id_col, "n_before", "n_kept", "kept_tokens"))
+
+
+def remove_duplicated_token_spans_str(seqs: DataFrame, k: int = 8,
+                                      min_docs: int = 2,
+                                      id_col: str = "doc_id",
+                                      tokens_col: str = "tokens"
+                                      ) -> DataFrame:
+    """String-keyed projection of the cut result (kept_str = space-joined
+    kept tokens) — the cross-engine value-hash surface (array columns
+    stringify engine-differently; strings don't)."""
+    out = remove_duplicated_token_spans(seqs, k, min_docs, id_col,
+                                        tokens_col)
+    return out.select(
+        id_col, "n_before", "n_kept",
+        F.array_join(F.expr("transform(kept_tokens, t -> CAST(t AS STRING))"),
+                     " ").alias("kept_str"))
+
+
+def remove_duplicated_token_spans_sql_duck(seqs_cte: str, k: int = 8,
+                                           min_docs: int = 2,
+                                           id_col: str = "doc_id",
+                                           tokens_col: str = "tokens"
+                                           ) -> str:
+    """DuckDB twin of remove_duplicated_token_spans_str — fully relational
+    (positions exploded, covered positions removed by a NOT EXISTS range
+    predicate; the oracle need not mirror the doc-local array rebuild,
+    only its values). string_agg over empty group -> the LEFT JOIN +
+    coalesce pins Spark's array_join('')-on-empty semantics (trap 26)."""
+    return f"""
+    WITH seqs0 AS ({seqs_cte}), gs AS (
+      SELECT {id_col} AS id, {tokens_col} AS toks,
+             CASE WHEN len({tokens_col}) < {k}
+               THEN CAST([] AS STRUCT(pos INTEGER, gram VARCHAR)[])
+               ELSE list_transform(range(len({tokens_col}) - {k} + 1),
+                 i -> {{'pos': CAST(i + 1 AS INTEGER),
+                       'gram': list_aggregate(list_transform(
+                          list_slice({tokens_col}, CAST(i + 1 AS INTEGER),
+                                     CAST(i + {k} AS INTEGER)),
+                          t -> CAST(t AS VARCHAR)), 'string_agg', ' ')}})
+             END AS ws
+      FROM seqs0
+    ), occ AS (
+      SELECT id, u.pos AS pos, u.gram AS gram
+      FROM (SELECT id, unnest(ws) AS u FROM gs)
+    ), hot AS (
+      SELECT gram, min(id) AS keep_id FROM occ
+      GROUP BY 1 HAVING count(DISTINCT id) >= {min_docs}
+    ), cuts AS (
+      SELECT o.id, o.pos FROM occ o JOIN hot h USING (gram)
+      WHERE o.id <> h.keep_id
+    ), positions AS (
+      SELECT id, p + 1 AS p, toks[p + 1] AS tok
+      FROM (SELECT id, toks, unnest(range(len(toks))) AS p FROM gs)
+    ), kept AS (
+      SELECT ps.id,
+             count(*) AS n_kept,
+             string_agg(CAST(ps.tok AS VARCHAR), ' ' ORDER BY ps.p)
+               AS kept_str
+      FROM positions ps
+      WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                        WHERE c.id = ps.id
+                          AND ps.p BETWEEN c.pos AND c.pos + {k} - 1)
+      GROUP BY 1
+    )
+    SELECT g.id AS {id_col},
+           CAST(len(g.toks) AS INTEGER) AS n_before,
+           CAST(coalesce(kp.n_kept, 0) AS INTEGER) AS n_kept,
+           coalesce(kp.kept_str, '') AS kept_str
+    FROM gs g LEFT JOIN kept kp ON g.id = kp.id"""

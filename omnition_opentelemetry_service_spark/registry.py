@@ -1227,6 +1227,22 @@ def q_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+# span removal runs on a pinned slice of the sequence fixture: the cut
+# itself is corpus-shaped (two bounded exchanges), but the DuckDB oracle's
+# relational NOT-EXISTS-range rebuild is quadratic-ish, so the extras
+# fixture stays small enough for the gate while cutting >50% of rows.
+_SPANRM_N = 2_000
+_SPANRM_K = 6
+
+
+def q_span_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-cut (corpus.remove_duplicated_token_spans — Lee et al.
+    2021): duplicated k-token runs are cut from every sequence except the
+    gram's keeper; string-projected for the cross-engine hash."""
+    return cp.remove_duplicated_token_spans_str(
+        fx.sequences(spark, _SPANRM_N), k=_SPANRM_K, min_docs=2)
+
+
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (operators/urls.py) over the deterministic
     url fixture — every canon rule (scheme/www/port/userinfo/trailing
@@ -1256,6 +1272,7 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "drift_topk": q_drift_topk,
         "drift_grams": q_drift_grams,
         "quota_docs": q_quota_docs,
+        "span_removed": q_span_removed,
         "url_canon": q_url_canon,
         "url_dedup_groups": q_url_dedup_groups,
         "dsir_scores": q_dsir_scores,
@@ -1353,6 +1370,9 @@ def build_extra_oracle_sql() -> dict[str, str]:
 
     o["quota_docs"] = cp.quota_per_stratum_sql_duck(
         "documents", cap=_QUOTA_CAP)
+
+    o["span_removed"] = cp.remove_duplicated_token_spans_sql_duck(
+        fx.sequences_sql_duck(_SPANRM_N), k=_SPANRM_K, min_docs=2)
 
     # url fixture SQL is engine-NEUTRAL (CAST AS STRING aliases VARCHAR in
     # DuckDB), so both engines synthesize byte-identical urls from doc_id
