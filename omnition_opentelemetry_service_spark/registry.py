@@ -1243,6 +1243,18 @@ def q_span_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
         fx.sequences(spark, _SPANRM_N), k=_SPANRM_K, min_docs=2)
 
 
+def q_html_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/html.py) over the deterministic
+    HTML fixture — script/style/comment drop, tag strip, entity decode,
+    ws collapse, all value-verified."""
+    from .functions import html as hh
+
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        F.expr(hh.html_fixture_sql()).alias("html"))
+            .select("doc_id", hh.strip_html("html").alias("clean")))
+
+
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (operators/urls.py) over the deterministic
     url fixture — every canon rule (scheme/www/port/userinfo/trailing
@@ -1273,6 +1285,7 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "drift_grams": q_drift_grams,
         "quota_docs": q_quota_docs,
         "span_removed": q_span_removed,
+        "html_stripped": q_html_stripped,
         "url_canon": q_url_canon,
         "url_dedup_groups": q_url_dedup_groups,
         "dsir_scores": q_dsir_scores,
@@ -1373,6 +1386,13 @@ def build_extra_oracle_sql() -> dict[str, str]:
 
     o["span_removed"] = cp.remove_duplicated_token_spans_sql_duck(
         fx.sequences_sql_duck(_SPANRM_N), k=_SPANRM_K, min_docs=2)
+
+    from .functions import html as hh
+
+    o["html_stripped"] = (
+        f"SELECT doc_id, {hh.strip_html_sql_duck('html')} AS clean "
+        f"FROM (SELECT doc_id, {hh.html_fixture_sql()} AS html "
+        f"FROM documents)")
 
     # url fixture SQL is engine-NEUTRAL (CAST AS STRING aliases VARCHAR in
     # DuckDB), so both engines synthesize byte-identical urls from doc_id
