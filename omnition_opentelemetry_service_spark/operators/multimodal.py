@@ -346,3 +346,150 @@ def resize_media(media: DataFrame, out_width: int = 32,
             yield out
 
     return widen_if_narrow(media).mapInPandas(rs, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual near-dup: average-hash (aHash) over the REAL decode
+# path. The standard image-dedup identity for crawl pipelines (LAION-style
+# pHash-family dedup): resize to 8x8, grayscale, threshold each cell
+# against the image mean, pack 64 bits. Near-identical images (re-encodes,
+# small edits) land within a few Hamming bits; pairing reuses the SimHash
+# banding discipline (dedup.py simhash_band_pairs).
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "doc_id bigint, media_type string, ahash bigint"
+_AHASH_SIDE = 8  # 8x8 = 64 bits
+
+
+def ahash_from_pixels(arr) -> int:
+    """The ONE aHash definition (the Python model in tests recomputes it
+    loop-wise): nearest-neighbor resample to 8x8 (media_codecs.resize_nearest
+    — integer index arithmetic), grayscale as the integer CHANNEL SUM
+    (0..765 — no float weights), threshold cell > image mean via the exact
+    integer cross-multiplication ``lum*64 > total`` (no division, no float
+    anywhere), bit i = row-major cell index. Bit 63 may be set: the packed
+    value is returned as a SIGNED int64 (two's complement) because Spark
+    BIGINT and DuckDB BIGINT both are — PARITY trap 23 is about SQL-side
+    shifting into the sign bit, which this module never does (band
+    extraction masks AFTER shifting, see image_hash_bands)."""
+    from . import media_codecs as mc
+
+    small = mc.resize_nearest(arr, _AHASH_SIDE, _AHASH_SIDE)
+    lum = small.astype("int64").sum(axis=2)  # (8, 8) channel sums
+    total = int(lum.sum())
+    bits = 0
+    for i, v in enumerate(int(x) for x in lum.flatten()):
+        if v * (_AHASH_SIDE * _AHASH_SIDE) > total:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """(doc_id, media_type, ahash) for image rows (image/png, image/ppm);
+    non-image rows are filtered out JVM-SIDE before the kernel (the decode
+    never sees audio/video buffers). mapInPandas Arrow batches — the
+    decode is inherently Python; everything downstream of this table is
+    pure JVM expressions."""
+
+    def hashes(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from . import media_codecs as mc
+
+        for pdf in it:
+            rows = []
+            for did, buf, mt in zip(pdf["doc_id"], pdf["media"],
+                                    pdf["media_type"]):
+                b = bytes(buf)
+                arr = (mc.decode_png(b) if mt == "image/png"
+                       else mc.decode_ppm(b))
+                if arr.ndim == 3 and arr.shape[2] == 4:
+                    arr = arr[:, :, :3]
+                if arr.ndim == 3 and arr.shape[2] == 1:
+                    arr = arr.repeat(3, axis=2)
+                rows.append({"doc_id": int(did), "media_type": mt,
+                             "ahash": ahash_from_pixels(arr)})
+            yield pd.DataFrame(rows)
+
+    imgs = media.filter(F.col("media_type").isin("image/png", "image/ppm"))
+    return widen_if_narrow(imgs).mapInPandas(hashes, schema=AHASH_SCHEMA)
+
+
+def image_hash_bands(df: DataFrame, hash_col: str = "ahash",
+                     n_bands: int = 4) -> DataFrame:
+    """Explode each hash into (band_id, band_key) rows: 4 bands x 16 bits.
+    Band extraction is shift-then-mask — arithmetic vs logical shift is
+    irrelevant because ``& 65535`` keeps only the low 16 bits either way,
+    so Spark shiftright and DuckDB >> agree even on negative hashes."""
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), "
+        f"b -> named_struct('band_id', b, "
+        f"'band_key', (shiftright({hash_col}, b * {width}) & {mask})))")
+    return (df.withColumn("_b", F.explode(bands))
+            .select("*", F.col("_b.band_id").alias("band_id"),
+                    F.col("_b.band_key").alias("band_key"))
+            .drop("_b"))
+
+
+def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3,
+                         id_col: str = "doc_id",
+                         hash_col: str = "ahash") -> DataFrame:
+    """(id_a, id_b, hamming) with hamming(aHash) <= max_hamming, id_a <
+    id_b. Banded equi-join: 4 x 16-bit bands — pigeonhole guarantees
+    recall 1.0 for max_hamming <= 3 (4 bands can absorb at most 3 bit
+    flips and still share an untouched band); candidates verify with one
+    xor+bit_count, distinct-deduped across bands BEFORE the verify
+    (each pair carries its two hashes, so dedup and verify need no join
+    back). Pure JVM end to end; shuffle keys are (band_id, band_key) then
+    the pair dedup — no cartesian anywhere (pinned in tests)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"4x16 banding guarantees recall only to hamming 3; "
+            f"got {max_hamming} (raise n_bands instead)")
+    b = image_hash_bands(hashes, hash_col)
+    left = b.select(F.col(id_col).alias("id_a"),
+                    F.col(hash_col).alias("h_a"), "band_id", "band_key")
+    right = b.select(F.col(id_col).alias("id_b"),
+                     F.col(hash_col).alias("h_b"), "band_id", "band_key")
+    cand = (left.join(right, ["band_id", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "h_a", "h_b").distinct())
+    return (cand.withColumn(
+        "hamming", F.bit_count(F.expr("h_a ^ h_b")).cast("int"))
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming"))
+
+
+def image_near_dup_pairs_sql_duck(hash_rows: list[tuple[int, int]],
+                                  max_hamming: int = 3) -> str:
+    """DuckDB twin of the band join + verify, over an explicit hash table
+    (the hash kernel itself is Python/numpy decode — its oracle is the
+    loop-wise Python model in tests; THIS twin proves the pairing logic
+    end-to-end from independently computed hashes). VALUES rows CAST
+    per trap 18."""
+    if not hash_rows:
+        return ("SELECT CAST(NULL AS BIGINT) AS id_a, "
+                "CAST(NULL AS BIGINT) AS id_b, "
+                "CAST(NULL AS INTEGER) AS hamming WHERE FALSE")
+    vals = ", ".join(
+        f"(CAST({i} AS BIGINT), CAST({h} AS BIGINT))" for i, h in hash_rows)
+    return f"""
+    WITH hs AS (SELECT * FROM (VALUES {vals}) AS t(doc_id, ahash)),
+    bands AS (
+      SELECT doc_id, ahash, b.band_id,
+             (ahash >> (b.band_id * 16)) & 65535 AS band_key
+      FROM hs, (SELECT unnest(range(4)) AS band_id) b
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.ahash AS h_a, r.ahash AS h_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+      WHERE l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(h_a, h_b)) <= {int(max_hamming)}"""

@@ -1,0 +1,141 @@
+"""Image perceptual near-dup (multimodal.image_ahash /
+image_near_dup_pairs): loop-wise Python model parity for the hash kernel,
+planted near-dup geometry, pigeonhole recall vs brute force, the DuckDB
+pairing twin, and the no-cartesian plan pin."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from omnition_opentelemetry_service_spark.operators import media_codecs as mc
+from omnition_opentelemetry_service_spark.operators import multimodal as mm
+
+
+def _model_ahash(arr) -> int:
+    """Independent loop-wise reference: nearest-neighbor indices, channel
+    sums, integer cross-multiplied threshold — no numpy vector ops, no
+    calls into the operator under test."""
+    h, w = arr.shape[0], arr.shape[1]
+    lums = []
+    for r in range(8):
+        for c in range(8):
+            y, x = (r * h) // 8, (c * w) // 8
+            lums.append(int(arr[y][x][0]) + int(arr[y][x][1])
+                        + int(arr[y][x][2]))
+    total = sum(lums)
+    bits = 0
+    for i, v in enumerate(lums):
+        if v * 64 > total:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, media binary, media_type string")
+
+
+def _checker(flip=()):
+    """8x8 two-level image, every cell far from the mean; flipping pixel
+    (r, c) flips exactly that aHash bit."""
+    arr = np.zeros((8, 8, 3), np.uint8)
+    for r in range(8):
+        for c in range(8):
+            if (r + c) % 2 == 0:
+                arr[r, c] = 200
+    for r, c in flip:
+        arr[r, c] = 0 if (r + c) % 2 == 0 else 200
+    return arr
+
+
+def test_kernel_matches_loop_model_on_fixture(spark):
+    docs = spark.range(0, 48).select(F.col("id").alias("doc_id"))
+    media = mm.with_real_media(docs)
+    got = {r.doc_id: r.ahash for r in mm.image_ahash(media).collect()}
+    # images only (doc_id % 4 in {0, 2}); audio/video rows filtered out
+    assert set(got) == {i for i in range(48) if i % 4 in (0, 2)}
+    for r in media.collect():
+        if r.media_type not in ("image/png", "image/ppm"):
+            continue
+        b = bytes(r.media)
+        arr = (mc.decode_png(b) if r.media_type == "image/png"
+               else mc.decode_ppm(b))
+        assert got[r.doc_id] == _model_ahash(arr), r.doc_id
+
+
+def test_planted_near_dup_within_hamming(spark):
+    base = _checker()
+    near = _checker(flip=[(0, 0), (3, 4)])      # 2 bits
+    far = _checker(flip=[(r, c) for r in range(8) for c in range(4)])
+    rows = [(1, mc.encode_png(base), "image/png"),
+            (2, mc.encode_png(near), "image/png"),
+            (3, mc.encode_png(far), "image/png")]
+    hashes = mm.image_ahash(_media_df(spark, rows))
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in mm.image_near_dup_pairs(hashes, max_hamming=3)
+             .collect()}
+    assert pairs == {(1, 2): 2}
+
+
+def test_reencode_is_exact_dup(spark):
+    # the SAME pixels through two codecs (png filter variants + ppm) hash
+    # identically — hamming 0, the re-encode dedup case
+    arr = _checker(flip=[(5, 5)])
+    rows = [(10, mc.encode_png(arr, filter_type=2), "image/png"),
+            (11, mc.encode_png(arr, filter_type=4), "image/png"),
+            (12, mc.encode_ppm(arr), "image/ppm")]
+    hashes = mm.image_ahash(_media_df(spark, rows))
+    out = mm.image_near_dup_pairs(hashes, max_hamming=0).collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in out} == {
+        (10, 11, 0), (10, 12, 0), (11, 12, 0)}
+
+
+def test_pigeonhole_recall_vs_brute_force(spark):
+    docs = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    hashes_df = mm.image_ahash(mm.with_real_media(docs))
+    hs = {r.doc_id: r.ahash for r in hashes_df.collect()}
+    brute = {(a, b, bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1"))
+             for a in hs for b in hs if a < b
+             and bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= 3}
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in mm.image_near_dup_pairs(hashes_df, 3).collect()}
+    assert got == brute
+
+
+def test_pairs_match_duckdb_twin(spark):
+    docs = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    media = mm.with_real_media(docs)
+    hashes_df = mm.image_ahash(media)
+    got = {tuple(r) for r in
+           mm.image_near_dup_pairs(hashes_df, 3).collect()}
+    # model hashes (independent of the Spark kernel) feed the SQL twin
+    model_rows = []
+    for r in media.collect():
+        if r.media_type not in ("image/png", "image/ppm"):
+            continue
+        b = bytes(r.media)
+        arr = (mc.decode_png(b) if r.media_type == "image/png"
+               else mc.decode_ppm(b))
+        model_rows.append((r.doc_id, _model_ahash(arr)))
+    d = set(map(tuple, duckdb.connect().execute(
+        mm.image_near_dup_pairs_sql_duck(model_rows, 3)).fetchall()))
+    assert got == d
+
+
+def test_max_hamming_above_band_guarantee_rejected(spark):
+    docs = spark.range(0, 4).select(F.col("id").alias("doc_id"))
+    hashes = mm.image_ahash(mm.with_real_media(docs))
+    with pytest.raises(ValueError):
+        mm.image_near_dup_pairs(hashes, max_hamming=4)
+
+
+def test_no_cartesian_in_pair_plan(spark):
+    docs = spark.range(0, 16).select(F.col("id").alias("doc_id"))
+    hashes = mm.image_ahash(mm.with_real_media(docs))
+    plan = (mm.image_near_dup_pairs(hashes, 3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
