@@ -17,18 +17,31 @@ surface at all):
    malformed block survives as text — the conservative direction for a
    data pipeline is keeping bytes, not guessing at dropping them);
 2. drop HTML comments ``<!-- ... -->`` (non-greedy, dotall);
-3. replace every remaining tag ``<[^>]*>`` with a SPACE (not '': tags
-   separate words — ``a</p><p>b`` must not fuse into ``ab``);
-4. decode the six core character entities via LITERAL replace (no regex):
+3. replace BLOCK-level tags (p/div/br/h1-6/li/tr/table/...) with a
+   NEWLINE — this is what makes the output line-grain real, so the
+   downstream line-level boilerplate dedup (corpus.line_dedup_grouped,
+   the CCNet pass) has lines to work on; a flat everything-to-space
+   strip would collapse each page to one line and blind that stage;
+4. replace every remaining tag ``<[^>]*>`` with a SPACE (not '': inline
+   tags separate words — ``a<i>b</i>`` must not fuse into ``ab``);
+5. decode the six core character entities via LITERAL replace (no regex):
    &lt; &gt; &quot; &#39; &apos; &nbsp;, then &amp; LAST (decoding amp
    first would double-decode ``&amp;lt;`` → ``<``). Numeric/exotic
    entities beyond these stay verbatim — documented scope, same in both
    engines;
-5. collapse whitespace runs to one space (the shared WS class from
-   functions/text.py — spelled-out Java ``\\s`` set, because RE2's \\s
-   lacks vertical tab) and trim.
+6. collapse NON-newline whitespace runs to one space (the text.py WS
+   class minus ``\\n`` — spelled out because RE2's ``\\s`` lacks
+   vertical tab), strip spaces around newlines, collapse newline runs
+   to one, strip leading/trailing newlines, trim.
 
 NULL text → NULL out in both engines (every step NULL-propagates).
+
+Escaping note: the STRUCTURAL patterns (script/style/comment/tag) are
+backslash-free, so trap 24 has no surface there. The whitespace/boundary
+patterns use regex-level escapes (``\\t`` ``\\n`` ``\\x0B`` ``\\b``) that
+java.util.regex and RE2 interpret identically; they reach Java via the
+Column API (no SQL-literal layer) and DuckDB verbatim inside a literal —
+the same two-context discipline as functions/text.py WS.
 
 Shape at scale: pure projection — whole-stage codegen, rides the scan,
 no shuffle, no Python. The chained regexp_replace passes are each one
@@ -40,15 +53,25 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .text import WS, WS_SQL_DUCK
-
-# backslash-free by construction (see module doc). Order matters:
-# script/style/comment blocks BEFORE the generic tag strip (the generic
-# rule would eat '<script>' itself and leave its body behind).
+# Order matters: script/style/comment blocks BEFORE the block/tag strips
+# (the generic rules would eat '<script>' itself and leave its body
+# behind), block tags before the generic tag rule (which would turn them
+# into spaces).
 SCRIPT_RX = "(?is)<script[^>]*>.*?</script>"
 STYLE_RX = "(?is)<style[^>]*>.*?</style>"
 COMMENT_RX = "(?s)<!--.*?-->"
+# \b keeps '<p ...>' from also matching '<param ...>' (ASCII word
+# boundary — same semantics in java.util.regex and RE2; RE2 has no
+# lookahead, so the boundary is the portable spelling).
+BLOCK_TAG_RX = (r"(?i)</?(p|div|br|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|"
+                r"table|thead|tbody|blockquote|section|article|header|"
+                r"footer|nav|pre|form|hr|fieldset|address|center)\b[^>]*>")
 TAG_RX = "<[^>]*>"
+# text.py's WS class minus \n (newlines are now structure, not noise).
+SP_RUN = r"[ \t\x0B\f\r]+"
+NL_TRIM = r"[ \t\x0B\f\r]*\n[ \t\x0B\f\r]*"
+NL_RUN = r"\n+"
+NL_EDGE = r"^\n+|\n+$"
 
 # literal (non-regex) entity decodes; &amp; strictly last.
 ENTITIES = [
@@ -58,28 +81,44 @@ ENTITIES = [
 ]
 
 
+# (pattern, replacement) — ONE ordered recipe both engines consume.
+_REGEX_STEPS = [
+    (SCRIPT_RX, " "), (STYLE_RX, " "), (COMMENT_RX, " "),
+    (BLOCK_TAG_RX, "\n"), (TAG_RX, " "),
+]
+_WS_STEPS = [(SP_RUN, " "), (NL_TRIM, "\n"), (NL_RUN, "\n"), (NL_EDGE, "")]
+
+
 def strip_html(col: str = "html") -> Column:
-    """Visible text of an HTML document per the module recipe."""
+    """Visible line-structured text of an HTML document per the module
+    recipe."""
     out = F.col(col)
-    for rx in (SCRIPT_RX, STYLE_RX, COMMENT_RX, TAG_RX):
-        out = F.regexp_replace(out, rx, " ")
+    for rx, rep in _REGEX_STEPS:
+        out = F.regexp_replace(out, rx, rep)
     for ent, ch in ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(out, WS, " "))
+    for rx, rep in _WS_STEPS:
+        out = F.regexp_replace(out, rx, rep)
+    return F.trim(out)
 
 
 def strip_html_sql_duck(col: str = "html") -> str:
     """DuckDB twin — same patterns, same order; 'g' flag per the
     replace-all divergence (functions/text.py module doc); quotes in
-    literals doubled for the SQL string."""
+    literals doubled for the SQL string; the '\\n' REPLACEMENT is spelled
+    chr(10) (replacement strings, unlike patterns, are NOT regex-decoded
+    by DuckDB — a literal '\\n' replacement writes backslash-n)."""
     out = col
-    for rx in (SCRIPT_RX, STYLE_RX, COMMENT_RX, TAG_RX):
-        out = f"regexp_replace({out}, '{rx}', ' ', 'g')"
-    for ent, ch in ENTITIES:
-        e = ent.replace("'", "''")
-        c = ch.replace("'", "''")
-        out = f"replace({out}, '{e}', '{c}')"
-    return f"trim(regexp_replace({out}, '{WS_SQL_DUCK}', ' ', 'g'))"
+    nl = "chr(10)"
+    for rx, rep in _REGEX_STEPS + _WS_STEPS:
+        r = nl if rep == "\n" else f"'{rep}'"
+        out = f"regexp_replace({out}, '{rx}', {r}, 'g')"
+        if rx is TAG_RX:
+            for ent, ch in ENTITIES:
+                e = ent.replace("'", "''")
+                c = ch.replace("'", "''")
+                out = f"replace({out}, '{e}', '{c}')"
+    return f"trim({out}, ' ')"
 
 
 def html_fixture_sql(text_col: str = "text", id_col: str = "doc_id") -> str:

@@ -37,8 +37,13 @@ def test_script_style_comment_blocks_dropped(spark):
         "<!-- c <i>x</i> -->hello") == "hello"
 
 
-def test_tags_become_word_separators(spark):
-    assert _both(spark, "a</p><p>b") == "a b"
+def test_block_tags_become_lines_inline_tags_spaces(spark):
+    assert _both(spark, "a</p><p>b") == "a\nb"
+    assert _both(spark, "a<i>b</i>c") == "a b c"
+    assert _both(spark, "x<br/>y<hr>z") == "x\ny\nz"
+    # \b guard: '<param>' must NOT match the '<p ...>' block rule
+    assert _both(spark, "a<param x=1>b") == "a b"
+    assert _both(spark, '<div class="x">a</div><div>b</div>') == "a\nb"
 
 
 def test_entity_decode_order_amp_last(spark):
@@ -55,8 +60,11 @@ def test_unclosed_script_degrades_to_tag_strip(spark):
 
 
 def test_multiline_blocks_and_ws_collapse(spark):
-    assert _both(spark, "<script>\nline1\nline2\n</script>a\n\n  b\tc") \
-        == "a b c"
+    # script body (incl. its newlines) vanishes; source newlines in TEXT
+    # survive as line structure, runs collapse, edges strip
+    assert _both(spark, "<script>\nline1\nline2\n</script>a\n\n  b\tc\n") \
+        == "a\nb c"
+    assert _both(spark, "\n\n<p>only</p>\n\n") == "only"
 
 
 def test_null_propagates(spark):
