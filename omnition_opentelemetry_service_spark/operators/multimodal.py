@@ -493,3 +493,55 @@ def image_near_dup_pairs_sql_duck(hash_rows: list[tuple[int, int]],
     )
     SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
     FROM cand WHERE bit_count(xor(h_a, h_b)) <= {int(max_hamming)}"""
+
+
+def audio_ahash_from_samples(samples) -> int:
+    """Audio counterpart of ahash_from_pixels — the ONE definition (tests
+    recompute it loop-wise): 64 equal time windows (nearest-boundary
+    index arithmetic, the resize_nearest rule on the time axis), window
+    ENERGY as the integer sum of |sample| (int64 — abs(-32768) overflows
+    int16), bit w set iff the window's MEAN energy exceeds the clip mean,
+    decided by the exact integer cross-multiplication
+    ``sum_w * n > total * len_w`` (no division, no float). Clips shorter
+    than 64 samples leave their empty windows at 0 (sum_w = len_w = 0 →
+    0 > 0 false). Same signed-int64 packing note as the image hash."""
+    n = int(len(samples))
+    if n == 0:
+        raise ValueError("empty audio clip has no envelope hash")
+    absx = [abs(int(s)) for s in samples]
+    total = sum(absx)
+    bits = 0
+    for w in range(64):
+        lo, hi = (w * n) // 64, ((w + 1) * n) // 64
+        sum_w = sum(absx[lo:hi])
+        if sum_w * n > total * (hi - lo):
+            bits |= 1 << w
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def audio_ahash(media: DataFrame) -> DataFrame:
+    """(doc_id, media_type, ahash) for audio/wav rows — the perceptual
+    identity for re-encoded / slightly-edited clips; same JVM-side
+    modality filter and Arrow-batch shape as image_ahash."""
+
+    def hashes(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from . import media_codecs as mc
+
+        for pdf in it:
+            rows = []
+            for did, buf in zip(pdf["doc_id"], pdf["media"]):
+                samples, _rate = mc.decode_wav(bytes(buf))
+                rows.append({"doc_id": int(did), "media_type": "audio/wav",
+                             "ahash": audio_ahash_from_samples(samples)})
+            yield pd.DataFrame(rows)
+
+    clips = media.filter(F.col("media_type") == "audio/wav")
+    return widen_if_narrow(clips).mapInPandas(hashes, schema=AHASH_SCHEMA)
+
+
+# the pairing is modality-agnostic (any 64-bit perceptual hash):
+ahash_near_dup_pairs = image_near_dup_pairs

@@ -139,3 +139,57 @@ def test_no_cartesian_in_pair_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- audio envelope hash (the modality-agnostic pairing reused) ----------
+
+def _model_audio_ahash(samples) -> int:
+    n = len(samples)
+    absx = [abs(int(s)) for s in samples]
+    total = sum(absx)
+    bits = 0
+    for w in range(64):
+        lo, hi = (w * n) // 64, ((w + 1) * n) // 64
+        s = 0
+        for i in range(lo, hi):
+            s += absx[i]
+        if s * n > total * (hi - lo):
+            bits |= 1 << w
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def test_audio_kernel_matches_loop_model(spark):
+    docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    media = mm.with_real_media(docs)
+    got = {r.doc_id: r.ahash for r in mm.audio_ahash(media).collect()}
+    assert set(got) == {i for i in range(60) if i % 4 == 1}
+    for r in media.collect():
+        if r.media_type != "audio/wav":
+            continue
+        samples, _ = mc.decode_wav(bytes(r.media))
+        assert got[r.doc_id] == _model_audio_ahash(samples), r.doc_id
+
+
+def test_audio_planted_near_dup(spark):
+    import numpy as np
+    t = np.arange(256)
+    base = np.where((t // 8) % 2 == 0, 8000, -200).astype(np.int16)
+    near = base.copy()
+    near[5] = 7600          # tiny local edit: same envelope shape
+    far = np.roll(base, 4)  # phase shift flips many windows
+    rows = [(1, mc.encode_wav(base), "audio/wav"),
+            (2, mc.encode_wav(near), "audio/wav"),
+            (3, mc.encode_wav(far), "audio/wav")]
+    hashes = mm.audio_ahash(_media_df(spark, rows))
+    hs = {r.doc_id: r.ahash for r in hashes.collect()}
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(hs[1], hs[2]) <= 3 < ham(hs[1], hs[3])
+    pairs = {(r.id_a, r.id_b) for r in
+             mm.ahash_near_dup_pairs(hashes, 3).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_audio_empty_clip_raises():
+    with pytest.raises(ValueError):
+        mm.audio_ahash_from_samples([])
