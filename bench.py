@@ -407,6 +407,14 @@ def main() -> None:
         # _run_query is best-of-2 and releases operator caches between reps
         dt, _ = _run_query(spark, queries[name], SF_DIR)
         per_query[name] = round(dt, 3)
+
+    # round-3 web-pipeline additions, timed into the DETAILS sidecar only
+    # (the headline set stays fixed for cross-round delta comparability)
+    extras_timed: dict[str, float] = {}
+    extra_queries = registry.build_extra_queries()
+    for name in ("span_removed", "html_stripped", "url_dedup_groups"):
+        dt, _ = _run_query(spark, extra_queries[name], SF_DIR)
+        extras_timed[name] = round(dt, 3)
     fx.set_materialized_fixtures(None)
 
     # ANN quality sidecar (VERDICT r2 ask 7): recall@k vs the exact scan on
@@ -466,6 +474,7 @@ def main() -> None:
             "rows_per_sec": scaling["rows_per_sec_high"],
             "input_rows": SCALE_N,
         },
+        "extras_queries": extras_timed,
         "ann_recall": ann_recall,
         "scaling": scaling,
     }

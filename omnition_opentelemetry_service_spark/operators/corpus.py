@@ -1172,3 +1172,75 @@ def remove_duplicated_token_spans_sql_duck(seqs_cte: str, k: int = 8,
            CAST(coalesce(kp.n_kept, 0) AS INTEGER) AS n_kept,
            coalesce(kp.kept_str, '') AS kept_str
     FROM gs g LEFT JOIN kept kp ON g.id = kp.id"""
+
+
+# ---------------------------------------------------------------------------
+# Host-reputation gate: aggregate document quality to the HOST (domain)
+# level, then gate documents by their host's mean — the domain-reputation
+# pass web pipelines run alongside per-doc gates (a spam domain's
+# individually-passable pages should still fall together; conversely one
+# bad page on a reputable domain is the per-doc gate's job, not this
+# one's). Reference analog: per-`source` tag aggregation in obsreport
+# counters (the reference aggregates per origin; here the origin verdict
+# feeds back as a filter).
+# ---------------------------------------------------------------------------
+
+_Q_SCALE = 1_000_000  # quality_score is rounded to 6 dp -> *1e6 is integral
+
+
+def host_quality_stats(docs: DataFrame, host_col: str = "host",
+                       text_col: str = "text") -> DataFrame:
+    """(host, n_docs, sum_q_scaled): per-host doc count and the EXACT
+    integer sum of quality_score*1e6 (the score is 6-dp by contract, so
+    the scaled value is integral — summing BIGINTs sidesteps the float
+    fold-order trap (PARITY #11) entirely; no mean is materialized, the
+    gate compares cross-multiplied integers). One map-side-combinable
+    exchange on host; NULL hosts are excluded (no identity to aggregate
+    — their docs are exempt from the gate, the blocklist NULL rule)."""
+    from ..functions import text as tx
+
+    return (docs.filter(F.col(host_col).isNotNull())
+            .groupBy(host_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.round(tx.quality_score(text_col) * _Q_SCALE)
+                       .cast("bigint")).alias("sum_q_scaled")))
+
+
+def host_quality_gate(docs: DataFrame, min_host_quality: float = 0.4,
+                      host_col: str = "host",
+                      text_col: str = "text") -> DataFrame:
+    """Keep docs whose host's MEAN quality >= min_host_quality (plus all
+    NULL-host docs — no host identity, so no reputation verdict; the
+    per-doc gates still apply to them elsewhere). The threshold compare
+    is exact integers: sum_q_scaled >= round(th*1e6) * n_docs — no
+    division, no float (mirrors the span/ahash cross-multiplication
+    rule).
+
+    Shape at scale: one bounded host-stats exchange (#hosts rows), then
+    an equi-join of docs against the PASSING host list — host dims are
+    domain-cardinality (millions, not corpus-sized), so Catalyst
+    broadcasts them under any realistic threshold; no window over the
+    corpus, no skew (the join key is the host, and hot hosts hash-join
+    fine because the build side is one row per host)."""
+    th = int(round(float(min_host_quality) * _Q_SCALE))
+    passing = (host_quality_stats(docs, host_col, text_col)
+               .filter(F.col("sum_q_scaled") >= th * F.col("n_docs"))
+               .select(host_col))
+    null_side = docs.filter(F.col(host_col).isNull())
+    return docs.join(passing, host_col, "inner").unionByName(null_side)
+
+
+def host_quality_gate_pred_duck(table: str, min_host_quality: float = 0.4,
+                                host_col: str = "host",
+                                text_col: str = "text") -> str:
+    """DuckDB WHERE-clause twin of host_quality_gate over ``table``."""
+    from ..functions import text as tx
+
+    th = int(round(float(min_host_quality) * _Q_SCALE))
+    q = tx.quality_score_sql_duck(text_col)
+    return f"""({host_col} IS NULL OR {host_col} IN (
+      SELECT {host_col} FROM {table}
+      WHERE {host_col} IS NOT NULL
+      GROUP BY {host_col}
+      HAVING sum(CAST(round(({q}) * {_Q_SCALE}) AS BIGINT))
+             >= {th} * count(*)))"""
