@@ -162,6 +162,9 @@ def web_ingest(docs: DataFrame, blocked_hosts: list[str] | None = None,
 
     out = exact
     if host_cap is not None:
+        # NULL-host docs form one pseudo-domain under the quota (they
+        # share the NULL stratum) — the conservative reading for a cap
+        # whose job is bounding any one origin's share
         out = cp.quota_per_stratum(out, cap=host_cap, strata_col="host",
                                    key_col=id_col)
     if counters is not None:

@@ -1217,17 +1217,20 @@ def host_quality_gate(docs: DataFrame, min_host_quality: float = 0.4,
     rule).
 
     Shape at scale: one bounded host-stats exchange (#hosts rows), then
-    an equi-join of docs against the PASSING host list — host dims are
-    domain-cardinality (millions, not corpus-sized), so Catalyst
-    broadcasts them under any realistic threshold; no window over the
-    corpus, no skew (the join key is the host, and hot hosts hash-join
-    fine because the build side is one row per host)."""
+    ONE left join of docs against the PASSING host list (NULL hosts fall
+    through the join unmatched and are kept by the filter — no second
+    consumer of the docs scan) — host dims are domain-cardinality
+    (millions, not corpus-sized), so Catalyst broadcasts them under any
+    realistic threshold; no window over the corpus, no skew (the join
+    key is the host, and hot hosts hash-join fine because the build side
+    is one row per host)."""
     th = int(round(float(min_host_quality) * _Q_SCALE))
     passing = (host_quality_stats(docs, host_col, text_col)
                .filter(F.col("sum_q_scaled") >= th * F.col("n_docs"))
-               .select(host_col))
-    null_side = docs.filter(F.col(host_col).isNull())
-    return docs.join(passing, host_col, "inner").unionByName(null_side)
+               .select(host_col).withColumn("_pass", F.lit(1)))
+    return (docs.join(passing, host_col, "left")
+            .filter(F.col("_pass").isNotNull() | F.col(host_col).isNull())
+            .drop("_pass"))
 
 
 def host_quality_gate_pred_duck(table: str, min_host_quality: float = 0.4,
