@@ -69,7 +69,8 @@ if __package__ in (None, ""):  # direct `python jobs/web_ingest.py`
 
 def web_ingest(docs: DataFrame, blocked_hosts: list[str] | None = None,
                line_min_count: int = 2, quality_min: float = 0.5,
-               host_cap: int | None = None, counters=None,
+               host_cap: int | None = None,
+               host_quality_min: float | None = None, counters=None,
                id_col: str = "doc_id") -> DataFrame:
     """The composed front half (see module doc). Returns the cleaned
     document table (doc_id, url, host, source, text) — make_release
@@ -153,6 +154,13 @@ def web_ingest(docs: DataFrame, blocked_hosts: list[str] | None = None,
             cleaned, "web_ingest", "gates", drop_predicate=gate_pred)
     gated = cleaned.filter(~gate_pred)
 
+    if host_quality_min is not None:
+        # domain-reputation pass (corpus.host_quality_gate): a spam
+        # host's individually-passable pages fall together; runs AFTER
+        # the per-doc gates so the host mean is over gated survivors
+        gated = cp.host_quality_gate(
+            gated, min_host_quality=host_quality_min)
+
     exact = (gated
              .groupBy(tx.fingerprint("text").alias("_fp"))
              .agg(F.min_by(
@@ -180,6 +188,7 @@ def main() -> None:
     ap.add_argument("--line-min-count", type=int, default=2)
     ap.add_argument("--quality-min", type=float, default=0.5)
     ap.add_argument("--host-cap", type=int, default=None)
+    ap.add_argument("--host-quality-min", type=float, default=None)
     ap.add_argument("--report", default=None)
     ap.add_argument("--parallelism", type=int, default=8)
     args = ap.parse_args()
@@ -193,7 +202,8 @@ def main() -> None:
     cleaned = web_ingest(
         spark.read.parquet(args.input), blocked_hosts=blocked,
         line_min_count=args.line_min_count, quality_min=args.quality_min,
-        host_cap=args.host_cap, counters=counters)
+        host_cap=args.host_cap, host_quality_min=args.host_quality_min,
+        counters=counters)
     cleaned.write.mode("overwrite").parquet(args.out)
     rows = counters.harvest()
     report = {f"{stage}:{tag}": {"received": rec, "dropped": drop}

@@ -1255,6 +1255,22 @@ def q_html_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", hh.strip_html("html").alias("clean")))
 
 
+# threshold chosen to SPLIT the fixture's host means (sf0.01 hosts span
+# ~0.72-0.80) so the gate verifiably keeps some hosts and drops others
+_HOSTGATE_MIN = 0.77
+
+
+def q_hostgate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-reputation gate (corpus.host_quality_gate): docs surviving the
+    domain-mean-quality threshold over the url-fixture hosts."""
+    docs = load(spark, sf_dir, "documents")
+    hosted = docs.select(
+        "doc_id", "text",
+        ur.url_host(f"({ur.url_fixture_sql('doc_id')})").alias("host"))
+    return (cp.host_quality_gate(hosted, min_host_quality=_HOSTGATE_MIN)
+            .select("doc_id", "host"))
+
+
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (operators/urls.py) over the deterministic
     url fixture — every canon rule (scheme/www/port/userinfo/trailing
@@ -1286,6 +1302,7 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "quota_docs": q_quota_docs,
         "span_removed": q_span_removed,
         "html_stripped": q_html_stripped,
+        "hostgate_docs": q_hostgate_docs,
         "url_canon": q_url_canon,
         "url_dedup_groups": q_url_dedup_groups,
         "dsir_scores": q_dsir_scores,
@@ -1393,6 +1410,13 @@ def build_extra_oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {hh.strip_html_sql_duck('html')} AS clean "
         f"FROM (SELECT doc_id, {hh.html_fixture_sql()} AS html "
         f"FROM documents)")
+
+    _host_expr = ur.url_host_sql_duck(f"({ur.url_fixture_sql('doc_id')})")
+    o["hostgate_docs"] = f"""
+    WITH hosted AS (
+      SELECT doc_id, text, {_host_expr} AS host FROM documents)
+    SELECT doc_id, host FROM hosted
+    WHERE {cp.host_quality_gate_pred_duck('hosted', _HOSTGATE_MIN)}"""
 
     # url fixture SQL is engine-NEUTRAL (CAST AS STRING aliases VARCHAR in
     # DuckDB), so both engines synthesize byte-identical urls from doc_id

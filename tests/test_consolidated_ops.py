@@ -26,10 +26,11 @@ N = 400
 
 def test_extras_full_oracle_hash_parity(spark):
     """Every rotated-out slot keeps driver-grade verification: the same
-    gate the driver runs, over all 19 extras (9 rotated-out slots + the
+    gate the driver runs, over all 20 extras (9 rotated-out slots + the
     2 DSIR e2e twins + bloom membership + the two drift views + the
     per-source quota cap + the two URL-identity views + the
-    ExactSubstr-cut + the HTML strip) at the oracle's pinned sf."""
+    ExactSubstr-cut + the HTML strip + the host-reputation gate) at the
+    oracle's pinned sf."""
     extras = registry.build_extra_queries()
     oracles = registry.build_extra_oracle_sql()
     assert set(extras) == set(oracles) == {
@@ -38,7 +39,7 @@ def test_extras_full_oracle_hash_parity(spark):
         "oversized_reject_counts", "simhash_pairs",
         "dsir_scores", "dsir_select", "bloom_flags", "drift_topk",
         "drift_grams", "quota_docs", "url_canon", "url_dedup_groups",
-        "span_removed", "html_stripped"}
+        "span_removed", "html_stripped", "hostgate_docs"}
     con = duckdb.connect()
     register_views(con, SF_DIR)
     failures = run_checks(spark, con, extras, oracles, SF_DIR)
