@@ -393,3 +393,62 @@ def test_dsir_scores_match_python_on_arbitrary_text(spark, texts):
         want = round(sum(lam.get(bucket(g), lam0) for g in gs), 6)
         assert got[i][0] == len(gs)
         assert abs(got[i][1] - want) < 2e-6, (i, t)
+
+
+@SET
+@given(st.lists(
+    st.one_of(
+        st.text(max_size=30),
+        st.sampled_from([
+            "<p>", "</p>", "<div class='x'>", "<br/>", "<param a=1>",
+            "<script>", "</script>", "<style>", "</style>", "<!--", "-->",
+            "&amp;", "&lt;", "&amp;lt;", "&nbsp;", "&copy;", "<i>", "</i>",
+            "\n", "\t", "\x0b", "<", ">", "<h3>", "</h3>",
+        ])),
+    min_size=1, max_size=25))
+def test_strip_html_matches_duckdb_on_arbitrary_markup(spark, pieces):
+    """strip_html is value-identical between Spark and DuckDB on ARBITRARY
+    interleavings of text, tags, malformed fragments and entities —
+    including unclosed blocks, bare angle brackets, and the '<param>' vs
+    '<p>' word-boundary edge."""
+    import duckdb
+    import pandas as pd
+
+    from omnition_opentelemetry_service_spark.functions import html as hh
+
+    html = "".join(pieces)
+    sdf = spark.createDataFrame([(html,)], "h string")
+    got = sdf.select(hh.strip_html("h").alias("t")).collect()[0].t
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"h": [html]}))
+    want = con.execute(
+        f"SELECT {hh.strip_html_sql_duck('h')} FROM t").fetchone()[0]
+    assert got == want
+
+
+@SET
+@given(st.lists(st.lists(st.integers(0, 9), max_size=12),
+                min_size=1, max_size=10),
+       st.integers(2, 4))
+def test_span_removal_matches_duckdb_on_arbitrary_tokens(spark, arrays, k):
+    """ExactSubstr-cut (remove_duplicated_token_spans) is value-identical
+    between Spark and DuckDB on ARBITRARY token arrays — tiny vocab forces
+    dense window collisions, in-doc repeats, and overlap merges; short and
+    empty arrays exercise the no-window pass-through."""
+    import duckdb
+    import pandas as pd
+
+    from omnition_opentelemetry_service_spark.operators import corpus
+
+    rows = [(f"d{i:03d}", list(a)) for i, a in enumerate(arrays)]
+    sdf = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = sorted(map(tuple, corpus.remove_duplicated_token_spans_str(
+        sdf, k=k, min_docs=2).collect()))
+    con = duckdb.connect()
+    con.register("seqs_in", pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "tokens": [r[1] for r in rows]}))
+    want = sorted(map(tuple, con.execute(
+        corpus.remove_duplicated_token_spans_sql_duck(
+            "SELECT doc_id, tokens FROM seqs_in", k=k, min_docs=2))
+        .fetchall()))
+    assert got == want
