@@ -152,3 +152,20 @@ def test_cli_subprocess_e2e(spark, tmp_path):
     cleaned = spark.read.parquet(outp)
     assert cleaned.columns == ["doc_id", "url", "host", "source", "text"]
     assert cleaned.count() == report["web_ingest:written"]["received"]
+
+
+def test_host_quality_min_stage(spark):
+    loose = web_ingest(_raw(spark), blocked_hosts=BLOCKED)
+    strict = web_ingest(_raw(spark), blocked_hosts=BLOCKED,
+                        host_quality_min=0.77)
+    loose_ids = {r.doc_id for r in loose.collect()}
+    strict_rows = strict.collect()
+    strict_ids = {r.doc_id for r in strict_rows}
+    # the domain gate only ever removes; NULL-host docs are exempt
+    assert strict_ids < loose_ids
+    kept_hosts = {r.host for r in strict_rows if r.host is not None}
+    dropped_hosts = {r.host for r in loose.collect()
+                     if r.host is not None and r.doc_id not in strict_ids}
+    assert kept_hosts and dropped_hosts
+    assert not (kept_hosts & dropped_hosts)  # verdicts are per-host
+    assert any(r.host is None for r in strict_rows)
