@@ -79,57 +79,24 @@ def web_ingest(docs: DataFrame, blocked_hosts: list[str] | None = None,
     registered for registry.release_caches via spark.catalog).
 
     ``counters`` (metrics.StageCounters) receives one Observation per
-    stage boundary; harvest() after the consuming action."""
-    from omnition_opentelemetry_service_spark.functions import html as hh
-    from omnition_opentelemetry_service_spark.functions import text as tx
+    stage boundary; harvest() after the consuming action. The stage
+    functions themselves live in operators/web.py so the streaming twin
+    (streaming/web_ingest.py) replays them from the packaged zip."""
     from omnition_opentelemetry_service_spark.operators import corpus as cp
-    from omnition_opentelemetry_service_spark.operators import urls as ur
+    from omnition_opentelemetry_service_spark.operators import web as wb
     from omnition_opentelemetry_service_spark.operators.widen import (
         materialize,
     )
 
-    has_source = "source" in docs.columns
-    src = F.col("source") if has_source else F.lit(None).cast("string")
-
-    annotated = docs.select(
-        F.col(id_col), F.col("url"), F.col("html"), src.alias("source"),
-        ur.canonical_url("url").alias("canon_url"),
-        ur.url_host("url").alias("host"))
-
-    blocked = list(blocked_hosts or [])
-    if blocked:
-        # validate exactly like host_blocklist_filter (trap 24 charset)
-        for h in blocked:
-            if not h or not set(h) <= ur._HOST_CHARSET:
-                raise ValueError(f"blocklist host not literal-safe: {h!r}")
-        # NULL host must PASS (blocklist, not allowlist — the
-        # host_blocklist_filter rule); a bare isin() is NULL for NULL
-        # hosts and filter(~NULL) would silently drop them
-        drop_pred = F.col("host").isNotNull() & F.col("host").isin(blocked)
-    else:
-        drop_pred = F.lit(False)
+    annotated, drop_pred = wb.annotate_urls(docs, blocked_hosts, id_col)
     if counters is not None:
         annotated = counters.observe_stage(
             annotated, "web_ingest", "blocklist", drop_predicate=drop_pred)
     unblocked = annotated.filter(~drop_pred)
 
-    # canonical-URL dedup as ONE aggregate: NULL-canon rows (no URL
-    # identity) group by their own doc_id via the null-key column, so
-    # they survive individually without a second consumer of `unblocked`.
-    url_deduped = (
-        unblocked
-        .groupBy("canon_url",
-                 F.when(F.col("canon_url").isNull(), F.col(id_col))
-                 .otherwise(F.lit(0)).alias("_nk"))
-        .agg(F.min_by(
-            F.struct(id_col, "url", "html", "source", "host"),
-            F.col(id_col)).alias("r"))
-        .select("r.*"))
+    url_deduped = wb.url_collapse(unblocked, id_col).drop("canon_url")
 
-    stripped = url_deduped.select(
-        id_col, "url", "host", "source",
-        hh.strip_html("html").alias("text"))
-    empty_pred = F.col("text").isNull() | (F.col("text") == "")
+    stripped, empty_pred = wb.strip_stage(url_deduped, id_col)
     if counters is not None:
         stripped = counters.observe_stage(
             stripped, "web_ingest", "strip", drop_predicate=empty_pred)
@@ -139,16 +106,9 @@ def web_ingest(docs: DataFrame, blocked_hosts: list[str] | None = None,
     # fire exactly once here.
     stripped = materialize(stripped)
 
-    lines = cp.line_dedup_grouped(
-        stripped, group_col="host", min_count=line_min_count, id_col=id_col)
-    cleaned = (lines
-               .join(stripped.select(id_col, "url", "host", "source"),
-                     id_col)
-               .select(id_col, "url", "host", "source",
-                       F.col("clean_text").alias("text")))
+    cleaned = wb.line_dedup_stage(stripped, line_min_count, id_col)
 
-    gate_pred = ((tx.quality_score("text") < quality_min)
-                 | (tx.lang_id("text") == "und"))
+    gate_pred = wb.doc_gate_pred(quality_min)
     if counters is not None:
         cleaned = counters.observe_stage(
             cleaned, "web_ingest", "gates", drop_predicate=gate_pred)
@@ -161,12 +121,7 @@ def web_ingest(docs: DataFrame, blocked_hosts: list[str] | None = None,
         gated = cp.host_quality_gate(
             gated, min_host_quality=host_quality_min)
 
-    exact = (gated
-             .groupBy(tx.fingerprint("text").alias("_fp"))
-             .agg(F.min_by(
-                 F.struct(id_col, "url", "host", "source", "text"),
-                 F.col(id_col)).alias("r"))
-             .select("r.*"))
+    exact = wb.exact_collapse(gated, id_col)
 
     out = exact
     if host_cap is not None:

@@ -1,0 +1,107 @@
+"""Streaming web ingest (streaming/web_ingest.py): two-drop replay
+against the URL store — batch 0 equals the batch job, batch 1 sees only
+unseen URLs, NULL-url docs always pass, re-delivery is idempotent and
+survives the self-exclusion rule."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobs.web_ingest import web_ingest
+from omnition_opentelemetry_service_spark.functions import html as hh
+from omnition_opentelemetry_service_spark.operators import urls as ur
+from omnition_opentelemetry_service_spark.sources.loader import load
+from omnition_opentelemetry_service_spark.streaming import web_ingest as swi
+
+SF = "/root/testdata/sf0.001"
+SCHEMA = "doc_id bigint, url string, html string, source string"
+
+
+def _raw(spark, lo, hi):
+    docs = load(spark, SF, "documents").filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    return docs.select(
+        "doc_id",
+        F.expr(ur.url_fixture_sql("doc_id")).alias("url"),
+        F.expr(hh.html_fixture_sql()).alias("html"),
+        "source")
+
+
+def _drain(spark, in_dir, store, ckpt, out):
+    q = swi.run_web_ingest_stream(
+        spark.readStream.schema(SCHEMA).parquet(in_dir),
+        store_path=store, checkpoint_dir=ckpt, out_dir=out)
+    q.awaitTermination(180)
+
+
+@pytest.fixture(scope="module")
+def two_drops(spark, tmp_path_factory):
+    """Drop 1 = docs [0, 200); drop 2 = docs [0, 100) RE-CRAWLED under
+    doc_ids +10000 (same url classes → all seen) plus fresh docs
+    [200, 300). Streamed as two availableNow runs over a growing dir
+    (one file per run → deterministic batch ids 0 and 1)."""
+    base = tmp_path_factory.mktemp("swi")
+    in_dir = str(base / "in")
+    store, ckpt, out = (str(base / "store"), str(base / "ckpt"),
+                        str(base / "out"))
+    return in_dir, store, ckpt, out, base
+
+
+def test_two_drop_replay(spark, two_drops, tmp_path):
+    in_dir, store, ckpt, out, base = two_drops
+    drop1 = _raw(spark, 0, 200)
+    drop1.coalesce(1).write.mode("append").parquet(in_dir)
+    _drain(spark, in_dir, store, ckpt, out)
+
+    b0 = spark.read.parquet(os.path.join(out, "batch_id=0"))
+    batch_ref = web_ingest(drop1)
+    got0 = {(r.doc_id, r.text) for r in b0.collect()}
+    want0 = {(r.doc_id, r.text) for r in batch_ref.collect()}
+    assert got0 == want0 and got0
+
+    # drop 2: re-crawls of drop-1 url classes under new ids + fresh docs
+    recrawl = (_raw(spark, 0, 100)
+               .withColumn("doc_id", F.col("doc_id") + 10000))
+    fresh = _raw(spark, 200, 300)
+    recrawl.unionByName(fresh).coalesce(1).write.mode("append") \
+        .parquet(in_dir)
+    _drain(spark, in_dir, store, ckpt, out)
+
+    b1 = spark.read.parquet(os.path.join(out, "batch_id=1"))
+    rows1 = b1.collect()
+    ids1 = {r.doc_id for r in rows1}
+    # every re-crawled doc with a URL identity was already seen: only its
+    # NULL-url rows (doc_id % 97 == 0 in the original id space) survive
+    recrawl_survivors = {i for i in ids1 if i >= 10000}
+    assert recrawl_survivors == {i + 10000 for i in range(0, 100)
+                                 if i % 97 == 0}
+    # fresh docs flow through (minus gates/dedup — nonzero survivors)
+    assert any(200 <= i < 300 for i in ids1)
+
+    # store state: batch dirs 0 and 1 committed, ub-partitioned
+    assert sorted(d for d in os.listdir(store)
+                  if d.startswith("batch_id=")) == ["batch_id=0",
+                                                    "batch_id=1"]
+    ub_dirs = os.listdir(os.path.join(store, "batch_id=0"))
+    assert any(d.startswith("ub=") for d in ub_dirs)
+
+
+def test_redelivery_idempotent_and_self_excluding(spark, two_drops):
+    """Re-running batch 1 (the commit-then-crash re-delivery) must
+    reproduce its own output — the history read excludes batch 1's own
+    committed keys, so the batch does not dedup against itself to
+    empty."""
+    in_dir, store, ckpt, out, base = two_drops
+    before = {(r.doc_id, r.text) for r in spark.read.parquet(
+        os.path.join(out, "batch_id=1")).collect()}
+    assert before  # depends on test_two_drop_replay having run
+    batch2 = (_raw(spark, 0, 100)
+              .withColumn("doc_id", F.col("doc_id") + 10000)
+              .unionByName(_raw(spark, 200, 300)))
+    swi.process_web_batch(batch2, 1, store, out)
+    after = {(r.doc_id, r.text) for r in spark.read.parquet(
+        os.path.join(out, "batch_id=1")).collect()}
+    assert after == before
