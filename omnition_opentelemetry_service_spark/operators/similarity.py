@@ -831,3 +831,28 @@ def lsh_ann_topk_multiprobe(emb: DataFrame, n_queries: int = 8, k: int = 5,
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "neighbor_id", "cosine")
     )
+
+
+# -- cluster-balanced sampling ---------------------------------------------
+# Topic-flattening selection (the DoReMi/D4-adjacent move a mixture
+# pipeline runs on embeddings): cluster the corpus, then cap each
+# cluster's contribution — a giant topic (boilerplate news, SEO spam
+# clusters) cannot dominate the mix regardless of its raw volume. Pure
+# composition of two verified pieces: ivf_assign (zero-shuffle cell
+# attach; trained kmeans centroids drop in unchanged) and
+# corpus.quota_per_stratum (exact two-phase skew-proof at-most-N).
+
+
+def cluster_balanced_sample(emb: DataFrame, centroids: DataFrame, cap: int,
+                            salt: str = "cbal-v1") -> DataFrame:
+    """(vec_id, cell) — at most ``cap`` vectors per cluster, chosen by the
+    deterministic salted-hash rule (reproducible across runs/parallelism;
+    strata smaller than the cap survive whole). Shape at scale: the
+    ivf_assign broadcast attach (no corpus shuffle) + quota's two bounded
+    salted windows — the hot cluster is exactly the case the two-phase
+    selection exists for."""
+    from .corpus import quota_per_stratum
+
+    assigned = ivf_assign(emb, centroids, nprobe=1).select("vec_id", "cell")
+    return quota_per_stratum(assigned, cap=cap, strata_col="cell",
+                             key_col="vec_id", salt=salt)

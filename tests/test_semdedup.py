@@ -88,3 +88,40 @@ def test_semdedup_invariants(spark):
                 .filter(F.col("cell") != F.col("k_cell")))
     assert straddle.count() == 0
     spark.catalog.clearCache()
+
+
+# -- cluster-balanced sampling (similarity.cluster_balanced_sample) --------
+
+def test_cluster_balanced_sample_matches_duckdb(spark):
+    import duckdb
+
+    from omnition_opentelemetry_service_spark.operators import corpus as cp
+    from omnition_opentelemetry_service_spark.registry import _ivf_pre
+
+    emb = load(spark, SF, "embeddings")
+    cap = 3
+    out = sim.cluster_balanced_sample(emb, sim.ivf_centroids(emb), cap=cap)
+    got = {(r.vec_id, r.cell) for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF}/embeddings.parquet'")
+    con.execute(f"CREATE TEMP VIEW assigned_v AS {_ivf_pre()} "
+                f"SELECT vec_id, cell FROM assigned")
+    want = set(map(tuple, con.execute(cp.quota_per_stratum_sql_duck(
+        "assigned_v", cap=cap, strata_col="cell", key_col="vec_id",
+        salt="cbal-v1", cols="vec_id, cell")).fetchall()))
+    assert got == want and got
+
+    # the cap binds on at least one cluster and is never exceeded
+    sizes = {}
+    for _, cell in got:
+        sizes[cell] = sizes.get(cell, 0) + 1
+    assigned_sizes = {r.cell: r.n for r in
+                      sim.ivf_assign(emb, sim.ivf_centroids(emb))
+                      .groupBy("cell").agg(F.count("*").alias("n"))
+                      .collect()}
+    assert max(assigned_sizes.values()) > cap  # non-vacuous
+    assert all(n <= cap for n in sizes.values())
+    assert all(sizes.get(c, 0) == min(n, cap)
+               for c, n in assigned_sizes.items())
