@@ -105,3 +105,15 @@ def test_redelivery_idempotent_and_self_excluding(spark, two_drops):
     after = {(r.doc_id, r.text) for r in spark.read.parquet(
         os.path.join(out, "batch_id=1")).collect()}
     assert after == before
+
+
+def test_url_history_read_prunes_ub_partitions(spark, two_drops):
+    """The batch's ub IN (...) filter must reach the URL-store scan as a
+    PARTITION filter (ub is a partition column under each batch dir) —
+    the fpb discipline from the signature store, re-pinned here."""
+    in_dir, store, ckpt, out, base = two_drops
+    hist = swi.read_url_history(spark, store)
+    assert hist.count() > 0  # depends on test_two_drop_replay having run
+    pruned = hist.filter(F.col("ub").isin([0, 1, 2, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ub" in plan

@@ -169,3 +169,32 @@ def test_host_quality_min_stage(spark):
     assert kept_hosts and dropped_hosts
     assert not (kept_hosts & dropped_hosts)  # verdicts are per-host
     assert any(r.host is None for r in strict_rows)
+
+
+def test_crawl_to_release_full_path(spark, tmp_path):
+    """The COMPLETE story in two commands: raw crawl → web_ingest
+    (blocklist/URL dedup/strip/boilerplate/gates/exact dedup) → cleaned
+    parquet → make_release --input-docs (tokenize → dedup → split → mix →
+    pack → shard) → trainer-ready shards."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp, clean = str(tmp_path / "raw"), str(tmp_path / "clean")
+    _raw(spark).write.parquet(inp)
+    r1 = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "web_ingest.py"),
+         "--input", inp, "--out", clean,
+         "--block-hosts", ",".join(BLOCKED), "--parallelism", "4"],
+        capture_output=True, text=True, cwd=repo, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "make_release.py"),
+         "--input-docs", clean, "--out", str(tmp_path / "rel"),
+         "--budget", "512", "--shards", "4", "--parallelism", "4"],
+        capture_output=True, text=True, cwd=repo, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rep = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert sum(v[0] for v in rep["per_split"].values()) > 0
+    rel = spark.read.parquet(str(tmp_path / "rel"))
+    assert {"tokens", "pack_id"} <= set(rel.columns)
+    assert rel.count() > 0
