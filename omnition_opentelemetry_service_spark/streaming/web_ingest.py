@@ -102,8 +102,14 @@ def process_web_batch(batch_df: DataFrame, batch_id: int, store_path: str,
     (out.write.mode("overwrite")
      .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
     new_keys = url_store_rows(new)
-    (new_keys.write.mode("overwrite").partitionBy("ub")
-     .parquet(os.path.join(store_path, f"batch_id={batch_id}")))
+    # skip the store commit when the batch carries NO new url identities
+    # (all NULL-url or all seen): a parquet dir with zero part files
+    # poisons the basePath-glob history read (schema inference fails when
+    # every batch dir is empty), and recording nothing is already the
+    # correct idempotent state for such a batch
+    if not new_keys.isEmpty():
+        (new_keys.write.mode("overwrite").partitionBy("ub")
+         .parquet(os.path.join(store_path, f"batch_id={batch_id}")))
     collapsed.unpersist()
     stripped.unpersist()
 

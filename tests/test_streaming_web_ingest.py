@@ -117,3 +117,25 @@ def test_url_history_read_prunes_ub_partitions(spark, two_drops):
     pruned = hist.filter(F.col("ub").isin([0, 1, 2, 3]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ub" in plan
+
+
+def test_all_null_url_batch_commits_no_store_dir(spark, tmp_path):
+    """A batch with ONLY NULL-url docs has no URL identities: no store
+    dir is committed (an all-empty parquet glob would poison later
+    history reads), the output still materializes, and the next batch's
+    history read works."""
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    rows = [(1, None,
+             "<p>the cat and the dog sat in the house that it is</p>",
+             "s"),
+            (2, None,
+             "<p>it is the tree and the bird of the sky that is</p>",
+             "s")]
+    batch = spark.createDataFrame(rows, SCHEMA)
+    swi.process_web_batch(batch, 0, store, out)
+    assert not os.path.isdir(os.path.join(store, "batch_id=0"))
+    assert spark.read.parquet(os.path.join(out, "batch_id=0")).count() == 2
+    # the follow-up batch reads an empty history cleanly
+    batch2 = _raw(spark, 0, 50)
+    swi.process_web_batch(batch2, 1, store, out)
+    assert os.path.isdir(os.path.join(store, "batch_id=1"))
