@@ -60,7 +60,6 @@ import os
 import sys
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 if __package__ in (None, ""):  # direct `python jobs/web_ingest.py`
     sys.path.insert(0, os.path.dirname(
