@@ -176,17 +176,27 @@ def bloom_might_contain_sql_duck(probes_sql: str, keys_sql: str,
 def bloom_prefilter_new(batch: DataFrame, history: DataFrame,
                         key_col: str = "fp",
                         m_bits: int = BLOOM_BITS,
-                        k: int = BLOOM_HASHES) -> DataFrame:
+                        k: int = BLOOM_HASHES,
+                        prebuilt_words: DataFrame | None = None) -> DataFrame:
     """Batch rows whose key is NOT in history, computed as
     definitely-new (Bloom says absent — no false negatives, skips the
     history join) UNION maybe-present verified by the exact anti-join.
     Result is EXACTLY the plain ``batch ANTI JOIN history`` (the test
-    oracle); the Bloom only reroutes work. In production ``words`` is
-    built once per history epoch and persisted — pass it via
-    ``prebuilt_words`` through :func:`bloom_build` to amortize."""
-    words = bloom_build(history.select(key_col), key_col, m_bits, k)
+    oracle); the Bloom only reroutes work. In production the word table
+    is built once per history epoch and persisted — pass it as
+    ``prebuilt_words`` so per-batch calls never touch history for the
+    build. The flag table is persisted here (narrow: one boolean per
+    distinct batch key) because BOTH union branches consume it — without
+    the cache each branch would re-run the probe agg and, absent
+    prebuilt_words, re-scan history for the build; release is
+    caller-owned per the repo cache convention. The batch itself is
+    still read by both branches (routing demands two consumers)."""
+    if prebuilt_words is None:
+        words = bloom_build(history.select(key_col), key_col, m_bits, k)
+    else:
+        words = prebuilt_words
     flags = bloom_might_contain(batch.select(key_col), words,
-                                key_col, m_bits, k)
+                                key_col, m_bits, k).persist()
     flagged = batch.join(flags, key_col, "left")
     # NULL batch keys never join flags (NULL != NULL), leaving
     # might_contain NULL; the plain anti-join RETAINS null-key rows

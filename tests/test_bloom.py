@@ -152,3 +152,22 @@ def test_plan_shape(spark, history, words):
     bplan = bloom.bloom_build(history, "fp", M, K) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in bplan
+
+
+def test_prefilter_accepts_prebuilt_words(spark):
+    """The per-epoch amortization path: a word table built once and passed
+    in produces the identical prefilter result (and the call never needs
+    the history frame for the build)."""
+    from omnition_opentelemetry_service_spark.operators import bloom
+
+    batch = spark.createDataFrame(
+        [(f"k{i}",) for i in range(40)], "fp string")
+    history = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 40, 2)], "fp string")
+    words = bloom.bloom_build(history, "fp", 1 << 12, 4)
+    got = {r.fp for r in bloom.bloom_prefilter_new(
+        batch, history, m_bits=1 << 12, k=4,
+        prebuilt_words=words).collect()}
+    want = {r.fp for r in batch.join(history, "fp", "left_anti").collect()}
+    assert got == want
+    spark.catalog.clearCache()
