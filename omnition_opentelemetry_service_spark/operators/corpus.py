@@ -1247,3 +1247,161 @@ def host_quality_gate_pred_duck(table: str, min_host_quality: float = 0.4,
       GROUP BY {host_col}
       HAVING sum(CAST(round(({q}) * {_Q_SCALE}) AS BIGINT))
              >= {th} * count(*)))"""
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic cleaning (Raffel et al. 2020, JMLR 21(140) §2.2 — the
+# line-level rule gate that produced C4 from Common Crawl). Line rules:
+# keep only lines that end in a terminal punctuation mark, have at least
+# `min_words_per_line` words, and do not mention javascript. Document
+# rules: at least `min_kept_lines` surviving lines ("three sentences"),
+# no "lorem ipsum", no curly bracket, no bad-list word (the paper uses
+# the LDNOOBW list; a tame spam stand-in ships as the default). This is
+# the rule family the existing gates (quality_score / repetition /
+# contamination) do NOT cover: all of those score whole documents, C4's
+# signature move is per-LINE surgery before the document verdict.
+#
+# Shape at scale: pure projection — the line split, filters and re-join
+# are doc-local array expressions, zero shuffle, whole-stage codegen
+# (pinned in tests/test_c4.py). Extends the reference's per-span gating
+# (processor/attributeskeyprocessor/processor.go:24-52) to line grain.
+# ---------------------------------------------------------------------------
+
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+# Stand-in for the paper's LDNOOBW bad-words list (kept printable; the
+# parameter exists so a real deployment drops the full list in).
+C4_BAD_WORDS = ("viagra", "casino", "porn", "xxx")
+
+
+def c4_clean(docs: DataFrame, min_words_per_line: int = 5,
+             min_kept_lines: int = 3,
+             bad_words: tuple[str, ...] = C4_BAD_WORDS,
+             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, keep, n_lines, n_kept, clean_text): C4 §2.2 rules over every
+    doc. ``clean_text`` is the kept TRIMMED lines joined with newline when
+    the doc passes, else NULL; a NULL text yields keep=false, counts 0
+    (NULL routed to the counted side — PARITY trap 27 convention).
+
+    Every predicate is built from the parity-hardened blocks: the explicit
+    whitespace class (trap 1), lower_fold (trap 4), trim-space-only
+    (trap 5)."""
+    from ..functions.text import WS, lower_fold
+
+    mw, mk = int(min_words_per_line), int(min_kept_lines)
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+
+    def _line_ok(raw):
+        t = F.trim(raw)
+        last = t.substr(F.length(t), F.lit(1))
+        return ((F.length(t) > 0)
+                & last.isin(*C4_TERMINAL_PUNCT)
+                & (F.size(F.split(t, WS)) >= mw)
+                & (~lower_fold(t).contains("javascript")))
+
+    # NOT F.transform(..., F.trim): a two-arg-capable callable receives
+    # (element, index) and becomes the two-parameter trim(str, trimStr) —
+    # it trims INDEX DIGITS, not whitespace (silent, deprecation-warned).
+    kept = F.transform(F.filter(lines, _line_ok), lambda l: F.trim(l))
+    n_kept = F.when(text.isNull(), F.lit(0)).otherwise(F.size(kept))
+    words = F.split(lower_fold(F.trim(text)), WS)
+    has_bad = F.arrays_overlap(
+        words, F.array(*[F.lit(w) for w in bad_words]))
+    keep = (text.isNotNull()
+            & (n_kept >= mk)
+            & ~lower_fold(text).contains("lorem ipsum")
+            & ~text.contains("{")
+            & ~has_bad)
+    return docs.select(
+        id_col,
+        keep.alias("keep"),
+        F.when(text.isNull(), F.lit(0)).otherwise(F.size(lines))
+        .cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept"),
+        F.when(keep, F.array_join(kept, "\n"))
+        .otherwise(F.lit(None).cast("string")).alias("clean_text"))
+
+
+def c4_clean_sql_duck(table: str = "documents", min_words_per_line: int = 5,
+                      min_kept_lines: int = 3,
+                      bad_words: tuple[str, ...] = C4_BAD_WORDS,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """DuckDB twin: same rules from the same blocks (WS class, lower_fold
+    skew table, trim(x,' ')); the kept-lines join is CASEd on keep so the
+    empty-list string-join divergence (trap 26) has no surface."""
+    from ..functions.text import WS_SQL_DUCK, lower_fold_sql_duck
+
+    mw, mk = int(min_words_per_line), int(min_kept_lines)
+    punct = ", ".join(f"'{p}'" for p in C4_TERMINAL_PUNCT)
+    bads = ", ".join(f"'{w}'" for w in bad_words)
+    t = "trim(l, ' ')"
+    pred = (f"len({t}) > 0 "
+            f"AND list_contains([{punct}], substr({t}, len({t}), 1)) "
+            f"AND len(string_split_regex({t}, '{WS_SQL_DUCK}')) >= {mw} "
+            f"AND NOT contains({lower_fold_sql_duck(t)}, 'javascript')")
+    tl = lower_fold_sql_duck(text_col)
+    trimmed_text = f"trim({text_col}, ' ')"
+    tw = (f"string_split_regex({lower_fold_sql_duck(trimmed_text)},"
+          f" '{WS_SQL_DUCK}')")
+    return f"""
+    WITH k AS (
+      SELECT {id_col}, {text_col},
+             string_split({text_col}, chr(10)) AS lines,
+             list_transform(
+               list_filter(string_split({text_col}, chr(10)),
+                           l -> {pred}),
+               l -> trim(l, ' ')) AS kept
+      FROM {table}),
+    v AS (
+      SELECT {id_col}, {text_col}, lines, kept,
+             CASE WHEN {text_col} IS NULL THEN FALSE
+                  ELSE len(kept) >= {mk}
+                   AND NOT contains({tl}, 'lorem ipsum')
+                   AND NOT contains({text_col}, '{{')
+                   AND NOT len(list_filter({tw},
+                         w -> list_contains([{bads}], w))) > 0
+             END AS keep
+      FROM k)
+    SELECT {id_col}, keep,
+           CAST(CASE WHEN {text_col} IS NULL THEN 0
+                     ELSE len(lines) END AS INTEGER) AS n_lines,
+           CAST(CASE WHEN {text_col} IS NULL THEN 0
+                     ELSE len(kept) END AS INTEGER) AS n_kept,
+           CASE WHEN keep THEN array_to_string(kept, chr(10))
+                ELSE NULL END AS clean_text
+    FROM v"""
+
+
+def c4_fixture_sql(text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Engine-NEUTRAL SQL building a deterministic multi-line page from the
+    single-line fixture corpus (documents.text is word soup with no
+    newlines or punctuation, so the C4 rules would be vacuous on it raw —
+    same move as html_fixture_sql / url_fixture_sql). Every rule binds:
+    a too-short line, a 1-in-3 missing-terminal-punct line, an
+    always-present javascript line, and 1-in-{{11,13,17}} docs carrying
+    lorem-ipsum / curly-brace / bad-word pages. concat is CASE-guarded on
+    NULL text (trap 25: DuckDB concat ignores NULL args)."""
+    t, i = text_col, id_col
+    body = (
+        f"concat('Too short.', chr(10), "
+        f"substr({t}, 1, 60), "
+        f"CASE WHEN {i} % 3 = 0 THEN ' sentence one ends here.' "
+        f"     WHEN {i} % 3 = 1 THEN ' is this a question?' "
+        f"     ELSE ' no terminal punct' END, chr(10), "
+        f"'Please enable JavaScript and cookies in your browser now.', "
+        f"chr(10), "
+        f"CASE WHEN {i} % 11 = 0 THEN "
+        f"concat('Lorem ipsum dolor sit amet consectetur elit.', chr(10)) "
+        f"ELSE '' END, "
+        f"CASE WHEN {i} % 13 = 0 THEN "
+        f"concat('function f() {{ return 1; }}', chr(10)) ELSE '' END, "
+        f"CASE WHEN {i} % 17 = 0 THEN "
+        f"concat('Play casino games and win big prizes tonight!', chr(10)) "
+        f"ELSE '' END, "
+        f"substr({t}, 61, 60), ' and the middle sentence ends here.', "
+        f"chr(10), "
+        f"substr({t}, 121, 60), ' finally the last sentence ends the page.')"
+    )
+    return (f"CASE WHEN {t} IS NULL THEN CAST(NULL AS STRING) "
+            f"ELSE {body} END")

@@ -1292,6 +1292,17 @@ def q_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ur.url_dedup_groups(with_url)
 
 
+def q_c4_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 heuristic cleaning (corpus.c4_clean) over the deterministic
+    multi-line fixture — terminal-punct / min-words / javascript line
+    rules + sentence-count / lorem-ipsum / brace / bad-word doc rules,
+    all value-verified; the gate binds both ways at sf0.01."""
+    docs = load(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id", F.expr(cp.c4_fixture_sql()).alias("text"))
+    return cp.c4_clean(wrapped)
+
+
 def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The rotated-out twins — NOT driver slots (the window is exactly 50);
     verified by check_oracle --extras and pytest with the identical gate."""
@@ -1305,6 +1316,7 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "hostgate_docs": q_hostgate_docs,
         "url_canon": q_url_canon,
         "url_dedup_groups": q_url_dedup_groups,
+        "c4_docs": q_c4_docs,
         "dsir_scores": q_dsir_scores,
         "dsir_select": q_dsir_select,
         "attrs_add": q_attrs_add,
@@ -1409,6 +1421,10 @@ def build_extra_oracle_sql() -> dict[str, str]:
     o["html_stripped"] = (
         f"SELECT doc_id, {hh.strip_html_sql_duck('html')} AS clean "
         f"FROM (SELECT doc_id, {hh.html_fixture_sql()} AS html "
+        f"FROM documents)")
+
+    o["c4_docs"] = cp.c4_clean_sql_duck(
+        f"(SELECT doc_id, {cp.c4_fixture_sql('text', 'doc_id')} AS text "
         f"FROM documents)")
 
     _host_expr = ur.url_host_sql_duck(f"({ur.url_fixture_sql('doc_id')})")
