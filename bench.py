@@ -449,6 +449,18 @@ def main() -> None:
             sim.lsh_ann_topk_multiprobe(emb, 8, 5, radius=2),
             sim.lsh_candidate_fraction(emb, 8, radius=2)),
     }
+    # MinHash quality sidecar (the LSH mirror of ann_recall): measured
+    # capture rate per exact-Jaccard decile on the bounded truth subset —
+    # floors pinned in tests/test_minhash_quality.py.
+    from omnition_opentelemetry_service_spark.operators import dedup as dd
+
+    docs = load(spark, SF_DIR, "documents")
+    minhash_quality = {
+        f"jaccard_{r['bucket']/10:.1f}": {
+            "n_pairs": int(r["n_pairs"]),
+            "capture_rate": float(r["capture_rate"])}
+        for r in dd.minhash_capture_curve(docs).collect()}
+
     registry.release_caches(spark)
     spark.stop()
 
@@ -476,6 +488,7 @@ def main() -> None:
         },
         "extras_queries": extras_timed,
         "ann_recall": ann_recall,
+        "minhash_quality": minhash_quality,
         "scaling": scaling,
     }
     details_path = os.path.join(HERE, f"BENCH_details_r{cur_round:02d}.json")

@@ -505,3 +505,89 @@ def seq_near_dup_sql_duck(k: int = 8, threshold: float = 0.5,
     WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
                 len(list_distinct(a.shingles || b.shingles)), 6)
           >= {threshold}"""
+
+
+# -- MinHash quality contract ---------------------------------------------------
+def minhash_capture_curve(docs: DataFrame, id_limit: int = 200,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          k: int = 5) -> DataFrame:
+    """The LSH quality contract, MEASURED: per exact-Jaccard decile bucket,
+    how many true pairs the band join captures. (bucket, n_pairs,
+    n_captured, capture_rate) where bucket = min(floor(jaccard*10), 9) over
+    ALL pairs of the bounded subset — bucket 0's rate is the false-positive
+    floor, bucket 9's the near-dup recall. The theoretical S-curve for this
+    family (b=4 bands, r=4 rows) is 1-(1-s^4)^4: ≈0.23 at s=0.5, ≈0.88 at
+    s=0.8 — the measured curve regressing below that is the alarm this
+    operator exists to raise (mirrors the ANN recall@k contract,
+    similarity.recall_at_k).
+
+    Bounded-by-design verification op (exact truth needs all pairs): the
+    id_limit caps the quadratic side; the production path stays
+    minhash_candidates + jaccard_verify."""
+    sub = (docs.filter(F.col(id_col) < int(id_limit))
+           .filter(F.col(text_col).isNotNull()))
+    sh = materialize(sub.select(F.col(id_col).alias("id"),
+                                char_shingles(text_col, k).alias("shingles")))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    uni = F.size("a.shingles") + F.size("b.shingles") - inter
+    truth = (a.join(b, F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.round(inter / uni, 6).alias("jaccard")))
+    sigs = sh.withColumn("minhash", minhash_signature_expr("shingles"))
+    cand = minhash_candidates(sigs, id_col="id").withColumn("hit", F.lit(1))
+    return (truth.join(cand, ["id_a", "id_b"], "left")
+            .groupBy(F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+                     .cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.coalesce("hit", F.lit(0))).alias("n_captured"))
+            .withColumn("capture_rate",
+                        F.round(F.col("n_captured").cast("double")
+                                / F.col("n_pairs").cast("double"), 6)))
+
+
+def minhash_capture_curve_sql_duck(table: str = "documents",
+                                   id_limit: int = 200,
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text",
+                                   k: int = 5) -> str:
+    """DuckDB twin: same shingles, same permutation family, same band keys,
+    same decile bucketing (jaccard rounded to 6dp FIRST in both engines, so
+    the *10/floor sees identical doubles)."""
+    from ..functions.text import char_shingles_sql_duck
+
+    sh_sql = char_shingles_sql_duck(text_col, k)
+    mh = minhash_signature_sql_duck("shingles")
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS id, {sh_sql} AS shingles
+      FROM {table}
+      WHERE {id_col} < {int(id_limit)} AND {text_col} IS NOT NULL),
+    truth AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                   (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.id < b.id),
+    sig AS (SELECT id, {mh} AS minhash FROM sh),
+    bands AS (
+      SELECT id, concat(CAST(b AS VARCHAR), ':',
+             array_to_string(minhash[b * {LSH_ROWS} + 1 :
+                             b * {LSH_ROWS} + {LSH_ROWS}], ',')) AS band_key
+      FROM sig, (SELECT unnest(range({LSH_BANDS})) AS b)),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_key = r.band_key AND l.id < r.id)
+    SELECT CAST(least(floor(jaccard * 10), 9) AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_captured,
+           round(CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS capture_rate
+    FROM truth t LEFT JOIN cand c
+      ON t.id_a = c.id_a AND t.id_b = c.id_b
+    GROUP BY 1"""

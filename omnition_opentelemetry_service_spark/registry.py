@@ -1303,6 +1303,12 @@ def q_c4_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.c4_clean(wrapped)
 
 
+def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH capture curve vs exact all-pairs Jaccard
+    (dedup.minhash_capture_curve) — the MinHash quality contract."""
+    return dd.minhash_capture_curve(load(spark, sf_dir, "documents"))
+
+
 def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The rotated-out twins — NOT driver slots (the window is exactly 50);
     verified by check_oracle --extras and pytest with the identical gate."""
@@ -1317,6 +1323,7 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "url_canon": q_url_canon,
         "url_dedup_groups": q_url_dedup_groups,
         "c4_docs": q_c4_docs,
+        "minhash_quality": q_minhash_quality,
         "dsir_scores": q_dsir_scores,
         "dsir_select": q_dsir_select,
         "attrs_add": q_attrs_add,
@@ -1422,6 +1429,8 @@ def build_extra_oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {hh.strip_html_sql_duck('html')} AS clean "
         f"FROM (SELECT doc_id, {hh.html_fixture_sql()} AS html "
         f"FROM documents)")
+
+    o["minhash_quality"] = dd.minhash_capture_curve_sql_duck()
 
     o["c4_docs"] = cp.c4_clean_sql_duck(
         f"(SELECT doc_id, {cp.c4_fixture_sql('text', 'doc_id')} AS text "

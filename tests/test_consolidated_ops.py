@@ -39,7 +39,8 @@ def test_extras_full_oracle_hash_parity(spark):
         "oversized_reject_counts", "simhash_pairs",
         "dsir_scores", "dsir_select", "bloom_flags", "drift_topk",
         "drift_grams", "quota_docs", "url_canon", "url_dedup_groups",
-        "span_removed", "html_stripped", "hostgate_docs", "c4_docs"}
+        "span_removed", "html_stripped", "hostgate_docs", "c4_docs",
+        "minhash_quality"}
     con = duckdb.connect()
     register_views(con, SF_DIR)
     failures = run_checks(spark, con, extras, oracles, SF_DIR)
