@@ -345,3 +345,31 @@ def _winnowing_sql(col: str, k: int, w: int) -> str:
         f"ELSE transform(sequence(1, size(hs) - {w} + 1), "
         f"j -> array_min(slice(hs, j, {w}))) END))[0]"
     )
+
+
+# -- invisible-character stripping ----------------------------------------------
+# The pre-tokenization hygiene strip (the ftfy-lite stage CCNet-style
+# pipelines run before anything hashes or shingles text): C0 controls
+# except the whitespace class (\t \n \x0B \x0C \r stay — they are WS_CHARS
+# members and downstream tokenization owns them), DEL + C1 controls, soft
+# hyphen, zero-width + joiners, bidi embedding/override marks and isolates,
+# and the BOM. ONE pattern string shared verbatim by both engines: the
+# \x{...} hex-class syntax parses identically in java.util.regex and RE2,
+# and contains no quote/backslash that survives into a SQL literal
+# divergently (trap 3 has no surface — the Column API takes it raw and the
+# Duck fragment embeds it unchanged).
+INVISIBLE_RX = (
+    "[\\x{0000}-\\x{0008}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}"
+    "\\x{00AD}\\x{200B}-\\x{200F}\\x{202A}-\\x{202E}"
+    "\\x{2060}-\\x{2064}\\x{2066}-\\x{2069}\\x{FEFF}]"
+)
+
+
+def strip_invisible(col: str = "text") -> Column:
+    """Remove control/format characters that carry no text content (see
+    INVISIBLE_RX). Pure expression — whole-stage codegen, zero shuffle."""
+    return F.regexp_replace(F.col(col), INVISIBLE_RX, "")
+
+
+def strip_invisible_sql_duck(col: str = "text") -> str:
+    return f"regexp_replace({col}, '{INVISIBLE_RX}', '', 'g')"

@@ -1309,6 +1309,18 @@ def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_capture_curve(load(spark, sf_dir, "documents"))
 
 
+def q_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (operators/normalize.py): invisible strip +
+    NFC over the decomposed/zero-width fixture decoration — the pandas
+    unicodedata kernel vs DuckDB's utf8proc nfc_normalize."""
+    from .operators import normalize as nz
+
+    docs = load(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id", F.expr(nz.unicode_fixture_sql()).alias("text"))
+    return nz.normalize_docs(wrapped)
+
+
 def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The rotated-out twins — NOT driver slots (the window is exactly 50);
     verified by check_oracle --extras and pytest with the identical gate."""
@@ -1324,6 +1336,7 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "url_dedup_groups": q_url_dedup_groups,
         "c4_docs": q_c4_docs,
         "minhash_quality": q_minhash_quality,
+        "normalized_docs": q_normalized_docs,
         "dsir_scores": q_dsir_scores,
         "dsir_select": q_dsir_select,
         "attrs_add": q_attrs_add,
@@ -1431,6 +1444,12 @@ def build_extra_oracle_sql() -> dict[str, str]:
         f"FROM documents)")
 
     o["minhash_quality"] = dd.minhash_capture_curve_sql_duck()
+
+    from .operators import normalize as nz
+
+    o["normalized_docs"] = nz.normalize_docs_sql_duck(
+        f"(SELECT doc_id, {nz.unicode_fixture_sql('text', 'doc_id')} "
+        f"AS text FROM documents)")
 
     o["c4_docs"] = cp.c4_clean_sql_duck(
         f"(SELECT doc_id, {cp.c4_fixture_sql('text', 'doc_id')} AS text "

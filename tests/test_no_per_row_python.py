@@ -54,7 +54,8 @@ def test_pandas_udfs_only_where_declared():
                "registry.py",  # registry mentions mapInPandas in comments only
                "widen.py",  # docstring names mapInPandas; defines no UDFs
                "media_codecs.py",  # docstring names mapInPandas; pure codecs
-               "bpe.py"}  # encode_bpe: memoized merge loop per Arrow batch
+               "bpe.py",  # encode_bpe: memoized merge loop per Arrow batch
+               "normalize.py"}  # NFC: pd.Series.str.normalize per batch
     hits = []
     for p, src in _sources():
         if ("mapInPandas" in src or "pandas_udf" in src) and \
