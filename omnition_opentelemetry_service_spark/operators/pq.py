@@ -340,8 +340,24 @@ def search_ann_index(spark, index_dir: str,
         for _d, cid in dists[:nprobe]:
             probe_rows.append((qid, cid, tables))
             probed_cells.add(cid)
-    codes = (spark.read.parquet(os.path.join(index_dir, "codes"))
-             .filter(F.col("cell").isin(sorted(probed_cells))))
+    # base codes + every COMMITTED delta batch (update_ann_index): each
+    # path is scanned separately so every scan keeps its own cell=
+    # PartitionFilters; delta count is bounded by drops-since-rebuild
+    # (compaction = rebuild), so the union width is operational, not
+    # corpus-scaled. Dot-staging dirs are never listed — only claimed
+    # batch=N names are visible.
+    cells = sorted(probed_cells)
+
+    def _scan(path):
+        return (spark.read.parquet(path)
+                .filter(F.col("cell").isin(cells)))
+
+    codes = _scan(os.path.join(index_dir, "codes"))
+    delta_root = os.path.join(index_dir, "codes_delta")
+    if os.path.isdir(delta_root):
+        for d in sorted(os.listdir(delta_root)):
+            if d.startswith("batch="):
+                codes = codes.unionByName(_scan(os.path.join(delta_root, d)))
     tq = spark.createDataFrame(
         probe_rows, "query_id long, cell long, tables array<array<double>>")
     score = (
@@ -354,3 +370,59 @@ def search_ann_index(spark, index_dir: str,
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("query_id", "id", "adc_dist"))
+
+
+def update_ann_index(spark, index_dir: str, new_emb: DataFrame,
+                     batch_id: int, id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> dict:
+    """FAISS-`add` for the on-disk IVF-PQ index: encode a NEW drop with the
+    STORED coarse centroids and codebooks (no retrain — the quantizer is
+    frozen at build time, the standard IVF add discipline; distribution
+    drift degrades recall until the next REBUILD, which is a rebuild, not
+    an update) and commit it as a delta directory:
+
+        <index>/codes_delta/batch=<id>/cell=N/*.parquet
+
+    Commit protocol — the repo's writer-claimed sibling-dir discipline
+    (sinks/snapshot.py, streaming/incremental.py): the delta is written to
+    a dot-staging dir (invisible to serving) and claimed by ONE atomic
+    rename. Redelivery of an already-committed batch_id is a no-op; a
+    crash mid-write leaves only an ignored staging dir; two concurrent
+    writers race on the rename and exactly one wins. Identity across
+    base+deltas is the CALLER's contract (run the incremental dedup first
+    — operators/incremental.py); the index appends, it does not upsert.
+
+    Shape at scale: one zero-shuffle encode scan of the drop
+    (assign_and_encode — broadcast centroid argmax + codes in the same
+    select) plus the single repartition-on-cell the base build also pays.
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    cents = [(int(c), v) for c, v in meta["centroids"]]
+    delta_root = os.path.join(index_dir, "codes_delta")
+    final = os.path.join(delta_root, f"batch={int(batch_id)}")
+    if os.path.exists(final):
+        return {"batch_id": int(batch_id), "committed": False,
+                "rows": 0, "reason": "already committed"}
+    coded = assign_and_encode(new_emb, cents, meta["codebooks"],
+                              id_col=id_col, emb_col=emb_col,
+                              dim=meta["dim"])
+    os.makedirs(delta_root, exist_ok=True)
+    staging = os.path.join(delta_root, f".staging-{uuid.uuid4().hex}")
+    (coded.repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(staging))
+    n = spark.read.parquet(staging).count()
+    try:
+        os.rename(staging, final)
+        committed = True
+    except OSError:
+        # lost the claim to a concurrent writer — discard our staging
+        shutil.rmtree(staging, ignore_errors=True)
+        committed = False
+    return {"batch_id": int(batch_id), "committed": committed,
+            "rows": n if committed else 0}
