@@ -1321,6 +1321,20 @@ def q_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nz.normalize_docs(wrapped)
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics (operators/skew.py) over the token table's
+    `source` key — the measurement behind the salted-aggregation choice."""
+    from .operators import skew
+
+    return skew.key_skew_report(fx.sequences(spark, _n(sf_dir)))
+
+
+def q_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import skew
+
+    return skew.heavy_keys(fx.sequences(spark, _n(sf_dir)), topk=4)
+
+
 def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The rotated-out twins — NOT driver slots (the window is exactly 50);
     verified by check_oracle --extras and pytest with the identical gate."""
@@ -1337,6 +1351,8 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "c4_docs": q_c4_docs,
         "minhash_quality": q_minhash_quality,
         "normalized_docs": q_normalized_docs,
+        "skew_report": q_skew_report,
+        "heavy_keys": q_heavy_keys,
         "dsir_scores": q_dsir_scores,
         "dsir_select": q_dsir_select,
         "attrs_add": q_attrs_add,
@@ -1444,6 +1460,11 @@ def build_extra_oracle_sql() -> dict[str, str]:
         f"FROM documents)")
 
     o["minhash_quality"] = dd.minhash_capture_curve_sql_duck()
+
+    from .operators import skew as sk
+
+    o["skew_report"] = sk.key_skew_report_sql_duck("seq", prelude=pre)
+    o["heavy_keys"] = sk.heavy_keys_sql_duck("seq", topk=4, prelude=pre)
 
     from .operators import normalize as nz
 
