@@ -1292,6 +1292,31 @@ def q_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ur.url_dedup_groups(with_url)
 
 
+def q_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC file layer end-to-end (operators/warc.py): documents wrapped
+    in deterministic HTML + urls → per-record-gzip WARC archives →
+    parse_warc → per-record projection. The DuckDB twin recomputes the
+    SAME projection straight from the fixtures (chained-twin pattern), so
+    a single byte drifting anywhere in encode→gzip→inflate→parse→HTTP
+    split flips body_md5 and fails the hash gate."""
+    from .functions import html as hh
+    from .operators import warc as wc
+
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id",
+                    F.expr(ur.url_fixture_sql("doc_id")).alias("url"),
+                    F.expr(hh.html_fixture_sql()).alias("html")))
+    files = wc.warc_fixture_files(docs, n_files=8, gzip_records=True)
+    return (wc.parse_warc(files)
+            .select(
+                F.regexp_extract("rec_id", r"^urn:doc:(\d+)$", 1)
+                .cast("bigint").alias("doc_id"),
+                "url", "http_status",
+                F.length("body").alias("n_bytes"),
+                F.md5("body").alias("body_md5")))
+
+
 def q_c4_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 §2.2 heuristic cleaning (corpus.c4_clean) over the deterministic
     multi-line fixture — terminal-punct / min-words / javascript line
@@ -1349,6 +1374,7 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "url_canon": q_url_canon,
         "url_dedup_groups": q_url_dedup_groups,
         "c4_docs": q_c4_docs,
+        "warc_docs": q_warc_docs,
         "minhash_quality": q_minhash_quality,
         "normalized_docs": q_normalized_docs,
         "skew_report": q_skew_report,
@@ -1475,6 +1501,19 @@ def build_extra_oracle_sql() -> dict[str, str]:
     o["c4_docs"] = cp.c4_clean_sql_duck(
         f"(SELECT doc_id, {cp.c4_fixture_sql('text', 'doc_id')} AS text "
         f"FROM documents)")
+
+    # the WARC twin recomputes the projection from fixtures directly —
+    # independent of every byte of the encode→gzip→parse path. md5 over
+    # VARCHAR hashes its UTF-8 bytes in DuckDB, exactly the bytes the
+    # Spark side round-trips through the archive body.
+    o["warc_docs"] = f"""
+    SELECT doc_id, {ur.url_fixture_sql('doc_id')} AS url,
+           CAST(200 AS INTEGER) AS http_status,
+           CAST(strlen(html) AS INTEGER) AS n_bytes,
+           md5(html) AS body_md5
+    FROM (SELECT doc_id, text, {hh.html_fixture_sql()} AS html
+          FROM documents WHERE text IS NOT NULL)
+    WHERE {ur.url_fixture_sql('doc_id')} IS NOT NULL"""
 
     _host_expr = ur.url_host_sql_duck(f"({ur.url_fixture_sql('doc_id')})")
     o["hostgate_docs"] = f"""
