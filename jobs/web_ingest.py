@@ -50,6 +50,9 @@ Usage (sandbox; cluster: package with tools/package.sh + --py-files):
     python jobs/web_ingest.py --input <parquet> --out <dir> \
         [--block-hosts h1,h2] [--line-min-count 2] [--quality-min 0.5] \
         [--host-cap N] [--report report.json] [--parallelism 8]
+
+    # or straight from the raw crawl file layer (operators/warc.py):
+    python jobs/web_ingest.py --input-warc <dir-of-warc-files> --out <dir>
 """
 
 from __future__ import annotations
@@ -136,7 +139,13 @@ def web_ingest(docs: DataFrame, blocked_hosts: list[str] | None = None,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet of (doc_id, url, html[, source])")
+    src.add_argument("--input-warc",
+                     help="directory of WARC archives (plain or "
+                          "per-record-gzip) — the raw crawl file layer; "
+                          "read via binaryFile + operators/warc.parse_warc, "
+                          "a 'fetch' counter stage precedes the blocklist")
     ap.add_argument("--out", required=True)
     ap.add_argument("--block-hosts", default=None)
     ap.add_argument("--line-min-count", type=int, default=2)
@@ -153,8 +162,14 @@ def main() -> None:
     spark = get_spark(app_name="web_ingest", parallelism=args.parallelism)
     counters = StageCounters()
     blocked = (args.block_hosts.split(",") if args.block_hosts else None)
+    if args.input_warc:
+        from omnition_opentelemetry_service_spark.operators import warc as wc
+
+        docs = wc.load_warc_docs(spark, args.input_warc, counters=counters)
+    else:
+        docs = spark.read.parquet(args.input)
     cleaned = web_ingest(
-        spark.read.parquet(args.input), blocked_hosts=blocked,
+        docs, blocked_hosts=blocked,
         line_min_count=args.line_min_count, quality_min=args.quality_min,
         host_cap=args.host_cap, host_quality_min=args.host_quality_min,
         counters=counters)

@@ -229,8 +229,7 @@ def warc_to_docs(parsed: DataFrame, source: str = "warc") -> DataFrame:
     reruns, unique per record. Pure projection, zero shuffle."""
     doc_from_urn = F.regexp_extract("rec_id", r"^urn:doc:(\d+)$", 1)
     return (parsed
-            .filter((F.col("warc_type") == "response")
-                    & (F.col("http_status") == 200))
+            .filter(~fetch_drop_pred())
             .select(
                 F.when(doc_from_urn != "", doc_from_urn.cast("bigint"))
                 .otherwise(F.xxhash64("warc_file", "rec_offset"))
@@ -238,6 +237,32 @@ def warc_to_docs(parsed: DataFrame, source: str = "warc") -> DataFrame:
                 "url",
                 F.col("body").cast("string").alias("html"),
                 F.lit(source).alias("source")))
+
+
+def fetch_drop_pred() -> "F.Column":
+    """The predicate warc_to_docs filters on, exposed so jobs can hang a
+    received/dropped Observation on the parse output (obsreport
+    discipline: counters ride the pass, they don't add one)."""
+    return ~((F.col("warc_type") == "response")
+             & (F.col("http_status") == 200))
+
+
+def load_warc_docs(spark, path: str, source: str = "warc",
+                   counters=None) -> DataFrame:
+    """Archive directory → web_ingest's (doc_id, url, html, source) input:
+    ``binaryFile`` scan (one file = one row = one task; Spark splits the
+    listing across executors, so a million-file bucket lists in parallel)
+    → parse_warc → warc_to_docs. ``counters`` (metrics.StageCounters)
+    gets a 'fetch' stage Observation counting non-response / non-200
+    records dropped — fired on the same pass as the downstream consumer."""
+    files = (spark.read.format("binaryFile").load(path)
+             .select(F.col("path").alias("warc_file"),
+                     F.col("content").alias("data")))
+    parsed = parse_warc(files)
+    if counters is not None:
+        parsed = counters.observe_stage(
+            parsed, "web_ingest", "fetch", drop_predicate=fetch_drop_pred())
+    return warc_to_docs(parsed, source=source)
 
 
 # -- deterministic fixture ------------------------------------------------------

@@ -136,6 +136,50 @@ def test_warc_to_docs_hash_fallback_for_foreign_ids(spark):
     assert out[0]["html"] == "<p>hi</p>"
 
 
+def test_cli_input_warc_e2e(spark, tmp_path):
+    """Crawl story from the FILE layer: real .warc.gz archives on disk →
+    web_ingest --input-warc (binaryFile → parse → fetch counter → the
+    normal stage chain) ≡ web_ingest over the equivalent doc table."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    from jobs.web_ingest import web_ingest
+
+    # text must pass BOTH gates (stopword-vote lang-ID needs en
+    # stopwords; quality needs ≥5 tokens, low punct, ≥5% stopwords) so
+    # the final set comparison is non-vacuous
+    rows = [(i, f"http://site{i % 6}.example.com/p{i}",
+             f"<html><body><p>Document {i} is the body of a page and "
+             f"it is full of the words that count.</p></body></html>")
+            for i in range(45)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    wdir = tmp_path / "warc"
+    wdir.mkdir()
+    for r in wc.warc_fixture_files(docs, n_files=3,
+                                   gzip_records=True).collect():
+        (wdir / r["warc_file"]).write_bytes(bytes(r["data"]))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outp, rep = str(tmp_path / "clean"), str(tmp_path / "report.json")
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "jobs", "web_ingest.py"),
+         "--input-warc", str(wdir), "--out", outp, "--report", rep,
+         "--quality-min", "0.0", "--parallelism", "4"],
+        capture_output=True, text=True, cwd=repo, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(open(rep).read())
+    assert report["web_ingest:fetch"] == {"received": 45, "dropped": 0}
+
+    expect = web_ingest(
+        docs.withColumn("source", F.lit("warc")), quality_min=0.0)
+    got = {tuple(x) for x in spark.read.parquet(outp).collect()}
+    assert got == {tuple(x) for x in expect.collect()}
+    assert got  # gates must not have emptied the corpus (vacuous ==)
+    spark.catalog.clearCache()
+
+
 def test_non_response_records_kept_in_parse_dropped_in_docs(spark):
     info = wc.encode_warc_record(
         "http://x.example.com/", "urn:doc:7", b"software: test",
