@@ -1,0 +1,271 @@
+"""Robots Exclusion Protocol (RFC 9309) gate — crawl politeness for the
+web front half (jobs/web_ingest.py sits downstream; this op decides which
+fetched URLs a compliant crawler may even keep).
+
+Semantics implemented (all from the public RFC):
+- robots.txt is line-structured: ``User-agent:`` lines open a group;
+  contiguous agent lines share one group; ``Allow:``/``Disallow:`` rules
+  belong to the nearest preceding group; rules before any group are
+  ignored; unknown directives (Crawl-delay, Sitemap) are ignored;
+  ``#`` starts a comment.
+- Group selection per host: if any group names OUR agent exactly
+  (case-insensitive), exactly those groups apply; otherwise the ``*``
+  groups; otherwise everything is allowed.
+- Rule matching is longest-match over the URL's path+query: ``*`` is a
+  wildcard, a trailing ``$`` anchors the end, precedence = most octets in
+  the pattern, and on a length tie Allow wins. No matching rule → allowed.
+
+Cross-engine twin discipline: the whole parse (line split → comment strip
+→ directive extract → gaps-and-islands group ids → group choice) and the
+matcher (pattern → LIKE with ``!`` as the escape char — NO backslash
+anywhere, PARITY.md trap 24/28) are built from ONE fragment builder per
+step parameterized by engine, corpus.py `_words_expr` style. The verdict
+aggregate uses an integer score ``2*len(pattern) + (type=allow)`` so
+max_by needs no struct comparison and ties cannot flip the verdict;
+max_by/arg_max both ignore NULL score rows (non-matching rules), pinned
+by test_robots.
+
+Shape at scale: parse is per-host-bounded (a robots file is ≤ a few KB —
+the windows partition by host over ≤ file-line counts); the gate is ONE
+equi-join docs⋈rules on host (rules tables are hosts-bounded, far
+smaller than the corpus — Catalyst broadcasts when small, shuffles on
+host otherwise; fan-out per doc ≤ rules-per-host, a small constant) and
+ONE doc-keyed aggregate. No cross product, no corpus×corpus join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_AGENT = "trainbot"
+
+_AGENT_SAFE = set("abcdefghijklmnopqrstuvwxyz0123456789-_")
+
+
+def _check_agent(agent: str) -> str:
+    a = agent.lower()
+    if not a or not set(a) <= _AGENT_SAFE:
+        # the agent name is inlined as a SQL literal — reject instead of
+        # escaping (PARITY.md trap 24: escaping is itself divergent)
+        raise ValueError(f"agent not literal-safe: {agent!r}")
+    return a
+
+
+def _trim(x: str, engine: str) -> str:
+    """ASCII space/tab/CR trim — NOT bare trim (trap 5: DuckDB's bare trim
+    strips all unicode whitespace). CR matters: robots.txt ships CRLF."""
+    fn = "btrim" if engine == "spark" else "trim"
+    return f"{fn}({x}, ' ' || chr(9) || chr(13))"
+
+
+def _nocmt(line: str, engine: str) -> str:
+    g = "" if engine == "spark" else ", 'g'"
+    return f"regexp_replace({line}, '#.*', ''{g})"
+
+
+def _dir_key(nocmt: str, engine: str) -> str:
+    inner = f"regexp_extract({nocmt}, '^([^:]+):', 1)"
+    return f"lower({_trim(inner, engine)})"
+
+
+def _dir_val(nocmt: str, engine: str) -> str:
+    return _trim(f"regexp_extract({nocmt}, '^[^:]+:(.*)$', 1)", engine)
+
+
+def _like_pat(p: str) -> str:
+    """Robots path pattern → LIKE pattern (engine-neutral: '!' escape,
+    no backslash). '*'→'%', trailing '$' anchors (no trailing '%')."""
+    anchored = f"substr({p}, length({p}), 1) = '$'"
+    body = f"CASE WHEN {anchored} THEN substr({p}, 1, length({p}) - 1) ELSE {p} END"
+    esc = (f"replace(replace(replace({body}, '!', '!!'), '%', '!%'), "
+           f"'_', '!_')")
+    star = f"replace({esc}, '*', '%')"
+    return f"CASE WHEN {anchored} THEN {star} ELSE {star} || '%' END"
+
+
+def _path_q(url: str, engine: str) -> str:
+    """URL → path+query (fragment stripped; no path → '/'); NULL-safe."""
+    nofrag = _nocmt(url, engine)  # '#.*' strip IS the fragment strip
+    ext = (f"regexp_extract({nofrag}, "
+           f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)$', 1)")
+    return (f"CASE WHEN {url} IS NULL THEN NULL "
+            f"ELSE coalesce(nullif({ext}, ''), '/') END")
+
+
+def _score(typ: str, plen: str, match: str) -> str:
+    """Integer precedence: most-octets wins, Allow breaks ties (RFC).
+    NULL when the rule does not match — max_by skips those rows."""
+    return (f"CASE WHEN {match} THEN CAST(2 * {plen} + "
+            f"CASE WHEN {typ} = 'allow' THEN 1 ELSE 0 END AS BIGINT) "
+            f"ELSE NULL END")
+
+
+# -- Spark implementation -------------------------------------------------------
+def parse_robots(robots: DataFrame, agent: str = DEFAULT_AGENT,
+                 host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) → the rules applicable to ``agent``:
+    (host, rule_type, pattern, like_pat, plen). Windows partition by host
+    (bounded: one robots file's lines); group choice per RFC."""
+    a = _check_agent(agent)
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("ln", "line"))
+    d = lines.select(
+        "host", "ln",
+        F.expr(_dir_key(_nocmt("line", "spark"), "spark")).alias("k"),
+        F.expr(_dir_val(_nocmt("line", "spark"), "spark")).alias("v"))
+    d = d.filter(F.col("k").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("ln")
+    blocks = (d
+              .withColumn("ia", (F.col("k") == "user-agent").cast("int"))
+              .withColumn("pia", F.coalesce(F.lag("ia").over(w), F.lit(0)))
+              .withColumn("bid", F.sum(
+                  ((F.col("ia") == 1) & (F.col("pia") == 0)).cast("int"))
+                  .over(w.rowsBetween(Window.unboundedPreceding, 0))))
+    agents = (blocks.filter(F.col("ia") == 1)
+              .select("host", "bid", F.lower("v").alias("aname")))
+    chosen = (agents
+              .withColumn("has_spec", F.max(
+                  (F.col("aname") == a).cast("int"))
+                  .over(Window.partitionBy("host")))
+              .filter(((F.col("has_spec") == 1) & (F.col("aname") == a))
+                      | ((F.col("has_spec") == 0)
+                         & (F.col("aname") == "*")))
+              .select("host", "bid").distinct())
+    rules = (blocks.filter((F.col("ia") == 0) & (F.col("v") != ""))
+             .select("host", "bid", F.col("k").alias("rule_type"),
+                     F.col("v").alias("pattern")))
+    return (rules.join(chosen, ["host", "bid"], "leftsemi")
+            .select("host", "rule_type", "pattern",
+                    F.expr(_like_pat("pattern")).alias("like_pat"),
+                    F.length("pattern").cast("bigint").alias("plen")))
+
+
+def robots_gate(docs: DataFrame, robots: DataFrame,
+                agent: str = DEFAULT_AGENT, url_col: str = "url",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-doc verdict: (doc_id, url, host, allowed, matched_rule,
+    matched_pattern). ONE host equi-join + ONE doc-keyed aggregate; docs
+    with NULL/unknown hosts or no matching rule are allowed (politeness
+    gates fail open, exactly like the blocklist's NULL rule)."""
+    from . import urls as ur
+
+    rules = parse_robots(robots, agent=agent)
+    pathed = docs.select(
+        F.col(id_col), F.col(url_col).alias("url"),
+        ur.url_host(url_col).alias("host"),
+        F.expr(_path_q(url_col, "spark")).alias("pq"))
+    j = pathed.join(rules, "host", "left")
+    m = "pq LIKE like_pat ESCAPE '!'"
+    return (j.groupBy(id_col)
+            .agg(F.min("url").alias("url"),
+                 F.min("host").alias("host"),
+                 F.expr(f"max_by(rule_type, "
+                        f"{_score('rule_type', 'plen', m)})")
+                 .alias("matched_rule"),
+                 F.expr(f"max_by(pattern, "
+                        f"{_score('rule_type', 'plen', m)})")
+                 .alias("matched_pattern"))
+            .select(id_col, "url", "host",
+                    (F.col("matched_rule").isNull()
+                     | (F.col("matched_rule") == "allow"))
+                    .alias("allowed"),
+                    "matched_rule", "matched_pattern"))
+
+
+# -- DuckDB twin ----------------------------------------------------------------
+def parse_robots_sql_duck(robots_table: str, agent: str = DEFAULT_AGENT,
+                          host_col: str = "host",
+                          txt_col: str = "robots_txt") -> str:
+    """Same CTE chain as parse_robots, DuckDB-side; ``robots_table`` is a
+    subquery/view with (host, robots_txt)."""
+    a = _check_agent(agent)
+    nocmt = _nocmt("lst[pos]", "duck")
+    return f"""
+    WITH rl AS (SELECT {host_col} AS host,
+                       string_split({txt_col}, chr(10)) AS lst
+                FROM {robots_table}),
+    ln AS (SELECT host, pos AS ln,
+                  {_dir_key(nocmt, 'duck')} AS k,
+                  {_dir_val(nocmt, 'duck')} AS v
+           FROM rl, unnest(range(1, len(lst) + 1)) t(pos)),
+    d AS (SELECT * FROM ln WHERE k IN ('user-agent', 'allow', 'disallow')),
+    blk AS (SELECT *,
+                   CASE WHEN k = 'user-agent' THEN 1 ELSE 0 END AS ia,
+                   coalesce(lag(CASE WHEN k = 'user-agent' THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY host ORDER BY ln), 0) AS pia
+            FROM d),
+    bid AS (SELECT *,
+                   sum(CASE WHEN ia = 1 AND pia = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY host ORDER BY ln
+                         ROWS UNBOUNDED PRECEDING) AS bid
+            FROM blk),
+    ag AS (SELECT host, bid, lower(v) AS aname FROM bid WHERE ia = 1),
+    ch AS (SELECT DISTINCT host, bid FROM (
+             SELECT *, max(CASE WHEN aname = '{a}' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY host) AS has_spec
+             FROM ag)
+           WHERE (has_spec = 1 AND aname = '{a}')
+              OR (has_spec = 0 AND aname = '*')),
+    ru AS (SELECT host, bid, k AS rule_type, v AS pattern
+           FROM bid WHERE ia = 0 AND v <> '')
+    SELECT r.host, r.rule_type, r.pattern,
+           {_like_pat('r.pattern')} AS like_pat,
+           CAST(length(r.pattern) AS BIGINT) AS plen
+    FROM ru r SEMI JOIN ch c ON r.host = c.host AND r.bid = c.bid"""
+
+
+def robots_gate_sql_duck(docs_table: str, robots_table: str,
+                         agent: str = DEFAULT_AGENT, url_col: str = "url",
+                         id_col: str = "doc_id") -> str:
+    from . import urls as ur
+
+    m = "pq LIKE like_pat ESCAPE '!'"
+    return f"""
+    WITH rules AS ({parse_robots_sql_duck(robots_table, agent)}),
+    pathed AS (SELECT {id_col}, {url_col} AS url,
+                      {ur.url_host_sql_duck(url_col)} AS host,
+                      {_path_q(url_col, 'duck')} AS pq
+               FROM {docs_table}),
+    j AS (SELECT p.*, r.rule_type, r.pattern, r.like_pat, r.plen
+          FROM pathed p LEFT JOIN rules r ON p.host = r.host),
+    agg AS (SELECT {id_col}, min(url) AS url, min(host) AS host,
+                   arg_max(rule_type, {_score('rule_type', 'plen', m)})
+                     AS matched_rule,
+                   arg_max(pattern, {_score('rule_type', 'plen', m)})
+                     AS matched_pattern
+            FROM j GROUP BY {id_col})
+    SELECT {id_col}, url, host,
+           (matched_rule IS NULL OR matched_rule = 'allow') AS allowed,
+           matched_rule, matched_pattern
+    FROM agg"""
+
+
+# -- deterministic fixture -------------------------------------------------------
+def robots_fixture_sql(host_col: str = "host") -> str:
+    """Engine-NEUTRAL robots.txt synthesized from a host column: hosts
+    whose digits ≡ 0 (mod 3) carry a trainbot-specific group (which then
+    EXCLUDES the '*' group per RFC); all hosts carry a '*' group with
+    prefix / wildcard / anchored rules plus an ignored unknown directive
+    and a comment. NULL host → NULL robots (trap 25 concat guard)."""
+    # nullif/coalesce: CAST('' AS BIGINT) errors under ANSI — digit-less
+    # hosts fall to 0 identically in both engines
+    d = (f"CAST(coalesce(nullif(regexp_extract({host_col}, '([0-9]+)', 1), "
+         f"''), '0') AS BIGINT)")
+    nl = "chr(10)"
+    spec = (f"CASE WHEN {d} % 3 = 0 THEN "
+            f"'User-agent: trainbot' || {nl} || "
+            f"'Disallow: /a/p1*' || {nl} || "
+            f"'Allow: /a/p1$' || {nl} || "
+            f"'Disallow: /a/p4' || {nl} ELSE '' END")
+    return (f"CASE WHEN {host_col} IS NULL THEN NULL ELSE "
+            f"'# fixture robots' || {nl} || {spec} || "
+            f"'User-agent: otherbot' || {nl} || "
+            f"'Disallow: /' || {nl} || "
+            f"'User-agent: *' || {nl} || "
+            f"'Disallow: /a/p2$' || {nl} || "
+            f"'Disallow: /a/p3' || {nl} || "
+            f"'Allow: /a/p33*' || {nl} || "
+            f"'Crawl-delay: 3' END")

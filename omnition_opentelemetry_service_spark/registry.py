@@ -1292,6 +1292,23 @@ def q_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ur.url_dedup_groups(with_url)
 
 
+def q_robots_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots gate (operators/robots.py) over the url fixture:
+    per-host robots.txt synthesized engine-neutrally (specific-agent
+    groups on every third host EXCLUDE the '*' group per RFC), full
+    parse → group choice → longest-match verdict, value-verified
+    including matched-rule provenance."""
+    from .operators import robots as rb
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(ur.url_fixture_sql("doc_id")).alias("url"))
+    hosts = (docs.select(ur.url_host("url").alias("host"))
+             .distinct().filter("host IS NOT NULL"))
+    robots = hosts.select(
+        "host", F.expr(rb.robots_fixture_sql("host")).alias("robots_txt"))
+    return rb.robots_gate(docs, robots)
+
+
 def q_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC file layer end-to-end (operators/warc.py): documents wrapped
     in deterministic HTML + urls → per-record-gzip WARC archives →
@@ -1375,6 +1392,7 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "url_dedup_groups": q_url_dedup_groups,
         "c4_docs": q_c4_docs,
         "warc_docs": q_warc_docs,
+        "robots_docs": q_robots_docs,
         "minhash_quality": q_minhash_quality,
         "normalized_docs": q_normalized_docs,
         "skew_report": q_skew_report,
@@ -1514,6 +1532,16 @@ def build_extra_oracle_sql() -> dict[str, str]:
     FROM (SELECT doc_id, text, {hh.html_fixture_sql()} AS html
           FROM documents WHERE text IS NOT NULL)
     WHERE {ur.url_fixture_sql('doc_id')} IS NOT NULL"""
+
+    from .operators import robots as rb
+
+    _rb_url = ur.url_fixture_sql("doc_id")
+    o["robots_docs"] = rb.robots_gate_sql_duck(
+        f"(SELECT doc_id, {_rb_url} AS url FROM documents) dsrc",
+        f"(SELECT host, {rb.robots_fixture_sql('host')} AS robots_txt "
+        f"FROM (SELECT DISTINCT {ur.url_host_sql_duck('url')} AS host "
+        f"FROM (SELECT doc_id, {_rb_url} AS url FROM documents) d0 "
+        f"WHERE {ur.url_host_sql_duck('url')} IS NOT NULL) h) rsrc")
 
     _host_expr = ur.url_host_sql_duck(f"({ur.url_fixture_sql('doc_id')})")
     o["hostgate_docs"] = f"""

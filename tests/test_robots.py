@@ -1,0 +1,151 @@
+"""Robots Exclusion Protocol gate (operators/robots.py): RFC 9309 group
+and matching semantics by hand-case, the LIKE-escape path, the max_by
+NULL-skip contract both twins lean on, and full cross-engine value parity
+on the fixture corpus."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from omnition_opentelemetry_service_spark.operators import robots as rb
+from omnition_opentelemetry_service_spark.operators import urls as ur
+
+RTXT = (
+    "# leading comment\r\n"
+    "Disallow: /early\r\n"            # before any group: ignored
+    "User-agent: OtherBot\n"
+    "User-agent: trainbot\n"          # contiguous agents share the group
+    "Disallow: /private*\n"
+    "Allow: /private/ok$\n"
+    "Sitemap: http://x.example.com/s\n"  # unknown directive: ignored
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /\n"                   # must NOT apply: specific group wins
+)
+
+
+def _gate(spark, urls: list[str], txt: str = RTXT,
+          agent: str = "trainbot") -> dict[str, bool]:
+    docs = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    robots = spark.createDataFrame(
+        [("h.example.com", txt)], "host string, robots_txt string")
+    out = rb.robots_gate(docs, robots, agent=agent)
+    return {r["url"]: r["allowed"] for r in out.collect()}
+
+
+def test_rfc_group_and_match_semantics(spark):
+    base = "http://h.example.com"
+    v = _gate(spark, [
+        f"{base}/x",              # no trainbot rule matches → allowed
+        f"{base}/early",          # rule outside any group is dead
+        f"{base}/private/stuff",  # Disallow /private* → blocked
+        f"{base}/private/ok",     # anchored Allow outscores (tie → allow)
+        f"{base}/private/ok2",    # $ anchor must not match a longer path
+        "http://unknown.example.com/private/x",  # no robots → allowed
+        None,                     # NULL url fails open
+    ])
+    assert v[f"{base}/x"] is True
+    assert v[f"{base}/early"] is True
+    assert v[f"{base}/private/stuff"] is False
+    assert v[f"{base}/private/ok"] is True
+    assert v[f"{base}/private/ok2"] is False
+    assert v["http://unknown.example.com/private/x"] is True
+    assert v[None] is True
+
+
+def test_star_group_applies_to_unlisted_agent(spark):
+    v = _gate(spark, ["http://h.example.com/anything"], agent="newbot")
+    assert v["http://h.example.com/anything"] is False  # '*' Disallow: /
+
+
+def test_agent_match_case_insensitive_and_other_group_excluded(spark):
+    v = _gate(spark, ["http://h.example.com/private/a",
+                      "http://h.example.com/ok"], agent="TrainBot")
+    assert v["http://h.example.com/private/a"] is False
+    assert v["http://h.example.com/ok"] is True
+
+
+def test_unsafe_agent_rejected():
+    with pytest.raises(ValueError, match="literal-safe"):
+        rb.parse_robots_sql_duck("robots", agent="x'; DROP--")
+
+
+def test_like_metachars_are_literal(spark):
+    txt = ("User-agent: *\n"
+           "Disallow: /100%*\n"
+           "Disallow: /a_b$\n")
+    base = "http://h.example.com"
+    v = _gate(spark, [f"{base}/100%off", f"{base}/1000off",
+                      f"{base}/a_b", f"{base}/axb"], txt=txt)
+    assert v[f"{base}/100%off"] is False  # % matched literally
+    assert v[f"{base}/1000off"] is True   # would be blocked if % leaked
+    assert v[f"{base}/a_b"] is False      # _ matched literally
+    assert v[f"{base}/axb"] is True       # would be blocked if _ leaked
+
+
+def test_empty_disallow_means_allow_all(spark):
+    txt = "User-agent: *\nDisallow:\n"
+    v = _gate(spark, ["http://h.example.com/x"], txt=txt)
+    assert v["http://h.example.com/x"] is True
+
+
+def test_query_matched_fragment_stripped(spark):
+    txt = "User-agent: *\nDisallow: /p?*utm*\n"
+    base = "http://h.example.com"
+    v = _gate(spark, [f"{base}/p?utm_source=x", f"{base}/p#utm_frag"],
+              txt=txt)
+    assert v[f"{base}/p?utm_source=x"] is False  # query IS matched
+    assert v[f"{base}/p#utm_frag"] is True       # fragment is NOT
+
+
+def test_max_by_skips_null_ordering_rows(spark):
+    """Both verdict aggregates hinge on max_by/arg_max ignoring rows whose
+    score is NULL (non-matching rules) — pin the engine contract."""
+    got = spark.sql(
+        "SELECT max_by(t, s) FROM VALUES ('a', 1), ('b', NULL), ('c', 0) "
+        "AS v(t, s)").collect()[0][0]
+    assert got == "a"
+    assert spark.sql("SELECT max_by(t, s) FROM VALUES ('b', CAST(NULL AS "
+                     "INT)) AS v(t, s)").collect()[0][0] is None
+    con = duckdb.connect()
+    assert con.execute("SELECT arg_max(t, s) FROM (VALUES ('a', 1), "
+                       "('b', NULL), ('c', 0)) v(t, s)").fetchone()[0] == "a"
+    assert con.execute("SELECT arg_max(t, s) FROM (VALUES ('b', "
+                       "CAST(NULL AS INT))) v(t, s)").fetchone()[0] is None
+
+
+def test_cross_engine_value_parity(spark):
+    """Full twin equality over the url fixture + robots fixture — every
+    column, every row, including matched rule provenance."""
+    n = 400
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(ur.url_fixture_sql("id")).alias("url"))
+    hosts = (docs.select(ur.url_host("url").alias("host"))
+             .distinct().filter("host IS NOT NULL"))
+    robots = hosts.select(
+        "host", F.expr(rb.robots_fixture_sql("host")).alias("robots_txt"))
+    out = rb.robots_gate(docs, robots).orderBy("doc_id")
+    sp = [(r.doc_id, r.url, r.host, r.allowed, r.matched_rule,
+           r.matched_pattern) for r in out.collect()]
+
+    url_fx = ur.url_fixture_sql("t.i")
+    docs_tbl = (f"(SELECT t.i AS doc_id, {url_fx} AS url "
+                f"FROM range(0, {n}) t(i)) dsrc")
+    robots_tbl = (
+        f"(SELECT host, {rb.robots_fixture_sql('host')} AS robots_txt "
+        f"FROM (SELECT DISTINCT {ur.url_host_sql_duck('url')} AS host "
+        f"FROM (SELECT t.i AS doc_id, {url_fx} AS url "
+        f"FROM range(0, {n}) t(i)) d0 "
+        f"WHERE {ur.url_host_sql_duck('url')} IS NOT NULL) h) rsrc")
+    du = duckdb.connect().execute(
+        rb.robots_gate_sql_duck(docs_tbl, robots_tbl)
+        + " ORDER BY doc_id").fetchall()
+    assert sp == [tuple(r) for r in du]
+    blocked = sum(1 for r in sp if not r[3])
+    assert 0 < blocked < n  # the gate binds both ways
+    # both group regimes exercised: specific-agent hosts and '*' hosts
+    assert {r[4] for r in sp} >= {"allow", "disallow", None}
