@@ -8,6 +8,9 @@ identity first:
     raw crawl (doc_id, url, html [, source])
       → host blocklist            (urls.host_blocklist_filter — URL-only,
                                    no text touched yet)
+      → robots politeness         (optional --robots: RFC 9309 verdicts
+                                   via robots.robots_gate_inline —
+                                   broadcast rule arrays, zero shuffle)
       → canonical-URL dedup       (urls.canonical_url + ONE min_by groupBy;
                                    the cheapest duplicate identity — pages
                                    collapse before any HTML byte is parsed)
@@ -73,6 +76,8 @@ def web_ingest(docs: DataFrame, blocked_hosts: list[str] | None = None,
                line_min_count: int = 2, quality_min: float = 0.5,
                host_cap: int | None = None,
                host_quality_min: float | None = None, counters=None,
+               robots: DataFrame | None = None,
+               robots_agent: str = "trainbot",
                id_col: str = "doc_id") -> DataFrame:
     """The composed front half (see module doc). Returns the cleaned
     document table (doc_id, url, host, source, text) — make_release
@@ -95,6 +100,21 @@ def web_ingest(docs: DataFrame, blocked_hosts: list[str] | None = None,
         annotated = counters.observe_stage(
             annotated, "web_ingest", "blocklist", drop_predicate=drop_pred)
     unblocked = annotated.filter(~drop_pred)
+
+    if robots is not None:
+        # RFC 9309 politeness (operators/robots.py): zero-shuffle inline
+        # verdict over broadcast per-host rule arrays, riding the same
+        # pass — reuses annotate's host column, fails open on NULLs
+        from omnition_opentelemetry_service_spark.operators import (
+            robots as rb,
+        )
+
+        unblocked, rb_drop = rb.robots_gate_inline(
+            unblocked, robots, agent=robots_agent, host_col="host")
+        if counters is not None:
+            unblocked = counters.observe_stage(
+                unblocked, "web_ingest", "robots", drop_predicate=rb_drop)
+        unblocked = unblocked.filter(~rb_drop).drop("_robots_verdict")
 
     url_deduped = wb.url_collapse(unblocked, id_col).drop("canon_url")
 
@@ -148,6 +168,10 @@ def main() -> None:
                           "a 'fetch' counter stage precedes the blocklist")
     ap.add_argument("--out", required=True)
     ap.add_argument("--block-hosts", default=None)
+    ap.add_argument("--robots", default=None,
+                    help="parquet of (host, robots_txt) — enables the "
+                         "RFC 9309 politeness stage")
+    ap.add_argument("--robots-agent", default="trainbot")
     ap.add_argument("--line-min-count", type=int, default=2)
     ap.add_argument("--quality-min", type=float, default=0.5)
     ap.add_argument("--host-cap", type=int, default=None)
@@ -172,6 +196,8 @@ def main() -> None:
         docs, blocked_hosts=blocked,
         line_min_count=args.line_min_count, quality_min=args.quality_min,
         host_cap=args.host_cap, host_quality_min=args.host_quality_min,
+        robots=(spark.read.parquet(args.robots) if args.robots else None),
+        robots_agent=args.robots_agent,
         counters=counters)
     cleaned.write.mode("overwrite").parquet(args.out)
     rows = counters.harvest()

@@ -175,6 +175,67 @@ def robots_gate(docs: DataFrame, robots: DataFrame,
                     "matched_rule", "matched_pattern"))
 
 
+def rules_by_host(robots: DataFrame, agent: str = DEFAULT_AGENT) -> DataFrame:
+    """(host, rules array<struct<like_pat, score, typ>>) — the applicable
+    rule set folded per host with the precedence score precomputed
+    (2*plen + allow-wins). Hosts-bounded: broadcastable for any realistic
+    robots corpus (rules ≪ documents)."""
+    return (parse_robots(robots, agent=agent)
+            .groupBy("host")
+            .agg(F.expr(
+                "collect_list(named_struct("
+                "'like_pat', like_pat, "
+                "'score', CAST(2 * plen + CASE WHEN rule_type = 'allow' "
+                "THEN 1 ELSE 0 END AS BIGINT), "
+                "'typ', rule_type)) AS rules")))
+
+
+_VERDICT_EXPR = """
+  aggregate(
+    filter(coalesce(rules, array()), r -> {pq} LIKE r.like_pat ESCAPE '!'),
+    CAST(NULL AS STRUCT<score BIGINT, typ STRING>),
+    (acc, r) -> CASE WHEN acc IS NULL OR r.score > acc.score
+                THEN named_struct('score', r.score, 'typ', r.typ) ELSE acc END
+  ).typ
+"""
+
+
+def robots_gate_inline(docs: DataFrame, robots: DataFrame,
+                       agent: str = DEFAULT_AGENT, url_col: str = "url",
+                       host_col: str | None = None) -> tuple[DataFrame, "F.Column"]:
+    """ZERO-shuffle politeness stage for pipeline composition
+    (jobs/web_ingest.py): broadcast the per-host rule arrays, evaluate the
+    longest-match fold as a single projected higher-order expression — no
+    doc-keyed aggregate, no second consumer of the input (counter
+    discipline). Returns (docs + _robots_verdict column, drop_pred);
+    caller attaches its Observation between. Verdict semantics are pinned
+    equal to robots_gate by test_robots (the oracle-matching twin).
+    ``host_col`` reuses an existing host column (web_ingest's annotate
+    stage already extracted it) instead of re-deriving one."""
+    from pyspark.sql.functions import broadcast
+
+    from . import urls as ur
+
+    rules = rules_by_host(robots, agent=agent)
+    host = (F.col(host_col) if host_col is not None
+            else ur.url_host(url_col).alias("_rb_host"))
+    with_host = docs.withColumn("_rb_host", host) if host_col is None \
+        else docs
+    join_key = "_rb_host" if host_col is None else host_col
+    j = with_host.join(
+        broadcast(rules.withColumnRenamed("host", join_key)),
+        join_key, "left")
+    pq = _path_q(url_col, "spark")
+    verdict = F.expr(_VERDICT_EXPR.format(pq=f"({pq})"))
+    out = (j.withColumn("_robots_verdict", verdict)
+           .drop("rules", *(["_rb_host"] if host_col is None else [])))
+    # eqNullSafe: a NULL verdict (no rules / no match / NULL url) means
+    # ALLOWED — a bare == would yield NULL and filter(~NULL) silently
+    # drops exactly the rows that must fail open (trap 25's cousin)
+    drop_pred = F.col("_robots_verdict").eqNullSafe("disallow")
+    return out, drop_pred
+
+
 # -- DuckDB twin ----------------------------------------------------------------
 def parse_robots_sql_duck(robots_table: str, agent: str = DEFAULT_AGENT,
                           host_col: str = "host",

@@ -117,6 +117,71 @@ def test_max_by_skips_null_ordering_rows(spark):
                        "CAST(NULL AS INT))) v(t, s)").fetchone()[0] is None
 
 
+def _fixture_docs_robots(spark, n=400):
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(ur.url_fixture_sql("id")).alias("url"))
+    hosts = (docs.select(ur.url_host("url").alias("host"))
+             .distinct().filter("host IS NOT NULL"))
+    robots = hosts.select(
+        "host", F.expr(rb.robots_fixture_sql("host")).alias("robots_txt"))
+    return docs, robots
+
+
+def test_inline_gate_equals_aggregate_gate(spark):
+    """robots_gate_inline (zero-shuffle HOF fold, the pipeline form) must
+    produce the same verdict per doc as robots_gate (the oracle-matching
+    aggregate form) on the full fixture — including ties, anchors,
+    NULL-url fail-open and specific-vs-'*' group choice."""
+    docs, robots = _fixture_docs_robots(spark)
+    agg = {r["doc_id"]: r["allowed"]
+           for r in rb.robots_gate(docs, robots).collect()}
+    inline, drop = rb.robots_gate_inline(docs, robots)
+    got = {r["doc_id"]: not r["dropped"]
+           for r in inline.select("doc_id",
+                                  drop.alias("dropped")).collect()}
+    assert got == agg
+    assert sum(1 for v in got.values() if not v) > 0
+
+
+def test_inline_gate_plan_is_broadcast_no_shuffle(spark):
+    """The pipeline form must not add an exchange to the doc stream: the
+    rules side broadcasts, the verdict is a projection."""
+    docs, robots = _fixture_docs_robots(spark, n=50)
+    inline, drop = rb.robots_gate_inline(docs, robots)
+    plan = (inline.filter(~drop)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    doc_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in doc_side
+
+
+def test_web_ingest_robots_stage(spark):
+    """Composition: the politeness stage drops exactly the disallowed
+    docs before URL dedup, and its counter reconciles."""
+    from jobs.web_ingest import web_ingest
+    from omnition_opentelemetry_service_spark.metrics import StageCounters
+
+    base = "http://h.example.com"
+    rows = [(i, f"{base}/private/p{i}" if i % 3 == 0 else f"{base}/pub/p{i}",
+             f"<p>Doc {i} is the body of the page and it is fine.</p>",
+             "web") for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, html string, source string")
+    robots = spark.createDataFrame(
+        [("h.example.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string")
+    counters = StageCounters()
+    out = web_ingest(docs, robots=robots, quality_min=0.0,
+                     counters=counters)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {i for i in range(30) if i % 3 != 0}
+    stages = {(s, t): (rec, drop)
+              for s, t, rec, drop in counters.harvest()}
+    assert stages[("web_ingest", "robots")] == (30, 10)
+    spark.catalog.clearCache()
+
+
 def test_cross_engine_value_parity(spark):
     """Full twin equality over the url fixture + robots fixture — every
     column, every row, including matched rule provenance."""
