@@ -6,8 +6,9 @@ Semantics implemented (all from the public RFC):
 - robots.txt is line-structured: ``User-agent:`` lines open a group;
   contiguous agent lines share one group; ``Allow:``/``Disallow:`` rules
   belong to the nearest preceding group; rules before any group are
-  ignored; unknown directives (Crawl-delay, Sitemap) are ignored;
-  ``#`` starts a comment.
+  ignored; directives unknown to the GATE (Crawl-delay, Sitemap) are
+  ignored by it but surfaced by crawl_delays / sitemap_urls /
+  parse_sitemap for the frontier scheduler; ``#`` starts a comment.
 - Group selection per host: if any group names OUR agent exactly
   (case-insensitive), exactly those groups apply; otherwise the ``*``
   groups; otherwise everything is allowed.
@@ -108,15 +109,36 @@ def parse_robots(robots: DataFrame, agent: str = DEFAULT_AGENT,
     """(host, robots_txt) → the rules applicable to ``agent``:
     (host, rule_type, pattern, like_pat, plen). Windows partition by host
     (bounded: one robots file's lines); group choice per RFC."""
-    a = _check_agent(agent)
+    rules = _group_scoped(robots, ("allow", "disallow"), agent,
+                          host_col, txt_col)
+    return rules.select(
+        "host", "rule_type", "pattern",
+        F.expr(_like_pat("pattern")).alias("like_pat"),
+        F.length("pattern").cast("bigint").alias("plen"))
+
+
+def _lines(robots: DataFrame, host_col: str, txt_col: str) -> DataFrame:
+    """(host, ln, k, v) — every directive line, comment-stripped."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("ln", "line"))
-    d = lines.select(
+    return lines.select(
         "host", "ln",
         F.expr(_dir_key(_nocmt("line", "spark"), "spark")).alias("k"),
         F.expr(_dir_val(_nocmt("line", "spark"), "spark")).alias("v"))
-    d = d.filter(F.col("k").isin("user-agent", "allow", "disallow"))
+
+
+def _group_scoped(robots: DataFrame, rule_keys: tuple[str, ...],
+                  agent: str, host_col: str, txt_col: str) -> DataFrame:
+    """Group machinery shared by allow/disallow and crawl-delay scoping:
+    RFC 9309's "other records MUST NOT interfere" applied symmetrically —
+    groups are formed over user-agent lines + ONLY the record types being
+    scoped, so an unrelated directive between two agent lines does not
+    split their group. Returns (host, bid, rule_type, pattern) for the
+    groups chosen for ``agent`` (exact match excludes '*')."""
+    a = _check_agent(agent)
+    d = _lines(robots, host_col, txt_col)
+    d = d.filter(F.col("k").isin("user-agent", *rule_keys))
     w = Window.partitionBy("host").orderBy("ln")
     blocks = (d
               .withColumn("ia", (F.col("k") == "user-agent").cast("int"))
@@ -137,10 +159,80 @@ def parse_robots(robots: DataFrame, agent: str = DEFAULT_AGENT,
     rules = (blocks.filter((F.col("ia") == 0) & (F.col("v") != ""))
              .select("host", "bid", F.col("k").alias("rule_type"),
                      F.col("v").alias("pattern")))
-    return (rules.join(chosen, ["host", "bid"], "leftsemi")
-            .select("host", "rule_type", "pattern",
-                    F.expr(_like_pat("pattern")).alias("like_pat"),
-                    F.length("pattern").cast("bigint").alias("plen")))
+    return rules.join(chosen, ["host", "bid"], "leftsemi")
+
+
+_NUM_RX = "^[0-9]+([.][0-9]+)?$"
+
+
+def crawl_delays(robots: DataFrame, agent: str = DEFAULT_AGENT,
+                 host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, crawl_delay): the de-facto Crawl-delay directive, scoped to
+    ``agent``'s groups like allow/disallow; non-numeric values ignored,
+    several applicable values fold to the MOST conservative (max). Hosts
+    without a delay emit no row (frontier code treats absent as
+    unthrottled)."""
+    d = _group_scoped(robots, ("crawl-delay",), agent, host_col, txt_col)
+    num = (f"CASE WHEN pattern RLIKE '{_NUM_RX}' "
+           f"THEN CAST(pattern AS DOUBLE) ELSE NULL END")
+    return (d.select("host", F.expr(num).alias("delay"))
+            .groupBy("host")
+            .agg(F.max("delay").alias("crawl_delay"))
+            .filter(F.col("crawl_delay").isNotNull()))
+
+
+def sitemap_urls(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_url): Sitemap directives are GLOBAL (not
+    group-scoped, per the sitemaps protocol) — one row per directive."""
+    d = _lines(robots, host_col, txt_col)
+    return (d.filter((F.col("k") == "sitemap") & (F.col("v") != ""))
+            .select("host", F.col("v").alias("sitemap_url")))
+
+
+# -- sitemap XML ---------------------------------------------------------------
+_XML_UNESCAPES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&apos;", "'"), ("&amp;", "&")]  # &amp; LAST
+
+
+def _xml_unescape(x: str) -> str:
+    # replace() chain, identical order both engines; &amp; last so
+    # double-escaped entities decode one level only, like real parsers
+    out = x
+    for ent, ch in _XML_UNESCAPES:
+        rep = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{rep}')"
+    return out
+
+
+def parse_sitemap(sitemaps: DataFrame, host_col: str = "host",
+                  xml_col: str = "xml") -> DataFrame:
+    """Sitemap / sitemap-index XML → (host, kind, loc, lastmod): one row
+    per <url> or <sitemap> entry, <loc> entity-unescaped, <lastmod>
+    nullable. Regex extraction (RE2-safe lazy blocks, (?s) for multi-line
+    entries) — a projection + one explode, zero shuffle."""
+    out = []
+    for kind in ("url", "sitemap"):
+        blocks = (f"regexp_extract_all({xml_col}, "
+                  f"'(?s)<{kind}>(.*?)</{kind}>', 1)")
+        ent = (f"transform({blocks}, b -> named_struct("
+               f"'kind', '{kind}', "
+               f"'loc', {_xml_unescape(_sm_field('b', 'loc', 'spark'))}, "
+               f"'lastmod', nullif({_sm_field('b', 'lastmod', 'spark')}, "
+               f"'')))")
+        out.append(ent)
+    both = f"concat({out[0]}, {out[1]})"
+    return (sitemaps
+            .select(F.col(host_col).alias("host"),
+                    F.explode(F.expr(both)).alias("e"))
+            .select("host", "e.kind", "e.loc", "e.lastmod")
+            .filter(F.col("loc") != ""))
+
+
+def _sm_field(block: str, tag: str, engine: str) -> str:
+    return _trim(f"regexp_extract({block}, "
+                 f"'(?s)<{tag}>(.*?)</{tag}>', 1)", engine)
 
 
 def robots_gate(docs: DataFrame, robots: DataFrame,
@@ -237,12 +329,8 @@ def robots_gate_inline(docs: DataFrame, robots: DataFrame,
 
 
 # -- DuckDB twin ----------------------------------------------------------------
-def parse_robots_sql_duck(robots_table: str, agent: str = DEFAULT_AGENT,
-                          host_col: str = "host",
-                          txt_col: str = "robots_txt") -> str:
-    """Same CTE chain as parse_robots, DuckDB-side; ``robots_table`` is a
-    subquery/view with (host, robots_txt)."""
-    a = _check_agent(agent)
+def _duck_lines_cte(robots_table: str, host_col: str,
+                    txt_col: str) -> str:
     nocmt = _nocmt("lst[pos]", "duck")
     return f"""
     WITH rl AS (SELECT {host_col} AS host,
@@ -251,8 +339,17 @@ def parse_robots_sql_duck(robots_table: str, agent: str = DEFAULT_AGENT,
     ln AS (SELECT host, pos AS ln,
                   {_dir_key(nocmt, 'duck')} AS k,
                   {_dir_val(nocmt, 'duck')} AS v
-           FROM rl, unnest(range(1, len(lst) + 1)) t(pos)),
-    d AS (SELECT * FROM ln WHERE k IN ('user-agent', 'allow', 'disallow')),
+           FROM rl, unnest(range(1, len(lst) + 1)) t(pos))"""
+
+
+def _duck_scoped_cte(robots_table: str, agent: str, rule_keys: tuple,
+                     host_col: str, txt_col: str) -> str:
+    """CTE chain ending in scoped rules ``ru``/chosen groups ``ch`` —
+    the DuckDB half of _group_scoped (same group semantics)."""
+    a = _check_agent(agent)
+    keys = ", ".join(f"'{k}'" for k in ("user-agent",) + rule_keys)
+    return f"""{_duck_lines_cte(robots_table, host_col, txt_col)},
+    d AS (SELECT * FROM ln WHERE k IN ({keys})),
     blk AS (SELECT *,
                    CASE WHEN k = 'user-agent' THEN 1 ELSE 0 END AS ia,
                    coalesce(lag(CASE WHEN k = 'user-agent' THEN 1 ELSE 0 END)
@@ -271,11 +368,66 @@ def parse_robots_sql_duck(robots_table: str, agent: str = DEFAULT_AGENT,
            WHERE (has_spec = 1 AND aname = '{a}')
               OR (has_spec = 0 AND aname = '*')),
     ru AS (SELECT host, bid, k AS rule_type, v AS pattern
-           FROM bid WHERE ia = 0 AND v <> '')
-    SELECT r.host, r.rule_type, r.pattern,
-           {_like_pat('r.pattern')} AS like_pat,
-           CAST(length(r.pattern) AS BIGINT) AS plen
-    FROM ru r SEMI JOIN ch c ON r.host = c.host AND r.bid = c.bid"""
+           FROM bid WHERE ia = 0 AND v <> ''),
+    scoped AS (SELECT r.* FROM ru r
+               SEMI JOIN ch c ON r.host = c.host AND r.bid = c.bid)"""
+
+
+def parse_robots_sql_duck(robots_table: str, agent: str = DEFAULT_AGENT,
+                          host_col: str = "host",
+                          txt_col: str = "robots_txt") -> str:
+    """Same CTE chain as parse_robots, DuckDB-side; ``robots_table`` is a
+    subquery/view with (host, robots_txt)."""
+    cte = _duck_scoped_cte(robots_table, agent, ("allow", "disallow"),
+                           host_col, txt_col)
+    return f"""{cte}
+    SELECT host, rule_type, pattern,
+           {_like_pat('pattern')} AS like_pat,
+           CAST(length(pattern) AS BIGINT) AS plen
+    FROM scoped"""
+
+
+def crawl_delays_sql_duck(robots_table: str, agent: str = DEFAULT_AGENT,
+                          host_col: str = "host",
+                          txt_col: str = "robots_txt") -> str:
+    cte = _duck_scoped_cte(robots_table, agent, ("crawl-delay",),
+                           host_col, txt_col)
+    num = (f"CASE WHEN regexp_matches(pattern, '{_NUM_RX}') "
+           f"THEN CAST(pattern AS DOUBLE) ELSE NULL END")
+    return f"""{cte}
+    SELECT host, max({num}) AS crawl_delay
+    FROM scoped GROUP BY host
+    HAVING max({num}) IS NOT NULL"""
+
+
+def sitemap_urls_sql_duck(robots_table: str, host_col: str = "host",
+                          txt_col: str = "robots_txt") -> str:
+    cte = _duck_lines_cte(robots_table, host_col, txt_col)
+    return f"""{cte}
+    SELECT host, v AS sitemap_url FROM ln
+    WHERE k = 'sitemap' AND v <> ''"""
+
+
+def parse_sitemap_sql_duck(sitemaps_table: str, host_col: str = "host",
+                           xml_col: str = "xml") -> str:
+    """DuckDB twin of parse_sitemap — same lazy (?s) block regexes, same
+    trim charset, same entity-unescape replace chain."""
+    legs = []
+    for kind in ("url", "sitemap"):
+        legs.append(
+            f"SELECT {host_col} AS host, '{kind}' AS kind, "
+            f"unnest(regexp_extract_all({xml_col}, "
+            f"'(?s)<{kind}>(.*?)</{kind}>', 1)) AS b "
+            f"FROM {sitemaps_table}")
+    both = " UNION ALL ".join(legs)
+    return f"""
+    WITH blk AS ({both}),
+    ent AS (SELECT host, kind,
+                   {_xml_unescape(_sm_field('b', 'loc', 'duck'))} AS loc,
+                   nullif({_sm_field('b', 'lastmod', 'duck')}, '')
+                     AS lastmod
+            FROM blk)
+    SELECT host, kind, loc, lastmod FROM ent WHERE loc <> ''"""
 
 
 def robots_gate_sql_duck(docs_table: str, robots_table: str,
@@ -304,7 +456,35 @@ def robots_gate_sql_duck(docs_table: str, robots_table: str,
     FROM agg"""
 
 
-# -- deterministic fixture -------------------------------------------------------
+# -- deterministic fixtures ------------------------------------------------------
+def sitemap_fixture_sql(host_col: str = "host") -> str:
+    """Engine-NEUTRAL sitemap XML synthesized from a host column: an
+    entity-escaped whitespace-padded <url> with lastmod, a bare <url>, an
+    empty <loc> (must be dropped), and on every third host a <sitemap>
+    index entry. NULL host → NULL xml (trap 25 concat guard)."""
+    d = (f"CAST(coalesce(nullif(regexp_extract({host_col}, '([0-9]+)', 1), "
+         f"''), '0') AS BIGINT)")
+    nl = "chr(10)"
+    idx = (f"CASE WHEN {d} % 3 = 0 THEN "
+           f"'<sitemap>' || {nl} || '  <loc>https://' || {host_col} || "
+           f"'/sitemap-news.xml</loc>' || {nl} || "
+           f"'  <lastmod>2026-01-15</lastmod>' || {nl} || "
+           f"'</sitemap>' || {nl} ELSE '' END")
+    return (f"CASE WHEN {host_col} IS NULL THEN NULL ELSE "
+            f"'<?xml version=\"1.0\"?>' || {nl} || "
+            f"'<urlset>' || {nl} || "
+            f"'<url>' || {nl} || "
+            f"'  <loc> https://' || {host_col} || "
+            f"'/p?a=1&amp;b=2 </loc>' || {nl} || "
+            f"'  <lastmod>2026-02-0' || CAST({d} % 9 + 1 AS STRING) || "
+            f"'</lastmod>' || {nl} || "
+            f"'</url>' || {nl} || "
+            f"'<url><loc>https://' || {host_col} || '/plain</loc></url>' "
+            f"|| {nl} || "
+            f"'<url><loc></loc></url>' || {nl} || "
+            f"{idx} || '</urlset>' END")
+
+
 def robots_fixture_sql(host_col: str = "host") -> str:
     """Engine-NEUTRAL robots.txt synthesized from a host column: hosts
     whose digits ≡ 0 (mod 3) carry a trainbot-specific group (which then
@@ -320,13 +500,17 @@ def robots_fixture_sql(host_col: str = "host") -> str:
             f"'User-agent: trainbot' || {nl} || "
             f"'Disallow: /a/p1*' || {nl} || "
             f"'Allow: /a/p1$' || {nl} || "
+            f"'Crawl-delay: 1.5' || {nl} || "
             f"'Disallow: /a/p4' || {nl} ELSE '' END")
     return (f"CASE WHEN {host_col} IS NULL THEN NULL ELSE "
-            f"'# fixture robots' || {nl} || {spec} || "
+            f"'# fixture robots' || {nl} || "
+            f"'Sitemap: https://' || {host_col} || '/sitemap.xml' || {nl} "
+            f"|| {spec} || "
             f"'User-agent: otherbot' || {nl} || "
             f"'Disallow: /' || {nl} || "
             f"'User-agent: *' || {nl} || "
             f"'Disallow: /a/p2$' || {nl} || "
             f"'Disallow: /a/p3' || {nl} || "
             f"'Allow: /a/p33*' || {nl} || "
+            f"'Crawl-delay: fast' || {nl} || "
             f"'Crawl-delay: 3' END")

@@ -1309,6 +1309,48 @@ def q_robots_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rb.robots_gate(docs, robots)
 
 
+def _fixture_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, robots_txt) over the url-fixture host set — shared input of
+    the robots-family extras (gate / crawl-delay / sitemap discovery)."""
+    from .operators import robots as rb
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(ur.url_fixture_sql("doc_id")).alias("url"))
+    hosts = (docs.select(ur.url_host("url").alias("host"))
+             .distinct().filter("host IS NOT NULL"))
+    return hosts.select(
+        "host", F.expr(rb.robots_fixture_sql("host")).alias("robots_txt"))
+
+
+def q_crawl_delay_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay scheduling table (robots.crawl_delays): group-scoped
+    like allow/disallow, non-numeric values ignored, max fold. Fixture
+    exercises both regimes: specific-agent hosts carry 1.5, '*' hosts
+    fold ('fast', 3) → 3.0."""
+    from .operators import robots as rb
+
+    return rb.crawl_delays(_fixture_robots(spark, sf_dir))
+
+
+def q_sitemap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (robots.sitemap_urls) — global
+    directives, not group-scoped."""
+    from .operators import robots as rb
+
+    return rb.sitemap_urls(_fixture_robots(spark, sf_dir))
+
+
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parse (robots.parse_sitemap): <url> + <sitemap> index
+    entries, entity-unescape, whitespace trim, empty-<loc> drop, nullable
+    lastmod — over the deterministic XML fixture."""
+    from .operators import robots as rb
+
+    sm = _fixture_robots(spark, sf_dir).select(
+        "host", F.expr(rb.sitemap_fixture_sql("host")).alias("xml"))
+    return rb.parse_sitemap(sm)
+
+
 def q_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC file layer end-to-end (operators/warc.py): documents wrapped
     in deterministic HTML + urls → per-record-gzip WARC archives →
@@ -1393,6 +1435,9 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "c4_docs": q_c4_docs,
         "warc_docs": q_warc_docs,
         "robots_docs": q_robots_docs,
+        "crawl_delay_hosts": q_crawl_delay_hosts,
+        "sitemap_hosts": q_sitemap_hosts,
+        "sitemap_entries": q_sitemap_entries,
         "minhash_quality": q_minhash_quality,
         "normalized_docs": q_normalized_docs,
         "skew_report": q_skew_report,
@@ -1536,12 +1581,19 @@ def build_extra_oracle_sql() -> dict[str, str]:
     from .operators import robots as rb
 
     _rb_url = ur.url_fixture_sql("doc_id")
-    o["robots_docs"] = rb.robots_gate_sql_duck(
-        f"(SELECT doc_id, {_rb_url} AS url FROM documents) dsrc",
+    _hset = (f"(SELECT DISTINCT {ur.url_host_sql_duck('url')} AS host "
+             f"FROM (SELECT doc_id, {_rb_url} AS url FROM documents) d0 "
+             f"WHERE {ur.url_host_sql_duck('url')} IS NOT NULL) h")
+    _rb_hosts = (
         f"(SELECT host, {rb.robots_fixture_sql('host')} AS robots_txt "
-        f"FROM (SELECT DISTINCT {ur.url_host_sql_duck('url')} AS host "
-        f"FROM (SELECT doc_id, {_rb_url} AS url FROM documents) d0 "
-        f"WHERE {ur.url_host_sql_duck('url')} IS NOT NULL) h) rsrc")
+        f"FROM {_hset}) rsrc")
+    o["robots_docs"] = rb.robots_gate_sql_duck(
+        f"(SELECT doc_id, {_rb_url} AS url FROM documents) dsrc", _rb_hosts)
+    o["crawl_delay_hosts"] = rb.crawl_delays_sql_duck(_rb_hosts)
+    o["sitemap_hosts"] = rb.sitemap_urls_sql_duck(_rb_hosts)
+    o["sitemap_entries"] = rb.parse_sitemap_sql_duck(
+        f"(SELECT host, {rb.sitemap_fixture_sql('host')} AS xml "
+        f"FROM {_hset}) smsrc")
 
     _host_expr = ur.url_host_sql_duck(f"({ur.url_fixture_sql('doc_id')})")
     o["hostgate_docs"] = f"""

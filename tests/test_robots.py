@@ -182,6 +182,60 @@ def test_web_ingest_robots_stage(spark):
     spark.catalog.clearCache()
 
 
+def test_crawl_delay_group_scoping_and_fold(spark):
+    """Crawl-delay rides the same RFC group choice as allow/disallow:
+    specific-agent groups exclude '*', non-numeric values are ignored,
+    several applicable values fold to max (most conservative), and a
+    rule BETWEEN two agent lines must not split their shared group."""
+    txt = ("User-agent: otherbot\n"
+           "Crawl-delay: 99\n"            # other group: must not apply
+           "User-agent: a\n"
+           "Disallow: /x\n"               # non-scoped line between agents
+           "User-agent: trainbot\n"       # still shares a's group block
+           "Crawl-delay: fast\n"          # non-numeric → ignored
+           "Crawl-delay: 2.5\n"
+           "Crawl-delay: 4\n"
+           "User-agent: *\n"
+           "Crawl-delay: 7\n")
+    robots = spark.createDataFrame(
+        [("h1", txt), ("h2", "User-agent: *\nDisallow: /\n"),
+         ("h3", "User-agent: *\nCrawl-delay: soon\n")],
+        "host string, robots_txt string")
+    got = {r["host"]: r["crawl_delay"]
+           for r in rb.crawl_delays(robots).collect()}
+    assert got == {"h1": 4.0}  # h2: no delay; h3: only non-numeric
+
+
+def test_sitemap_urls_are_global_not_group_scoped(spark):
+    txt = ("Sitemap: https://h/s1.xml\n"
+           "User-agent: otherbot\n"
+           "Sitemap: https://h/s2.xml\n"   # inside a foreign group: still on
+           "User-agent: *\n"
+           "Disallow: /\n")
+    robots = spark.createDataFrame(
+        [("h", txt)], "host string, robots_txt string")
+    got = sorted(r["sitemap_url"]
+                 for r in rb.sitemap_urls(robots).collect())
+    assert got == ["https://h/s1.xml", "https://h/s2.xml"]
+
+
+def test_parse_sitemap_entities_trim_and_index(spark):
+    xml = ('<?xml version="1.0"?>\n<urlset>\n'
+           "<url>\n  <loc>  https://h/p?a=1&amp;b=2&lt;3  </loc>\n"
+           "  <lastmod>2026-02-03</lastmod>\n</url>\n"
+           "<url><loc>https://h/plain</loc></url>\n"
+           "<url><loc></loc></url>\n"           # empty loc → dropped
+           "<sitemap><loc>https://h/more.xml</loc></sitemap>\n"
+           "</urlset>")
+    sm = spark.createDataFrame([("h", xml)], "host string, xml string")
+    rows = sorted((r["kind"], r["loc"], r["lastmod"])
+                  for r in rb.parse_sitemap(sm).collect())
+    assert rows == [
+        ("sitemap", "https://h/more.xml", None),
+        ("url", "https://h/p?a=1&b=2<3", "2026-02-03"),
+        ("url", "https://h/plain", None)]  # empty-loc entry dropped
+
+
 def test_cross_engine_value_parity(spark):
     """Full twin equality over the url fixture + robots fixture — every
     column, every row, including matched rule provenance."""
