@@ -1351,6 +1351,34 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rb.parse_sitemap(sm)
 
 
+def q_frontier_sched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-legal fetch plan (frontier.frontier_schedule): robots
+    gate → canonical collapse → crawl-delay throttle → per-host schedule,
+    full value parity incl. the DOUBLE scheduled_at arithmetic. Both
+    delay regimes bind (specific-agent hosts 1.5 s, '*' hosts 3.0 s)."""
+    from .operators import frontier as fr
+
+    cands = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("url_id"),
+        F.expr(ur.url_fixture_sql("doc_id")).alias("url"))
+    return fr.frontier_schedule(cands, _fixture_robots(spark, sf_dir))
+
+
+def q_sitemap_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven URL discovery (frontier.discover_from_sitemaps):
+    parsed <url> entries canonical-deduped and anti-joined against the
+    url-fixture corpus as the seen store — the frontier feed-forward."""
+    from .operators import frontier as fr
+    from .operators import robots as rb
+
+    cands = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("url_id"),
+        F.expr(ur.url_fixture_sql("doc_id")).alias("url"))
+    sm = _fixture_robots(spark, sf_dir).select(
+        "host", F.expr(rb.sitemap_fixture_sql("host")).alias("xml"))
+    return fr.discover_from_sitemaps(rb.parse_sitemap(sm), cands)
+
+
 def q_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC file layer end-to-end (operators/warc.py): documents wrapped
     in deterministic HTML + urls → per-record-gzip WARC archives →
@@ -1438,6 +1466,8 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "crawl_delay_hosts": q_crawl_delay_hosts,
         "sitemap_hosts": q_sitemap_hosts,
         "sitemap_entries": q_sitemap_entries,
+        "frontier_sched": q_frontier_sched,
+        "sitemap_discover": q_sitemap_discover,
         "minhash_quality": q_minhash_quality,
         "normalized_docs": q_normalized_docs,
         "skew_report": q_skew_report,
@@ -1591,9 +1621,18 @@ def build_extra_oracle_sql() -> dict[str, str]:
         f"(SELECT doc_id, {_rb_url} AS url FROM documents) dsrc", _rb_hosts)
     o["crawl_delay_hosts"] = rb.crawl_delays_sql_duck(_rb_hosts)
     o["sitemap_hosts"] = rb.sitemap_urls_sql_duck(_rb_hosts)
-    o["sitemap_entries"] = rb.parse_sitemap_sql_duck(
+    _sm_entries = rb.parse_sitemap_sql_duck(
         f"(SELECT host, {rb.sitemap_fixture_sql('host')} AS xml "
         f"FROM {_hset}) smsrc")
+    o["sitemap_entries"] = _sm_entries
+
+    from .operators import frontier as fr
+
+    _cand_tbl = f"(SELECT doc_id, {_rb_url} AS url FROM documents) cs"
+    o["frontier_sched"] = fr.frontier_schedule_sql_duck(
+        _cand_tbl, _rb_hosts, id_col="doc_id")
+    o["sitemap_discover"] = fr.discover_from_sitemaps_sql_duck(
+        f"({_sm_entries}) e", _cand_tbl)
 
     _host_expr = ur.url_host_sql_duck(f"({ur.url_fixture_sql('doc_id')})")
     o["hostgate_docs"] = f"""
