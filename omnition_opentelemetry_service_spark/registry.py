@@ -1379,6 +1379,30 @@ def q_sitemap_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.discover_from_sitemaps(rb.parse_sitemap(sm), cands)
 
 
+def q_retry_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch retry/backoff ledger (retry.retry_plan): fold the deterministic
+    attempt history into done / retry(next_attempt_at) / dead per key — all
+    three outcomes and the success-resets-backoff trail bind at sf0.01."""
+    from .operators import retry as rt
+
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    return rt.retry_plan(rt.attempts_fixture(ids), id_col="doc_id")
+
+
+def q_worker_queue_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worker-pool queue stats (retry.assign_workers + worker_load) over
+    the frontier schedule: host-sticky md5 assignment (politeness survives
+    the pool), one bounded num_workers-row aggregate."""
+    from .operators import frontier as fr
+    from .operators import retry as rt
+
+    cands = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("url_id"),
+        F.expr(ur.url_fixture_sql("doc_id")).alias("url"))
+    sched = fr.frontier_schedule(cands, _fixture_robots(spark, sf_dir))
+    return rt.worker_load(rt.assign_workers(sched, num_workers=8))
+
+
 def q_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC file layer end-to-end (operators/warc.py): documents wrapped
     in deterministic HTML + urls → per-record-gzip WARC archives →
@@ -1468,6 +1492,8 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sitemap_entries": q_sitemap_entries,
         "frontier_sched": q_frontier_sched,
         "sitemap_discover": q_sitemap_discover,
+        "retry_outcomes": q_retry_outcomes,
+        "worker_queue_load": q_worker_queue_load,
         "minhash_quality": q_minhash_quality,
         "normalized_docs": q_normalized_docs,
         "skew_report": q_skew_report,
@@ -1633,6 +1659,17 @@ def build_extra_oracle_sql() -> dict[str, str]:
         _cand_tbl, _rb_hosts, id_col="doc_id")
     o["sitemap_discover"] = fr.discover_from_sitemaps_sql_duck(
         f"({_sm_entries}) e", _cand_tbl)
+
+    from .operators import retry as rt
+
+    o["retry_outcomes"] = rt.retry_plan_sql_duck(
+        f"({rt.attempts_fixture_sql_duck('SELECT doc_id FROM documents')}) a",
+        id_col="doc_id")
+    _sched_sql = fr.frontier_schedule_sql_duck(_cand_tbl, _rb_hosts,
+                                               id_col="doc_id")
+    o["worker_queue_load"] = rt.worker_load_sql_duck(
+        f"SELECT *, {rt.worker_expr('host', 8, 'duck')} AS worker "
+        f"FROM ({_sched_sql}) sch")
 
     _host_expr = ur.url_host_sql_duck(f"({ur.url_fixture_sql('doc_id')})")
     o["hostgate_docs"] = f"""

@@ -42,7 +42,8 @@ def test_extras_full_oracle_hash_parity(spark):
         "span_removed", "html_stripped", "hostgate_docs", "c4_docs",
         "minhash_quality", "normalized_docs", "skew_report", "heavy_keys",
         "warc_docs", "robots_docs", "crawl_delay_hosts", "sitemap_hosts",
-        "sitemap_entries", "frontier_sched", "sitemap_discover"}
+        "sitemap_entries", "frontier_sched", "sitemap_discover",
+        "retry_outcomes", "worker_queue_load"}
     con = duckdb.connect()
     register_views(con, SF_DIR)
     failures = run_checks(spark, con, extras, oracles, SF_DIR)
