@@ -1,0 +1,290 @@
+"""Host link graph: href extraction → host edge list → degrees →
+integer-exact PageRank host centrality.
+
+Crawl pipelines rank HOSTS by link centrality to prioritize the frontier
+and weight quality gates (Common Crawl publishes exactly this artifact —
+a host-level ranking of its web graph; PageRank is Brin & Page 1998).
+This module is the set-oriented rebuild over the pages the web layer
+already carries: extract anchors from fetched HTML, collapse to a
+distinct (src_host, dst_host) edge list via the SAME canonical-host
+definition the blocklist/politeness stages key on (operators/urls.py
+``url_host`` — one identity everywhere), then iterate rank.
+
+INTEGER-exact PageRank (the cross-engine parity trick): float PageRank
+is a per-node SUM of double contributions, and Spark and DuckDB fold
+those sums in different orders — bit parity is unachievable (PARITY.md
+float-reduction class). So ranks live in integer micro-units
+(``unit`` = 1e6) and every step is BIGINT arithmetic:
+
+    contrib(e)  = r(src) intdiv out_deg(src)
+    share       = dang intdiv n_hosts          (dangling mass, uniform)
+    r'(v)       = ((den-num)·unit) intdiv den
+                  + (num · (S(v) + share)) intdiv den
+
+with damping num/den = 17/20 (= 0.85 exactly, as a RATIONAL — no double
+ever exists). Sums of BIGINT are exact and order-independent in both
+engines (DuckDB widens to HUGEINT; values re-CAST to BIGINT at each
+step). Integer division: Spark ``DIV`` truncates toward zero, DuckDB
+``//`` floors — identical on the non-negative values this graph
+produces (ranks and degrees are never negative; pinned by test).
+The intdiv rounding loses ≤ den-1 micro-units per node per step —
+deterministic, identical in both engines, and irrelevant at unit=1e6
+(PageRank is used as an ORDERING).
+
+Anchor scope (documented, pinned by test): double-quoted
+``href="..."`` on ``<a``-tags (any attribute order, case-insensitive,
+``[^a-z>]`` after the ``a`` so ``<abbr``/``<area`` don't match);
+single-quoted/unquoted hrefs and relative links are out of scope —
+relative links are same-host (self-loop, dropped anyway) and the
+fixture carries one of each to pin the scope. Pattern is backslash-free
+(PARITY.md trap 24 has no surface).
+
+Shape at scale: extraction is a pure projection (regexp_extract_all +
+explode ride the scan); the edge list is ONE hash-agg exchange on the
+host pair (distinct, map-side partials); each rank iteration is ONE
+equi-join ranks⋈edges on src_host (ranks is host-bounded, ≪ edges —
+broadcastable on real graphs) + ONE hash-agg exchange on dst_host; the
+1-row dangling/host-count scalars ride broadcast nested-loop joins
+(single-row side — how scalar subqueries compile; NOT a data×data
+cartesian, pinned by test). Iterations are a fixed small constant
+(default 3); each iteration's rank table is persisted (caller releases
+per the repo cache contract) so the two consumers (dangling sum,
+contribution join) scan it once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import urls as ur
+
+# group 1 = the href value. Backslash-free; [^a-z>] after 'a' keeps
+# <abbr>/<area>/<audio> from matching while allowing any whitespace or
+# attribute separator byte before href.
+LINK_RX = '(?i)<a[^a-z>][^>]*href="([^"]*)"'
+
+_DIV = {"spark": "DIV", "duck": "//"}
+
+
+def _check_rank_params(iters: int, unit: int, num: int, den: int) -> None:
+    if iters < 1 or unit < 1:
+        raise ValueError(f"iters/unit must be >= 1: {iters}, {unit}")
+    if not (0 < num < den):
+        raise ValueError(f"damping num/den must be in (0,1): {num}/{den}")
+
+
+def _new_rank_expr(engine: str, num: int, den: int, unit: int,
+                   s_col: str = "s") -> str:
+    """r' given columns (s_col, dang, n_hosts) — ONE formula, engine-keyed
+    only on the intdiv operator. Teleport term folded to a python-int
+    literal (exact)."""
+    dv = _DIV[engine]
+    teleport = ((den - num) * unit) // den
+    return (f"CAST({teleport} + (({num} * (coalesce({s_col}, "
+            f"CAST(0 AS BIGINT)) + (dang {dv} n_hosts))) {dv} {den}) "
+            f"AS BIGINT)")
+
+
+def extract_links(pages: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, href) — one row per in-scope anchor. NULL html → no rows
+    (explode of a NULL array) in both engines."""
+    return pages.select(
+        id_col,
+        F.explode(F.expr(
+            f"regexp_extract_all({html_col}, '{LINK_RX}', 1)"))
+        .alias("href"))
+
+
+def extract_links_sql_duck(pages_sql: str, html_col: str = "html",
+                           id_col: str = "doc_id") -> str:
+    return (f"SELECT {id_col}, unnest(regexp_extract_all({html_col}, "
+            f"'{LINK_RX}', 1)) AS href FROM ({pages_sql}) pg")
+
+
+_EDGE_PRED = ("src_host IS NOT NULL AND src_host <> '' AND "
+              "dst_host IS NOT NULL AND dst_host <> '' AND "
+              "src_host <> dst_host")
+
+
+def host_edges(pages: DataFrame, url_col: str = "url",
+               html_col: str = "html") -> DataFrame:
+    """DISTINCT (src_host, dst_host) over canonical hosts. Relative hrefs
+    canonicalize to '' (no authority) and are dropped with self-loops —
+    a relative link IS a self-link. One hash-agg exchange."""
+    return (pages
+            .select(ur.url_host(url_col).alias("src_host"),
+                    F.explode(F.expr(
+                        f"regexp_extract_all({html_col}, '{LINK_RX}', 1)"))
+                    .alias("href"))
+            .select("src_host", ur.url_host("href").alias("dst_host"))
+            .filter(_EDGE_PRED)
+            .distinct())
+
+
+def host_edges_sql_duck(pages_sql: str, url_col: str = "url",
+                        html_col: str = "html") -> str:
+    return f"""
+    SELECT DISTINCT src_host, dst_host
+    FROM (SELECT {ur.url_host_sql_duck(url_col)} AS src_host,
+                 {ur.url_host_sql_duck('href')} AS dst_host
+          FROM (SELECT {url_col}, unnest(regexp_extract_all({html_col},
+                       '{LINK_RX}', 1)) AS href
+                FROM ({pages_sql}) pg) lx) ed
+    WHERE {_EDGE_PRED}"""
+
+
+def host_degrees(edges: DataFrame) -> DataFrame:
+    """(host, out_deg, in_deg) over the DISTINCT-edge graph — two
+    host-bounded aggregates + one host-keyed outer join (both sides
+    ≪ edges)."""
+    outd = (edges.groupBy(F.col("src_host").alias("host"))
+            .agg(F.count(F.lit(1)).alias("out_deg")))
+    ind = (edges.groupBy(F.col("dst_host").alias("host"))
+           .agg(F.count(F.lit(1)).alias("in_deg")))
+    return (outd.join(ind, "host", "full")
+            .select("host",
+                    F.coalesce("out_deg", F.lit(0)).cast("bigint")
+                    .alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).cast("bigint")
+                    .alias("in_deg")))
+
+
+def host_degrees_sql_duck(edges_sql: str) -> str:
+    return f"""
+    WITH e AS ({edges_sql}),
+    o AS (SELECT src_host AS host, CAST(count(*) AS BIGINT) AS out_deg
+          FROM e GROUP BY src_host),
+    i AS (SELECT dst_host AS host, CAST(count(*) AS BIGINT) AS in_deg
+          FROM e GROUP BY dst_host)
+    SELECT coalesce(o.host, i.host) AS host,
+           CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+           CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
+    FROM o FULL OUTER JOIN i ON o.host = i.host"""
+
+
+def host_rank(edges: DataFrame, iters: int = 3, unit: int = 1_000_000,
+              num: int = 17, den: int = 20) -> DataFrame:
+    """(host, rank_micro): integer-exact PageRank per the module formula.
+    Hosts = every src or dst; dangling hosts (no out-edges) redistribute
+    their mass uniformly each step."""
+    _check_rank_params(iters, unit, num, den)
+    dv = _DIV["spark"]
+    hosts = (edges.select(F.col("src_host").alias("host"))
+             .unionByName(edges.select(F.col("dst_host").alias("host")))
+             .distinct())
+    outd = (edges.groupBy(F.col("src_host").alias("host"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("out_deg")))
+    base = hosts.join(outd, "host", "left").persist()
+    n_df = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_hosts"))
+    newr = _new_rank_expr("spark", num, den, unit)
+
+    r = base.select("host", "out_deg",
+                    F.lit(unit).cast("bigint").alias("r"))
+    for _ in range(iters):
+        r = r.persist()  # two consumers below; caller releases (repo rule)
+        dang = r.filter("out_deg IS NULL").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dang"))
+        s = (r.filter("out_deg IS NOT NULL")
+             .join(edges, F.col("host") == F.col("src_host"))
+             .select(F.col("dst_host").alias("host"),
+                     F.expr(f"r {dv} out_deg").alias("c"))
+             .groupBy("host").agg(F.sum("c").cast("bigint").alias("s")))
+        r = (base.join(s, "host", "left")
+             .crossJoin(F.broadcast(dang))   # 1-row scalar, not data×data
+             .crossJoin(F.broadcast(n_df))
+             .select("host", "out_deg", F.expr(newr).alias("r")))
+    return r.select("host", F.col("r").alias("rank_micro"))
+
+
+def host_rank_sql_duck(edges_sql: str, iters: int = 3,
+                       unit: int = 1_000_000, num: int = 17,
+                       den: int = 20) -> str:
+    """DuckDB twin: the iteration unrolled as chained CTEs — same formula
+    string, same integer types (HUGEINT sums re-CAST to BIGINT)."""
+    _check_rank_params(iters, unit, num, den)
+    newr = _new_rank_expr("duck", num, den, unit)
+    parts = [
+        f"e AS ({edges_sql})",
+        "hosts AS (SELECT src_host AS host FROM e "
+        "UNION SELECT dst_host FROM e)",
+        "outd AS (SELECT src_host AS host, CAST(count(*) AS BIGINT) "
+        "AS out_deg FROM e GROUP BY src_host)",
+        "base AS (SELECT h.host, o.out_deg FROM hosts h "
+        "LEFT JOIN outd o USING (host))",
+        "nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hosts FROM base)",
+        f"r0 AS (SELECT host, out_deg, CAST({unit} AS BIGINT) AS r "
+        f"FROM base)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang "
+            f"FROM r{i} WHERE out_deg IS NULL)")
+        parts.append(
+            f"s{i} AS (SELECT e.dst_host AS host, "
+            f"CAST(sum(rr.r // rr.out_deg) AS BIGINT) AS s "
+            f"FROM e JOIN r{i} rr ON e.src_host = rr.host "
+            f"WHERE rr.out_deg IS NOT NULL GROUP BY e.dst_host)")
+        parts.append(
+            f"r{i + 1} AS (SELECT b.host, b.out_deg, {newr} AS r "
+            f"FROM base b LEFT JOIN s{i} sx USING (host) "
+            f"CROSS JOIN d{i} CROSS JOIN nh)")
+    body = ",\n    ".join(parts)
+    return (f"WITH {body}\n"
+            f"    SELECT host, r AS rank_micro FROM r{iters}")
+
+
+def host_rank_model(edges: list[tuple[str, str]], iters: int = 3,
+                    unit: int = 1_000_000, num: int = 17,
+                    den: int = 20) -> dict[str, int]:
+    """Independent python reference of the SAME integer recipe (the
+    trainers' model-verification pattern) — python // is floor division,
+    identical to both engines on these non-negative values."""
+    _check_rank_params(iters, unit, num, den)
+    es = sorted(set(edges))
+    hosts = sorted({s for s, _ in es} | {d for _, d in es})
+    outd = {h: 0 for h in hosts}
+    for s, _ in es:
+        outd[s] += 1
+    n = len(hosts)
+    teleport = ((den - num) * unit) // den
+    r = {h: unit for h in hosts}
+    for _ in range(iters):
+        dang = sum(r[h] for h in hosts if outd[h] == 0)
+        share = dang // n
+        s_in: dict[str, int] = {h: 0 for h in hosts}
+        for s, d in es:
+            s_in[d] += r[s] // outd[s]
+        r = {h: teleport + (num * (s_in[h] + share)) // den
+             for h in hosts}
+    return r
+
+
+# -- deterministic link-bearing HTML fixture --------------------------------------
+def link_fixture_sql(text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """Engine-NEUTRAL SQL wrapping a text corpus in HTML that carries
+    anchors: two in-scope double-quoted hrefs at derived url-fixture
+    targets (coalesce guards the fixture's NULL branch — trap 25: a NULL
+    arg would silently vanish in Duck's concat and NULL the whole page in
+    Spark's), a sink-host anchor on every 5th doc (hosts with in-links
+    but NO out-links — the dangling case), one relative href (same-host
+    → dropped by host_edges) and one single-quoted href (out of scope by
+    contract). NULL text → NULL html, pinned by the outer CASE."""
+    t1 = (f"coalesce({ur.url_fixture_sql(f'({id_col} * 7 + 3)')}, "
+          f"'https://deadend.example.net/u')")
+    t2 = (f"coalesce({ur.url_fixture_sql(f'({id_col} * 13 + 11)')}, "
+          f"'https://deadend.example.net/u')")
+    sink = (f"CASE WHEN {id_col} % 5 = 0 THEN concat("
+            f"'<a data-x=\"1\" href=\"https://sink', "
+            f"CAST({id_col} % 3 AS STRING), '.example.net/p\">s</a>') "
+            f"ELSE '' END")
+    return (
+        f"CASE WHEN {text_col} IS NULL THEN CAST(NULL AS STRING) "
+        f"ELSE concat('<html><body><p>', {text_col}, "
+        f"'</p><a href=\"', {t1}, '\">one</a>"
+        f"<A class=\"nav\" HREF=\"', {t2}, '\">two</A>', {sink}, "
+        f"'<a href=\"/relative/p\">rel</a>"
+        f"<a href=''https://singlequoted.example.net/q''>sq</a>"
+        f"</body></html>') END")

@@ -1403,6 +1403,40 @@ def q_worker_queue_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.worker_load(rt.assign_workers(sched, num_workers=8))
 
 
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import linkgraph as lgx
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(ur.url_fixture_sql("doc_id")).alias("url"),
+        F.expr(lgx.link_fixture_sql("text", "doc_id")).alias("html"))
+
+
+def q_host_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host link graph edge list (linkgraph.host_edges): anchors from the
+    link fixture → canonical-host pairs, self-loops/relatives dropped."""
+    from .operators import linkgraph as lgx
+
+    return lgx.host_edges(_link_pages(spark, sf_dir))
+
+
+def q_host_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, out_deg, in_deg) over the distinct-edge graph — the dangling
+    sinks (in-links, zero out) bind at sf0.01."""
+    from .operators import linkgraph as lgx
+
+    return lgx.host_degrees(lgx.host_edges(_link_pages(spark, sf_dir)))
+
+
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank host centrality (linkgraph.host_rank):
+    3 iterations, 17/20 damping, dangling-mass redistribution — full hash
+    parity incl. every intdiv rounding step."""
+    from .operators import linkgraph as lgx
+
+    return lgx.host_rank(lgx.host_edges(_link_pages(spark, sf_dir)))
+
+
 def q_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC file layer end-to-end (operators/warc.py): documents wrapped
     in deterministic HTML + urls → per-record-gzip WARC archives →
@@ -1494,6 +1528,9 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "sitemap_discover": q_sitemap_discover,
         "retry_outcomes": q_retry_outcomes,
         "worker_queue_load": q_worker_queue_load,
+        "host_link_edges": q_host_link_edges,
+        "host_link_degrees": q_host_link_degrees,
+        "host_rank": q_host_rank,
         "minhash_quality": q_minhash_quality,
         "normalized_docs": q_normalized_docs,
         "skew_report": q_skew_report,
@@ -1670,6 +1707,16 @@ def build_extra_oracle_sql() -> dict[str, str]:
     o["worker_queue_load"] = rt.worker_load_sql_duck(
         f"SELECT *, {rt.worker_expr('host', 8, 'duck')} AS worker "
         f"FROM ({_sched_sql}) sch")
+
+    from .operators import linkgraph as lgx
+
+    _pages_sql = (
+        f"SELECT doc_id, {ur.url_fixture_sql('doc_id')} AS url, "
+        f"{lgx.link_fixture_sql('text', 'doc_id')} AS html FROM documents")
+    _edges_sql = lgx.host_edges_sql_duck(_pages_sql)
+    o["host_link_edges"] = _edges_sql
+    o["host_link_degrees"] = lgx.host_degrees_sql_duck(_edges_sql)
+    o["host_rank"] = lgx.host_rank_sql_duck(_edges_sql)
 
     _host_expr = ur.url_host_sql_duck(f"({ur.url_fixture_sql('doc_id')})")
     o["hostgate_docs"] = f"""

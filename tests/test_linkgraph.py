@@ -1,0 +1,117 @@
+"""Host link graph (operators/linkgraph.py): anchor-scope hand cases,
+edge-list semantics, integer-exact PageRank vs both the python model and
+the DuckDB unrolled-CTE twin, degree parity, plan pins."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from omnition_opentelemetry_service_spark.operators import linkgraph as lg
+from omnition_opentelemetry_service_spark.operators import urls as ur
+
+
+def _pages_sql_duck(n: int) -> str:
+    return (f"SELECT i AS doc_id, {ur.url_fixture_sql('i')} AS url, "
+            f"{lg.link_fixture_sql('CAST(i AS VARCHAR)', 'i')} AS html "
+            f"FROM range(0, {n}) t(i)")
+
+
+def _pages_spark(spark, n: int):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(ur.url_fixture_sql("id")).alias("url"),
+        F.expr(lg.link_fixture_sql("CAST(id AS STRING)", "id"))
+        .alias("html"))
+
+
+def test_extract_links_scope(spark):
+    pages = spark.createDataFrame(
+        [(1, '<a href="https://a.com/x">t</a>'
+             '<A CLASS="z" HREF="https://b.com/y">u</A>'
+             "<a href='https://c.com/sq'>skip</a>"   # single-quoted: out
+             '<abbr href="https://d.com/n">no</abbr>'  # not an <a> tag
+             '<a href="/rel">kept as href</a>'),
+         (2, None)],                                  # NULL html → 0 rows
+        "doc_id long, html string")
+    got = sorted((r["doc_id"], r["href"])
+                 for r in lg.extract_links(pages).collect())
+    assert got == [(1, "/rel"), (1, "https://a.com/x"),
+                   (1, "https://b.com/y")]
+
+
+def test_host_edges_semantics(spark):
+    pages = spark.createDataFrame(
+        [(1, "https://www.src.com/p",
+          '<a href="https://DST.com:443/q">x</a>'      # canon: dst.com
+          '<a href="https://src.com/self">s</a>'        # self-loop: drop
+          '<a href="/rel">r</a>'                        # no host: drop
+          '<a href="https://dst.com/other">dup</a>'),   # same pair: dedup
+         (2, None, '<a href="https://dst.com/q">x</a>')],  # NULL src: drop
+        "doc_id long, url string, html string")
+    got = sorted(tuple(r) for r in lg.host_edges(pages).collect())
+    assert got == [("src.com", "dst.com")]
+
+
+def test_rank_params():
+    for kw in ({"iters": 0}, {"unit": 0}, {"num": 0}, {"num": 20},
+               {"num": 21}):
+        with pytest.raises(ValueError):
+            lg.host_rank_sql_duck("e", **kw)
+
+
+def test_rank_hand_graph_vs_model(spark):
+    # a → b → c, c dangling; star into b from a,d
+    edges = [("a", "b"), ("a", "d"), ("b", "c"), ("d", "b")]
+    edf = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r["host"]: r["rank_micro"]
+           for r in lg.host_rank(edf, iters=3).collect()}
+    assert got == lg.host_rank_model(edges, iters=3)
+    # dangling c holds mass above bare teleport; b (2 in-links) tops a
+    assert got["c"] > 150_000 and got["b"] > got["a"]
+    spark.catalog.clearCache()
+
+
+def test_fixture_parity_spark_duck(spark):
+    """Full value parity over the link fixture: edges, degrees and the
+    3-iteration rank all hash-identical across engines."""
+    n = 300
+    pages = _pages_spark(spark, n)
+    pages_sql = _pages_sql_duck(n)
+    con = duckdb.connect()
+
+    sp_e = sorted(tuple(r) for r in lg.host_edges(pages).collect())
+    du_e = con.execute(lg.host_edges_sql_duck(pages_sql)
+                       + " ORDER BY src_host, dst_host").fetchall()
+    assert sp_e == [tuple(r) for r in du_e] and len(sp_e) > 50
+
+    edf = lg.host_edges(pages)
+    e_sql = lg.host_edges_sql_duck(pages_sql)
+
+    sp_d = sorted(tuple(r) for r in lg.host_degrees(edf).collect())
+    du_d = con.execute(lg.host_degrees_sql_duck(e_sql)
+                       + " ORDER BY host").fetchall()
+    assert sp_d == [tuple(r) for r in du_d]
+    # dangling sinks present: in-links, zero out
+    assert any(o == 0 and i > 0 for _, o, i in sp_d)
+
+    sp_r = sorted(tuple(r) for r in lg.host_rank(edf).collect())
+    du_r = con.execute(lg.host_rank_sql_duck(e_sql)
+                       + " ORDER BY host").fetchall()
+    assert sp_r == [tuple(r) for r in du_r]
+    assert all(r > 0 for _, r in sp_r)
+    # model triple-check on the same edge list
+    assert dict(sp_r) == lg.host_rank_model(sp_e)
+    spark.catalog.clearCache()
+
+
+def test_rank_plan_no_data_cartesian(spark):
+    """The only nested-loop joins are the 1-row scalar broadcasts; the
+    rank⋈edges join is an equi-join; no CartesianProduct node."""
+    n = 120
+    plan = (lg.host_rank(lg.host_edges(_pages_spark(spark, n)), iters=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    spark.catalog.clearCache()
