@@ -1403,6 +1403,29 @@ def q_worker_queue_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.worker_load(rt.assign_workers(sched, num_workers=8))
 
 
+_BM25_TERMS = ["hash", "merge", "vector"]
+
+
+def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting lists (postings.build_postings) for the
+    query terms — the build-side artifact of the BM25 serving path."""
+    from .operators import postings as ps
+
+    return (ps.build_postings(load(spark, sf_dir, "documents"))
+            .filter(F.col("term").isin(_BM25_TERMS)))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over posting lists (postings.bm25_topk): literal term
+    pushdown + pivoted fixed-order score — exact doubles vs the DuckDB
+    twin's independent SQL re-derivation of postings/stats/idf."""
+    from .operators import postings as ps
+
+    docs = load(spark, sf_dir, "documents")
+    return ps.bm25_topk(ps.build_postings(docs), *ps.index_stats(docs),
+                        _BM25_TERMS, k=25)
+
+
 def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import linkgraph as lgx
 
@@ -1531,6 +1554,8 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "host_link_edges": q_host_link_edges,
         "host_link_degrees": q_host_link_degrees,
         "host_rank": q_host_rank,
+        "term_postings": q_term_postings,
+        "bm25_topk": q_bm25_topk,
         "minhash_quality": q_minhash_quality,
         "normalized_docs": q_normalized_docs,
         "skew_report": q_skew_report,
@@ -1717,6 +1742,15 @@ def build_extra_oracle_sql() -> dict[str, str]:
     o["host_link_edges"] = _edges_sql
     o["host_link_degrees"] = lgx.host_degrees_sql_duck(_edges_sql)
     o["host_rank"] = lgx.host_rank_sql_duck(_edges_sql)
+
+    from .operators import postings as ps
+
+    _terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    o["term_postings"] = (
+        f"SELECT * FROM ({ps.build_postings_sql_duck('SELECT doc_id, text FROM documents')}) tp "
+        f"WHERE term IN ({_terms_in})")
+    o["bm25_topk"] = ps.bm25_topk_sql_duck(
+        "SELECT doc_id, text FROM documents", _BM25_TERMS, k=25)
 
     _host_expr = ur.url_host_sql_duck(f"({ur.url_fixture_sql('doc_id')})")
     o["hostgate_docs"] = f"""

@@ -44,7 +44,8 @@ def test_extras_full_oracle_hash_parity(spark):
         "warc_docs", "robots_docs", "crawl_delay_hosts", "sitemap_hosts",
         "sitemap_entries", "frontier_sched", "sitemap_discover",
         "retry_outcomes", "worker_queue_load",
-        "host_link_edges", "host_link_degrees", "host_rank"}
+        "host_link_edges", "host_link_degrees", "host_rank",
+        "term_postings", "bm25_topk"}
     con = duckdb.connect()
     register_views(con, SF_DIR)
     failures = run_checks(spark, con, extras, oracles, SF_DIR)
