@@ -54,7 +54,7 @@ contribution join) scan it once.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import urls as ur
@@ -259,6 +259,83 @@ def host_rank_model(edges: list[tuple[str, str]], iters: int = 3,
         r = {h: teleport + (num * (s_in[h] + share)) // den
              for h in hosts}
     return r
+
+
+def allocate_budget(ranks: DataFrame, budget: int) -> DataFrame:
+    """(host, n_slots): split a global per-cycle fetch budget across hosts
+    proportional to rank_micro — exact integer largest-remainder method
+    (Hamilton apportionment), so Σ n_slots == budget EXACTLY and both
+    engines agree bit-for-bit:
+
+        base(h) = (budget·r(h)) intdiv T,  T = Σ r
+        the (budget − Σ base) leftover slots go to the largest
+        (budget·r(h)) mod T remainders, host-asc tiebreak.
+
+    BIGINT bound: budget·rank_micro must stay < 2^63 — with unit=1e6
+    ranks that is budget·hosts < ~9·10^12·… (fine for any real cycle
+    budget; callers of planetary budgets scale ``unit`` down).
+
+    Shape at scale: ranks is HOST-bounded (≪ corpus); the two scalars are
+    1-row broadcasts and the remainder ranking is ONE global window over
+    that bounded table — the quota_per_stratum window pattern, not a
+    corpus-sized sort."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    dv = _DIV["spark"]
+    t_df = ranks.agg(F.sum("rank_micro").cast("bigint").alias("t"))
+    based = (ranks.crossJoin(F.broadcast(t_df))  # 1-row scalar
+             .select("host",
+                     F.expr(f"CAST(({budget} * rank_micro) {dv} t "
+                            f"AS BIGINT)").alias("base"),
+                     F.expr(f"CAST(({budget} * rank_micro) % t "
+                            f"AS BIGINT)").alias("rem")))
+    left_df = based.agg(
+        (F.lit(budget).cast("bigint") - F.sum("base").cast("bigint"))
+        .alias("leftover"))
+    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    return (based
+            .withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .crossJoin(F.broadcast(left_df))  # 1-row scalar
+            .select("host",
+                    (F.col("base")
+                     + F.when(F.col("rn") <= F.col("leftover"), 1)
+                     .otherwise(0)).cast("bigint").alias("n_slots")))
+
+
+def allocate_budget_sql_duck(ranks_sql: str, budget: int) -> str:
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    return f"""
+    WITH rk AS ({ranks_sql}),
+    tt AS (SELECT CAST(sum(rank_micro) AS BIGINT) AS t FROM rk),
+    based AS (SELECT host,
+              CAST(({budget} * rank_micro) // t AS BIGINT) AS base,
+              CAST(({budget} * rank_micro) % t AS BIGINT) AS rem
+              FROM rk CROSS JOIN tt),
+    lf AS (SELECT CAST({budget} - sum(base) AS BIGINT) AS leftover
+           FROM based)
+    SELECT host,
+           CAST(base + CASE WHEN row_number()
+                OVER (ORDER BY rem DESC, host) <= leftover
+                THEN 1 ELSE 0 END AS BIGINT) AS n_slots
+    FROM based CROSS JOIN lf"""
+
+
+def budgeted_frontier(schedule: DataFrame, alloc: DataFrame) -> DataFrame:
+    """Frontier schedule cut to the per-host budget: keep fetch_seq <
+    n_slots. Allocation is host-bounded → broadcast equi-join; hosts
+    absent from the allocation get no slots (inner join — an unranked
+    host earned no budget this cycle)."""
+    return (schedule.join(F.broadcast(alloc), "host")
+            .filter(F.col("fetch_seq") < F.col("n_slots"))
+            .drop("n_slots"))
+
+
+def budgeted_frontier_sql_duck(schedule_sql: str, alloc_sql: str) -> str:
+    return f"""
+    SELECT s.* FROM ({schedule_sql}) s
+    JOIN ({alloc_sql}) a USING (host)
+    WHERE s.fetch_seq < a.n_slots"""
 
 
 # -- deterministic link-bearing HTML fixture --------------------------------------

@@ -1460,6 +1460,35 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lgx.host_rank(lgx.host_edges(_link_pages(spark, sf_dir)))
 
 
+_CRAWL_BUDGET = 1000
+
+
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cycle fetch budget split across hosts by rank
+    (linkgraph.allocate_budget): exact Hamilton apportionment —
+    Σ n_slots == budget bit-for-bit in both engines."""
+    from .operators import linkgraph as lgx
+
+    ranks = lgx.host_rank(lgx.host_edges(_link_pages(spark, sf_dir)))
+    return lgx.allocate_budget(ranks, _CRAWL_BUDGET)
+
+
+def q_budgeted_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier schedule cut to the rank-derived per-host budget
+    (linkgraph.budgeted_frontier) — the politeness plan and the
+    centrality budget composed end-to-end."""
+    from .operators import frontier as fr
+    from .operators import linkgraph as lgx
+
+    cands = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("url_id"),
+        F.expr(ur.url_fixture_sql("doc_id")).alias("url"))
+    sched = fr.frontier_schedule(cands, _fixture_robots(spark, sf_dir))
+    ranks = lgx.host_rank(lgx.host_edges(_link_pages(spark, sf_dir)))
+    return lgx.budgeted_frontier(sched, lgx.allocate_budget(
+        ranks, _CRAWL_BUDGET))
+
+
 def q_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC file layer end-to-end (operators/warc.py): documents wrapped
     in deterministic HTML + urls → per-record-gzip WARC archives →
@@ -1556,6 +1585,8 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "host_rank": q_host_rank,
         "term_postings": q_term_postings,
         "bm25_topk": q_bm25_topk,
+        "crawl_budget": q_crawl_budget,
+        "budgeted_frontier": q_budgeted_frontier,
         "minhash_quality": q_minhash_quality,
         "normalized_docs": q_normalized_docs,
         "skew_report": q_skew_report,
@@ -1742,6 +1773,12 @@ def build_extra_oracle_sql() -> dict[str, str]:
     o["host_link_edges"] = _edges_sql
     o["host_link_degrees"] = lgx.host_degrees_sql_duck(_edges_sql)
     o["host_rank"] = lgx.host_rank_sql_duck(_edges_sql)
+    _alloc_sql = lgx.allocate_budget_sql_duck(
+        lgx.host_rank_sql_duck(_edges_sql), _CRAWL_BUDGET)
+    o["crawl_budget"] = _alloc_sql
+    o["budgeted_frontier"] = lgx.budgeted_frontier_sql_duck(
+        fr.frontier_schedule_sql_duck(_cand_tbl, _rb_hosts,
+                                      id_col="doc_id"), _alloc_sql)
 
     from .operators import postings as ps
 

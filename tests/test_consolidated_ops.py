@@ -45,7 +45,8 @@ def test_extras_full_oracle_hash_parity(spark):
         "sitemap_entries", "frontier_sched", "sitemap_discover",
         "retry_outcomes", "worker_queue_load",
         "host_link_edges", "host_link_degrees", "host_rank",
-        "term_postings", "bm25_topk"}
+        "term_postings", "bm25_topk",
+        "crawl_budget", "budgeted_frontier"}
     con = duckdb.connect()
     register_views(con, SF_DIR)
     failures = run_checks(spark, con, extras, oracles, SF_DIR)

@@ -106,6 +106,49 @@ def test_fixture_parity_spark_duck(spark):
     spark.catalog.clearCache()
 
 
+def test_allocate_budget_hand(spark):
+    # T=5, budget 7: bases 4/1/1, leftover 1 → largest remainder wins
+    # (b and c tie at rem 2; host-asc gives b the slot)
+    ranks = spark.createDataFrame(
+        [("a", 3), ("b", 1), ("c", 1)], "host string, rank_micro long")
+    got = {r["host"]: r["n_slots"]
+           for r in lg.allocate_budget(ranks, 7).collect()}
+    assert got == {"a": 4, "b": 2, "c": 1}
+    with pytest.raises(ValueError):
+        lg.allocate_budget_sql_duck("rk", -1)
+
+
+def test_allocate_budget_parity_and_sum(spark):
+    n = 300
+    edf = lg.host_edges(_pages_spark(spark, n))
+    ranks = lg.host_rank(edf)
+    for budget in (0, 1, 97, 1000):
+        sp = sorted(tuple(r) for r in
+                    lg.allocate_budget(ranks, budget).collect())
+        du = duckdb.connect().execute(
+            lg.allocate_budget_sql_duck(
+                lg.host_rank_sql_duck(
+                    lg.host_edges_sql_duck(_pages_sql_duck(n))), budget)
+            + " ORDER BY host").fetchall()
+        assert sp == [tuple(r) for r in du]
+        assert sum(s for _, s in sp) == budget  # exact apportionment
+    spark.catalog.clearCache()
+
+
+def test_budgeted_frontier_cuts_per_host(spark):
+    sched = spark.createDataFrame(
+        [("h1", i, f"u{i}", float(i), i) for i in range(5)]
+        + [("h2", i, f"v{i}", float(i), 10 + i) for i in range(3)],
+        "host string, fetch_seq long, url string, scheduled_at double, "
+        "url_id long")
+    alloc = spark.createDataFrame(
+        [("h1", 2), ("h3", 9)], "host string, n_slots long")
+    got = sorted((r["host"], r["fetch_seq"])
+                 for r in lg.budgeted_frontier(sched, alloc).collect())
+    # h1 capped at 2 slots; h2 unranked → nothing; h3 has no urls
+    assert got == [("h1", 0), ("h1", 1)]
+
+
 def test_rank_plan_no_data_cartesian(spark):
     """The only nested-loop joins are the 1-row scalar broadcasts; the
     rank⋈edges join is an equi-join; no CartesianProduct node."""
