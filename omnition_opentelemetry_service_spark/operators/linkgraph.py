@@ -261,6 +261,91 @@ def host_rank_model(edges: list[tuple[str, str]], iters: int = 3,
     return r
 
 
+# group 1 = href, group 2 = the DIRECT anchor text (up to the first '<' —
+# markup-wrapped anchors yield '' and are dropped; documented scope).
+ANCHOR_RX = '(?i)<a[^a-z>][^>]*href="([^"]*)"[^>]*>([^<]*)<'
+
+
+def anchor_texts(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """(dst_host, anchor): what OTHER hosts' pages call a target host —
+    the classic off-page relevance signal (same-host/nav anchors excluded
+    like host_edges' self-loops; blank anchors dropped). Spark's
+    arrays_zip / DuckDB's list_zip align the two capture groups of the
+    SAME pattern, so href/text pairing is positional and exact."""
+    z = F.expr(
+        f"explode(arrays_zip("
+        f"regexp_extract_all({html_col}, '{ANCHOR_RX}', 1), "
+        f"regexp_extract_all({html_col}, '{ANCHOR_RX}', 2)))")
+    return (pages
+            .select(ur.url_host(url_col).alias("src_host"), z.alias("z"))
+            .select("src_host",
+                    F.col("z").getField("0").alias("href"),
+                    F.col("z").getField("1").alias("anchor"))
+            .select("src_host", ur.url_host("href").alias("dst_host"),
+                    "anchor")
+            .filter(_EDGE_PRED)
+            .filter("trim(anchor) <> ''")
+            .select("dst_host", "anchor"))
+
+
+def anchor_texts_sql_duck(pages_sql: str, url_col: str = "url",
+                          html_col: str = "html") -> str:
+    return f"""
+    SELECT dst_host, anchor
+    FROM (SELECT src_host, {ur.url_host_sql_duck('href')} AS dst_host,
+                 anchor
+          FROM (SELECT src_host, z[1] AS href, z[2] AS anchor
+                FROM (SELECT {ur.url_host_sql_duck(url_col)} AS src_host,
+                             unnest(list_zip(
+                               regexp_extract_all({html_col},
+                                                  '{ANCHOR_RX}', 1),
+                               regexp_extract_all({html_col},
+                                                  '{ANCHOR_RX}', 2))) AS z
+                      FROM ({pages_sql}) pg) zz) hh) aa
+    WHERE {_EDGE_PRED} AND trim(anchor, ' ') <> ''"""
+
+
+def anchor_term_profile(anchors: DataFrame, topk: int = 5) -> DataFrame:
+    """(host, term, n, rnk): top-k anchor terms per target host by
+    (count DESC, term ASC) — deterministic tiebreak, the quota-window
+    pattern. Tokenization is relevance.py's shared builder (one
+    definition per engine). Shape: one (host, term) hash-agg + one
+    host-partitioned window over term-bounded groups."""
+    from .relevance import _words_spark
+
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1: {topk}")
+    counts = (anchors
+              .select("dst_host",
+                      F.explode(F.expr(_words_spark("anchor")))
+                      .alias("term"))
+              .groupBy(F.col("dst_host").alias("host"), F.col("term"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("term"))
+    return (counts
+            .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= topk))
+
+
+def anchor_term_profile_sql_duck(anchors_sql: str, topk: int = 5) -> str:
+    from .relevance import _words_duck
+
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1: {topk}")
+    return f"""
+    WITH ax AS ({anchors_sql}),
+    tc AS (SELECT dst_host AS host, unnest({_words_duck('anchor')}) AS term
+           FROM ax),
+    cn AS (SELECT host, term, CAST(count(*) AS BIGINT) AS n
+           FROM tc GROUP BY host, term)
+    SELECT host, term, n,
+           CAST(row_number() OVER (PARTITION BY host
+                ORDER BY n DESC, term) AS BIGINT) AS rnk
+    FROM cn
+    QUALIFY rnk <= {topk}"""
+
+
 def allocate_budget(ranks: DataFrame, budget: int) -> DataFrame:
     """(host, n_slots): split a global per-cycle fetch budget across hosts
     proportional to rank_micro — exact integer largest-remainder method
@@ -355,13 +440,16 @@ def link_fixture_sql(text_col: str = "text",
           f"'https://deadend.example.net/u')")
     sink = (f"CASE WHEN {id_col} % 5 = 0 THEN concat("
             f"'<a data-x=\"1\" href=\"https://sink', "
-            f"CAST({id_col} % 3 AS STRING), '.example.net/p\">s</a>') "
+            f"CAST({id_col} % 3 AS STRING), "
+            f"'.example.net/p\">mirror archive</a>') "
             f"ELSE '' END")
     return (
         f"CASE WHEN {text_col} IS NULL THEN CAST(NULL AS STRING) "
         f"ELSE concat('<html><body><p>', {text_col}, "
-        f"'</p><a href=\"', {t1}, '\">one</a>"
-        f"<A class=\"nav\" HREF=\"', {t2}, '\">two</A>', {sink}, "
+        f"'</p><a href=\"', {t1}, '\">read p', "
+        f"CAST({id_col} % 50 AS STRING), ' now</a>"
+        f"<A class=\"nav\" HREF=\"', {t2}, '\">more from site', "
+        f"CAST(({id_col} * 13 + 11) % 20 AS STRING), '</A>', {sink}, "
         f"'<a href=\"/relative/p\">rel</a>"
         f"<a href=''https://singlequoted.example.net/q''>sq</a>"
         f"</body></html>') END")

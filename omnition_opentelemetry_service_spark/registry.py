@@ -1489,6 +1489,17 @@ def q_budgeted_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks, _CRAWL_BUDGET))
 
 
+def q_anchor_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 anchor terms per target host (linkgraph.anchor_texts →
+    anchor_term_profile): the off-page relevance signal — positional
+    zip of the two capture groups, shared tokenization, deterministic
+    (count DESC, term ASC) tiebreak."""
+    from .operators import linkgraph as lgx
+
+    return lgx.anchor_term_profile(
+        lgx.anchor_texts(_link_pages(spark, sf_dir)), topk=3)
+
+
 def q_warc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC file layer end-to-end (operators/warc.py): documents wrapped
     in deterministic HTML + urls → per-record-gzip WARC archives →
@@ -1587,6 +1598,7 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bm25_topk": q_bm25_topk,
         "crawl_budget": q_crawl_budget,
         "budgeted_frontier": q_budgeted_frontier,
+        "anchor_profiles": q_anchor_profiles,
         "minhash_quality": q_minhash_quality,
         "normalized_docs": q_normalized_docs,
         "skew_report": q_skew_report,
@@ -1779,6 +1791,8 @@ def build_extra_oracle_sql() -> dict[str, str]:
     o["budgeted_frontier"] = lgx.budgeted_frontier_sql_duck(
         fr.frontier_schedule_sql_duck(_cand_tbl, _rb_hosts,
                                       id_col="doc_id"), _alloc_sql)
+    o["anchor_profiles"] = lgx.anchor_term_profile_sql_duck(
+        lgx.anchor_texts_sql_duck(_pages_sql), topk=3)
 
     from .operators import postings as ps
 

@@ -46,7 +46,7 @@ def test_extras_full_oracle_hash_parity(spark):
         "retry_outcomes", "worker_queue_load",
         "host_link_edges", "host_link_degrees", "host_rank",
         "term_postings", "bm25_topk",
-        "crawl_budget", "budgeted_frontier"}
+        "crawl_budget", "budgeted_frontier", "anchor_profiles"}
     con = duckdb.connect()
     register_views(con, SF_DIR)
     failures = run_checks(spark, con, extras, oracles, SF_DIR)

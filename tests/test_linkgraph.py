@@ -106,6 +106,53 @@ def test_fixture_parity_spark_duck(spark):
     spark.catalog.clearCache()
 
 
+def test_anchor_texts_semantics(spark):
+    pages = spark.createDataFrame(
+        [(1, "https://src.com/p",
+          '<a href="https://dst.com/q">Read This</a>'
+          '<a href="https://src.com/self">self nav</a>'   # same-host: drop
+          '<a href="https://dst.com/r"><b>wrapped</b></a>'  # '' text: drop
+          '<a href="https://dst.com/s">   </a>'             # blank: drop
+          '<a href="/rel">relative</a>'),                   # no host: drop
+         (2, None, '<a href="https://dst.com/q">no src</a>')],
+        "doc_id long, url string, html string")
+    got = sorted(tuple(r) for r in lg.anchor_texts(pages).collect())
+    assert got == [("dst.com", "Read This")]
+
+
+def test_anchor_profile_topk(spark):
+    anchors = spark.createDataFrame(
+        [("h", "read the docs"), ("h", "read more"), ("h", "THE source"),
+         ("g", "one")],
+        "dst_host string, anchor string")
+    got = sorted(tuple(r) for r in
+                 lg.anchor_term_profile(anchors, topk=2).collect())
+    # 'read' (2) and 'the' (2, case-folded) tie-break alphabetically
+    assert got == [("g", "one", 1, 1), ("h", "read", 2, 1),
+                   ("h", "the", 2, 2)]
+    with pytest.raises(ValueError):
+        lg.anchor_term_profile_sql_duck("a", topk=0)
+
+
+def test_anchor_fixture_parity(spark):
+    n = 300
+    sp_a = sorted(tuple(r) for r in
+                  lg.anchor_texts(_pages_spark(spark, n)).collect())
+    con = duckdb.connect()
+    a_sql = lg.anchor_texts_sql_duck(_pages_sql_duck(n))
+    du_a = con.execute(a_sql + " ORDER BY dst_host, anchor").fetchall()
+    assert sp_a == [tuple(r) for r in du_a] and len(sp_a) > 300
+
+    sp_p = sorted(tuple(r) for r in lg.anchor_term_profile(
+        lg.anchor_texts(_pages_spark(spark, n)), topk=3).collect())
+    du_p = con.execute(
+        lg.anchor_term_profile_sql_duck(a_sql, topk=3)).fetchall()
+    assert sp_p == sorted(tuple(r) for r in du_p)
+    # dangling sinks carry their 'mirror archive' profile
+    assert any(h.startswith("sink") and t == "archive"
+               for h, t, _, _ in sp_p)
+
+
 def test_allocate_budget_hand(spark):
     # T=5, budget 7: bases 4/1/1, leftover 1 → largest remainder wins
     # (b and c tie at rem 2; host-asc gives b the slot)
