@@ -383,7 +383,9 @@ def main() -> None:
     # (all rounds are reported for spread visibility).
     scaling = measure_scaling(_scale_input_dir())
 
-    queries = registry.build_queries()
+    # HEADLINE names stay fixed across rounds for delta comparability, so
+    # draw from the full pool — window rotation must not move the bench
+    queries = {**registry.build_queries(), **registry.build_extra_queries()}
     per_query: dict[str, float] = {}
 
     spark = get_spark(app_name="bench", parallelism=CPUS,

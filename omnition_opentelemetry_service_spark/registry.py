@@ -670,7 +670,7 @@ def _ivf_pre() -> str:
       WHERE c_rnk = 1)"""
 
 
-def build_oracle_sql() -> dict[str, str]:
+def _main_oracle_sql() -> dict[str, str]:
     pre = duck_prelude(ORACLE_N)
     n = ORACLE_N
     o: dict[str, str] = {}
@@ -1568,7 +1568,7 @@ def q_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.heavy_keys(fx.sequences(spark, _n(sf_dir)), topk=4)
 
 
-def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _extra_queries_pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The rotated-out twins — NOT driver slots (the window is exactly 50);
     verified by check_oracle --extras and pytest with the identical gate."""
     return {
@@ -1617,7 +1617,7 @@ def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     }
 
 
-def build_extra_oracle_sql() -> dict[str, str]:
+def _extra_oracle_sql_pool() -> dict[str, str]:
     pre = duck_prelude(ORACLE_N)
     o: dict[str, str] = {}
 
@@ -1832,13 +1832,13 @@ def release_caches(spark: SparkSession) -> None:
     spark.catalog.clearCache()
 
 
-def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """EXACTLY 50 entries, by design: the driver's correctness gate checks
-    the FIRST 50 queries() entries (round 1 shipped 54 and positions 50-53
-    silently got no verification row). Every entry here gets a driver row;
-    consolidated variants (pack_stats, ivf_cell_sizes, token_counts,
-    quarantined_rows, union_two_receivers, oversized_reject_counts,
-    node_batches_grouped/scalable) remain implemented and pytest-covered."""
+def _main_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The pre-rotation main pool (rounds 1-2 window). The PUBLIC window is
+    build_queries() = this minus _DEMOTED plus _PROMOTED — see _partition
+    for the exactly-50 contract; consolidated variants (pack_stats,
+    ivf_cell_sizes, token_counts, quarantined_rows, union_two_receivers,
+    oversized_reject_counts, node_batches_grouped/scalable) remain
+    implemented and pytest-covered."""
     return {
         # pipeline (parse → enrich → route → aggregate) + its contracts
         "pipeline_routed": q_pipeline_routed,
@@ -1900,3 +1900,44 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # simhash_band_pairs carries the driver slot)
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     }
+
+
+# -- driver window partition -------------------------------------------------------
+# Round-3 rotation: the web layer (file format, politeness, frontier,
+# centrality, retrieval serving) earns driver rows; each demoted slot's
+# FAMILY keeps other driver rows (carry_forward_scalable, events_* ×2,
+# simhash_band_pairs, ann_lsh_topk/embedding_near_dup_lsh) and the demoted
+# slot itself keeps the IDENTICAL rows+schema+hash gate via the extras pool
+# (tools/check_oracle --extras + tests/test_consolidated_ops.py).
+_PROMOTED = ["warc_docs", "robots_docs", "frontier_sched",
+             "host_rank", "bm25_topk"]
+_DEMOTED = ["carry_forward", "events_json_extract", "simhash_values",
+            "lsh_bucket_sizes", "ngram_jaccard_pairs"]
+
+
+def _partition(main: dict, extra: dict) -> tuple[dict, dict]:
+    """EXACTLY 50 driver slots, by design: the driver's correctness gate
+    checks the FIRST 50 queries() entries (round 1 shipped 54 and
+    positions 50-53 silently got no verification row). Everything else
+    rides the extras gate."""
+    pool = {**main, **extra}
+    slots = [k for k in main if k not in _DEMOTED] + _PROMOTED
+    assert len(slots) == 50, len(slots)
+    return ({k: pool[k] for k in slots},
+            {k: v for k, v in pool.items() if k not in slots})
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _partition(_main_queries(), _extra_queries_pool())[0]
+
+
+def build_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _partition(_main_queries(), _extra_queries_pool())[1]
+
+
+def build_oracle_sql() -> dict[str, str]:
+    return _partition(_main_oracle_sql(), _extra_oracle_sql_pool())[0]
+
+
+def build_extra_oracle_sql() -> dict[str, str]:
+    return _partition(_main_oracle_sql(), _extra_oracle_sql_pool())[1]

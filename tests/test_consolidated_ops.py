@@ -42,11 +42,18 @@ def test_extras_full_oracle_hash_parity(spark):
         "span_removed", "html_stripped", "hostgate_docs", "c4_docs",
         "minhash_quality", "normalized_docs", "skew_report", "heavy_keys",
         "warc_docs", "robots_docs", "crawl_delay_hosts", "sitemap_hosts",
-        "sitemap_entries", "frontier_sched", "sitemap_discover",
+        "sitemap_entries", "sitemap_discover",
         "retry_outcomes", "worker_queue_load",
-        "host_link_edges", "host_link_degrees", "host_rank",
-        "term_postings", "bm25_topk",
-        "crawl_budget", "budgeted_frontier", "anchor_profiles"}
+        "host_link_edges", "host_link_degrees",
+        "term_postings",
+        "crawl_budget", "budgeted_frontier", "anchor_profiles",
+        # demoted by the round-3 driver-window rotation (registry._DEMOTED)
+        # — family keeps driver rows, these keep the identical gate here
+        "carry_forward", "events_json_extract", "simhash_values",
+        "lsh_bucket_sizes", "ngram_jaccard_pairs"} - {
+        # promoted to driver slots (registry._PROMOTED)
+        "warc_docs", "robots_docs", "frontier_sched", "host_rank",
+        "bm25_topk"}
     con = duckdb.connect()
     register_views(con, SF_DIR)
     failures = run_checks(spark, con, extras, oracles, SF_DIR)
