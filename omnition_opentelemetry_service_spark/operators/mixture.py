@@ -283,3 +283,126 @@ def read_release_stream(spark, out_dir: str, split: str = "train"):
     return (df.withColumn("read_ord", F.row_number().over(w) - 1)
             .select("shard", "read_ord", "doc_id", "pack_key", "pack_id",
                     "seq_no", "n_tok", "tokens"))
+
+
+# -- exact token-budget selection --------------------------------------------------
+_SRC_OK = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.:-"
+
+
+def _check_budgets(budgets: dict[str, int]) -> None:
+    """Budgets are exact integer token counts; source names inline into
+    both engines' SQL as literals, so they are VALIDATED, not escaped
+    (PARITY trap 24)."""
+    if not budgets:
+        raise ValueError("budgets must be a non-empty dict")
+    for s, b in budgets.items():
+        if not s or any(ch not in _SRC_OK for ch in s):
+            raise ValueError(f"source {s!r}: literal-safe names only")
+        if not isinstance(b, int) or b < 0:
+            raise ValueError(f"budget for {s!r} must be an int >= 0: {b}")
+
+
+def _budget_case(budgets: dict[str, int], source_col: str) -> str:
+    whens = " ".join(f"WHEN {source_col} = '{s}' THEN {b}"
+                     for s, b in budgets.items())
+    return f"CAST(CASE {whens} END AS BIGINT)"
+
+
+def select_token_budget(seqs: DataFrame, budgets: dict[str, int],
+                        salt: str = "token-budget",
+                        source_col: str = "source", id_col: str = "doc_id",
+                        tok_col: str = "n_tok") -> DataFrame:
+    """(id, source, n_tok, cum_tok): per budgeted source, a deterministic
+    pseudo-random subset whose token count fills the budget exactly as far
+    as whole documents allow — cumulative n_tok in mix-hash order stays
+    ≤ budget (hard cap: a doc that would overflow is excluded, as is
+    everything after it in hash order). Sources absent from ``budgets``
+    are excluded entirely (an unbudgeted source earned no tokens).
+
+    The hash order (the wide shuffle key, salted per use-site) is what
+    makes the selection a uniform sample AND reproducible across reruns,
+    engines, partitionings, and cluster sizes — the with_split property
+    applied to a COUNT constraint that hash-range thresholds cannot
+    express (docs have unequal n_tok).
+
+    Shape at scale: one window exchange PARTITIONED BY source — fine while
+    no single source dominates a task; use
+    :func:`select_token_budget_scalable` past that (bounded
+    (source, slice) partitions, the frontier_schedule_scalable pattern)."""
+    _check_budgets(budgets)
+    from pyspark.sql import Window as W
+
+    h = _HW_SPARK.format(col=id_col, salt=salt)
+    w = (W.partitionBy(source_col).orderBy(F.expr(h), F.col(id_col))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (seqs
+            .filter(F.col(source_col).isin(list(budgets)))
+            .withColumn("cum_tok",
+                        F.sum(F.col(tok_col).cast("bigint")).over(w))
+            .filter(F.col("cum_tok")
+                    <= F.expr(_budget_case(budgets, source_col)))
+            .select(id_col, source_col, tok_col, "cum_tok"))
+
+
+def select_token_budget_sql_duck(seqs_sql: str, budgets: dict[str, int],
+                                 salt: str = "token-budget",
+                                 source_col: str = "source",
+                                 id_col: str = "doc_id",
+                                 tok_col: str = "n_tok") -> str:
+    _check_budgets(budgets)
+    h = _HW_DUCK.format(col=id_col, salt=salt)
+    in_list = ", ".join(f"'{s}'" for s in budgets)
+    return f"""
+    WITH sel AS (SELECT {id_col}, {source_col}, {tok_col}, {h} AS h
+                 FROM ({seqs_sql}) sq
+                 WHERE {source_col} IN ({in_list})),
+    c AS (SELECT {id_col}, {source_col}, {tok_col},
+                 CAST(sum({tok_col}) OVER (PARTITION BY {source_col}
+                      ORDER BY h, {id_col}
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_tok
+          FROM sel)
+    SELECT * FROM c
+    WHERE cum_tok <= {_budget_case(budgets, source_col)}"""
+
+
+def select_token_budget_scalable(seqs: DataFrame, budgets: dict[str, int],
+                                 n_slices: int = 64,
+                                 salt: str = "token-budget",
+                                 source_col: str = "source",
+                                 id_col: str = "doc_id",
+                                 tok_col: str = "n_tok") -> DataFrame:
+    """Output-identical to :func:`select_token_budget` with BOUNDED window
+    partitions: the wide hash is RANGE-sliced (slice = h intdiv
+    ceil(2^48 / n_slices) — equal hashes land in one slice, so
+    (slice asc, h asc, id) IS the global (h asc, id) order), cumsum runs
+    per (source, slice), and per-slice totals (a sources × n_slices table,
+    broadcastable) provide the cross-slice offsets — the
+    frontier_schedule_scalable / node_batches_scalable pattern applied to
+    a running SUM instead of a rank."""
+    _check_budgets(budgets)
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1: {n_slices}")
+    from pyspark.sql import Window as W
+
+    div = (2 ** 48 + n_slices - 1) // n_slices
+    h = _HW_SPARK.format(col=id_col, salt=salt)
+    base = (seqs.filter(F.col(source_col).isin(list(budgets)))
+            .withColumn("_h", F.expr(h))
+            .withColumn("_slice", F.expr(f"CAST(_h DIV {div} AS INT)")))
+    wl = (W.partitionBy(source_col, "_slice").orderBy("_h", id_col)
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    local = base.withColumn(
+        "_cum_local", F.sum(F.col(tok_col).cast("bigint")).over(wl))
+    totals = (base.groupBy(source_col, "_slice")
+              .agg(F.sum(F.col(tok_col).cast("bigint")).alias("_t")))
+    wo = (W.partitionBy(source_col).orderBy("_slice")
+          .rowsBetween(W.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_t").over(wo), F.lit(0))).drop("_t")
+    return (local
+            .join(F.broadcast(offsets), [source_col, "_slice"])
+            .withColumn("cum_tok", F.col("_cum_local") + F.col("_off"))
+            .filter(F.col("cum_tok")
+                    <= F.expr(_budget_case(budgets, source_col)))
+            .select(id_col, source_col, tok_col, "cum_tok"))

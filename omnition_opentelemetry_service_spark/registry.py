@@ -1404,6 +1404,18 @@ def q_worker_queue_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_TERMS = ["hash", "merge", "vector"]
+_TOKEN_BUDGETS = {"web": 100_000, "books": 40_000, "code": 10_000}
+
+
+def q_token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget selection (mixture.select_token_budget): per
+    budgeted source, cumulative n_tok in salted-hash order stays ≤ budget
+    (hard cap, binds on every source at sf0.01; unbudgeted sources
+    excluded)."""
+    from .operators import mixture as mx
+
+    return mx.select_token_budget(fx.sequences(spark, _n(sf_dir)),
+                                  _TOKEN_BUDGETS)
 
 
 def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1599,6 +1611,7 @@ def _extra_queries_pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "crawl_budget": q_crawl_budget,
         "budgeted_frontier": q_budgeted_frontier,
         "anchor_profiles": q_anchor_profiles,
+        "token_budget_docs": q_token_budget_docs,
         "minhash_quality": q_minhash_quality,
         "normalized_docs": q_normalized_docs,
         "skew_report": q_skew_report,
@@ -1793,6 +1806,11 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
                                       id_col="doc_id"), _alloc_sql)
     o["anchor_profiles"] = lgx.anchor_term_profile_sql_duck(
         lgx.anchor_texts_sql_duck(_pages_sql), topk=3)
+
+    from .operators import mixture as mx
+
+    o["token_budget_docs"] = mx.select_token_budget_sql_duck(
+        fx.sequences_sql_duck(ORACLE_N), _TOKEN_BUDGETS)
 
     from .operators import postings as ps
 

@@ -47,6 +47,7 @@ def test_extras_full_oracle_hash_parity(spark):
         "host_link_edges", "host_link_degrees",
         "term_postings",
         "crawl_budget", "budgeted_frontier", "anchor_profiles",
+        "token_budget_docs",
         # demoted by the round-3 driver-window rotation (registry._DEMOTED)
         # — family keeps driver rows, these keep the identical gate here
         "carry_forward", "events_json_extract", "simhash_values",

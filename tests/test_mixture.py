@@ -213,3 +213,65 @@ def test_temperature_composes_with_epoch_resample(spark):
         want = w[s] * n
         # the fractional copy is a hash coin per row: binomial noise
         assert abs(got[s] - want) <= 3 * (n ** 0.5) + 1, (s, got[s], want)
+
+
+# -- select_token_budget -----------------------------------------------------------
+def test_token_budget_semantics_and_parity(spark):
+    """Hard cap binds per source, unbudgeted sources excluded, DuckDB twin
+    hash-identical, scalable form output-identical (multi-slice forced)."""
+    import duckdb
+
+    from omnition_opentelemetry_service_spark import fixtures as fx
+    from omnition_opentelemetry_service_spark.operators import mixture as mx
+
+    n = 2000
+    budgets = {"web": 9000, "books": 4000, "code": 1}  # code: nothing fits
+    seqs = fx.sequences(spark, n)
+    got = mx.select_token_budget(seqs, budgets)
+    rows = got.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append((r["cum_tok"], r["n_tok"]))
+    assert set(per) <= {"web", "books"}          # code empty, others absent
+    for s, v in per.items():
+        assert max(c for c, _ in v) <= budgets[s]
+        # the budget actually binds: adding any excluded doc would overflow
+        assert max(c for c, _ in v) > budgets[s] * 0.8
+    # duck twin
+    du = duckdb.connect().execute(
+        mx.select_token_budget_sql_duck(fx.sequences_sql_duck(n), budgets)
+        + " ORDER BY source, cum_tok").fetchall()
+    assert sorted(tuple(r) for r in rows) == sorted(tuple(r) for r in du)
+    # scalable twin, sliced hard (n_slices ≫ 1 rows per slice)
+    sc = mx.select_token_budget_scalable(seqs, budgets, n_slices=32)
+    assert sorted(tuple(r) for r in sc.collect()) == sorted(
+        tuple(r) for r in rows)
+
+
+def test_token_budget_params(spark):
+    from omnition_opentelemetry_service_spark.operators import mixture as mx
+
+    for bad in ({}, {"a'b": 1}, {"web": -1}, {"web": 1.5}):
+        try:
+            mx.select_token_budget_sql_duck("t", bad)
+            raise AssertionError(f"accepted {bad}")
+        except ValueError:
+            pass
+
+
+def test_token_budget_rerun_and_salt(spark):
+    """Same salt → byte-identical rerun; different salt → different subset
+    (the selection is hash-driven, not positional)."""
+    from omnition_opentelemetry_service_spark import fixtures as fx
+    from omnition_opentelemetry_service_spark.operators import mixture as mx
+
+    seqs = fx.sequences(spark, 800)
+    b = {"web": 5000}
+    a1 = sorted(r["doc_id"] for r in
+                mx.select_token_budget(seqs, b).collect())
+    a2 = sorted(r["doc_id"] for r in
+                mx.select_token_budget(seqs, b).collect())
+    assert a1 == a2 and len(a1) > 10
+    b2 = sorted(r["doc_id"] for r in
+                mx.select_token_budget(seqs, b, salt="other").collect())
+    assert b2 != a1
