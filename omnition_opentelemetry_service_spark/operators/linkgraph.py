@@ -171,6 +171,10 @@ def host_rank(edges: DataFrame, iters: int = 3, unit: int = 1_000_000,
     their mass uniformly each step."""
     _check_rank_params(iters, unit, num, den)
     dv = _DIV["spark"]
+    # edges feeds hosts (×2), outd and every iteration's contribution join
+    # — 3+iters consumers; persist once (MEMORY_AND_DISK — the standard
+    # iterative-graph layout; caller releases per the repo cache contract)
+    edges = edges.persist()
     hosts = (edges.select(F.col("src_host").alias("host"))
              .unionByName(edges.select(F.col("dst_host").alias("host")))
              .distinct())
@@ -183,7 +187,13 @@ def host_rank(edges: DataFrame, iters: int = 3, unit: int = 1_000_000,
     r = base.select("host", "out_deg",
                     F.lit(unit).cast("bigint").alias("r"))
     for _ in range(iters):
-        r = r.persist()  # two consumers below; caller releases (repo rule)
+        # lazy localCheckpoint, not persist: each iteration's plan embeds
+        # the previous one 2× (dangling sum + contribution join), so the
+        # LOGICAL tree — and Catalyst's per-downstream-query analysis
+        # cost — grows 2^iters without truncation (measured: seconds of
+        # driver time per consumer at iters=3). Values are unchanged: the
+        # checkpoint materializes once and both consumers read it.
+        r = r.localCheckpoint(eager=False)
         dang = r.filter("out_deg IS NULL").agg(
             F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dang"))
         s = (r.filter("out_deg IS NOT NULL")
@@ -367,13 +377,18 @@ def allocate_budget(ranks: DataFrame, budget: int) -> DataFrame:
     if budget < 0:
         raise ValueError(f"budget must be >= 0: {budget}")
     dv = _DIV["spark"]
+    # ranks feeds the total AND the base table, based feeds the leftover
+    # AND the final select — persist both or the upstream rank DAG (itself
+    # iterative) re-executes 4×. Caller releases (repo cache contract).
+    ranks = ranks.persist()
     t_df = ranks.agg(F.sum("rank_micro").cast("bigint").alias("t"))
     based = (ranks.crossJoin(F.broadcast(t_df))  # 1-row scalar
              .select("host",
                      F.expr(f"CAST(({budget} * rank_micro) {dv} t "
                             f"AS BIGINT)").alias("base"),
                      F.expr(f"CAST(({budget} * rank_micro) % t "
-                            f"AS BIGINT)").alias("rem")))
+                            f"AS BIGINT)").alias("rem"))
+             .persist())
     left_df = based.agg(
         (F.lit(budget).cast("bigint") - F.sum("base").cast("bigint"))
         .alias("leftover"))
