@@ -168,7 +168,16 @@ def host_rank(edges: DataFrame, iters: int = 3, unit: int = 1_000_000,
               num: int = 17, den: int = 20) -> DataFrame:
     """(host, rank_micro): integer-exact PageRank per the module formula.
     Hosts = every src or dst; dangling hosts (no out-edges) redistribute
-    their mass uniformly each step."""
+    their mass uniformly each step.
+
+    Storage lifetime: the per-iteration LAZY localCheckpoints (see loop
+    comment) pin iters × |hosts|-row tables until the RDDs are GC'd —
+    host-bounded, ≪ edges, the same tradeoff graph.py's CC documents
+    (its eager variant can release each round explicitly; here the
+    checkpoint materializes inside the CALLER's first action, so there
+    is no in-operator point after materialization to release from). On
+    a real cluster flip to reliable checkpoint() for executor-loss
+    safety, as in graph.py."""
     _check_rank_params(iters, unit, num, den)
     dv = _DIV["spark"]
     # edges feeds hosts (×2), outd and every iteration's contribution join
