@@ -413,9 +413,10 @@ def main() -> None:
     # round-3 web-pipeline additions, timed into the DETAILS sidecar only
     # (the headline set stays fixed for cross-round delta comparability)
     extras_timed: dict[str, float] = {}
-    extra_queries = registry.build_extra_queries()
-    for name in ("span_removed", "html_stripped", "url_dedup_groups"):
-        dt, _ = _run_query(spark, extra_queries[name], SF_DIR)
+    for name in ("span_removed", "html_stripped", "url_dedup_groups",
+                 "term_postings", "bm25_topk", "host_rank",
+                 "budgeted_frontier", "token_budget_docs"):
+        dt, _ = _run_query(spark, queries[name], SF_DIR)
         extras_timed[name] = round(dt, 3)
     fx.set_materialized_fixtures(None)
 
