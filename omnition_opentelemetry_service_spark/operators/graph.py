@@ -23,6 +23,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _reliable_result(df: DataFrame) -> DataFrame:
+    """Snapshot an iterative operator's FINAL table to a reliable
+    checkpoint and return the file-backed DataFrame.
+
+    Why not ``persist()`` atop the last localCheckpoint: the persisted
+    copy's lineage still points at the checkpoint blocks, so the repo's
+    caller-owned release (``clearCache`` between queries) leaves a
+    DataFrame that recomputes through freed blocks —
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next action (observed when
+    a module-scoped fixture outlived a per-test clearCache). A reliable
+    checkpoint is immune: result rows live as files under the checkpoint
+    dir (local tmp here; HDFS/object store on a real cluster), occupy
+    zero block-manager storage (getPersistentRDDs stays empty), survive
+    clearCache, and every re-action re-reads the files. Files live until
+    context stop (or the ContextCleaner with cleanCheckpoints=true);
+    size is one result-table, operator-bounded, never corpus-bounded.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+    return df.checkpoint(eager=True)
+
+
 def _release_local_checkpoint(df: DataFrame) -> None:
     """Free the executor storage behind a localCheckpoint'ed DataFrame.
 
@@ -60,10 +84,12 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     the same reason GraphFrames checkpoints its CC iterations). Each
     round's checkpoint storage is released once the next round is
     materialized, so memory stays one label-table wide; the returned
-    DataFrame is a plain persisted copy (caller owns its .unpersist()),
-    with no lingering checkpoint RDDs. On a real cluster, flip to
-    reliable ``checkpoint()`` with a checkpointDir for executor-loss
-    safety — localCheckpoint trades that for zero-config local use.
+    DataFrame is a file-backed reliable-checkpoint snapshot (see
+    ``_reliable_result`` — survives caller clearCache, zero
+    block-manager storage, no lingering checkpoint RDDs). On a real
+    cluster, flip the per-iteration localCheckpoints to reliable
+    ``checkpoint()`` too if executor loss mid-iteration must be
+    survivable — localCheckpoint trades that for zero-config local use.
 
     Raises if the fixed point isn't reached in ``max_iter`` rounds (with
     shortcutting that means a component deeper than ~2^max_iter — the
@@ -123,8 +149,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             _release_local_checkpoint(labels)
             labels = new_labels
             if changed == 0:
-                final = labels.select("id", "comp").persist()
-                final.count()  # pin into the cache before the source goes
+                # file-backed snapshot, NOT persist: see _reliable_result
+                final = _reliable_result(labels.select("id", "comp"))
                 _release_local_checkpoint(labels)
                 return final
         _release_local_checkpoint(labels)

@@ -164,20 +164,44 @@ def host_degrees_sql_duck(edges_sql: str) -> str:
     FROM o FULL OUTER JOIN i ON o.host = i.host"""
 
 
+def _rank_step(base: DataFrame, edges: DataFrame, r: DataFrame,
+               n_df: DataFrame, newr: str, dv: str) -> DataFrame:
+    """One un-checkpointed rank iteration — split out so plan-shape tests
+    can inspect the join tree (the checkpointed loop hides it). The only
+    nested-loop joins are the two 1-row scalar broadcasts (dangling sum,
+    host count); rank⋈edges and base⋈contrib are equi-joins."""
+    dang = r.filter("out_deg IS NULL").agg(
+        F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dang"))
+    s = (r.filter("out_deg IS NOT NULL")
+         .join(edges, F.col("host") == F.col("src_host"))
+         .select(F.col("dst_host").alias("host"),
+                 F.expr(f"r {dv} out_deg").alias("c"))
+         .groupBy("host").agg(F.sum("c").cast("bigint").alias("s")))
+    return (base.join(s, "host", "left")
+            .crossJoin(F.broadcast(dang))  # 1-row scalar, no data×data
+            .crossJoin(F.broadcast(n_df))
+            .select("host", "out_deg", F.expr(newr).alias("r")))
+
+
 def host_rank(edges: DataFrame, iters: int = 3, unit: int = 1_000_000,
               num: int = 17, den: int = 20) -> DataFrame:
     """(host, rank_micro): integer-exact PageRank per the module formula.
     Hosts = every src or dst; dangling hosts (no out-edges) redistribute
     their mass uniformly each step.
 
-    Storage lifetime: the per-iteration LAZY localCheckpoints (see loop
-    comment) pin iters × |hosts|-row tables until the RDDs are GC'd —
-    host-bounded, ≪ edges, the same tradeoff graph.py's CC documents
-    (its eager variant can release each round explicitly; here the
-    checkpoint materializes inside the CALLER's first action, so there
-    is no in-operator point after materialization to release from). On
-    a real cluster flip to reliable checkpoint() for executor-loss
-    safety, as in graph.py."""
+    Checkpoint lifecycle is graph.py's CC recipe exactly: one EAGER
+    localCheckpoint per iteration (each iteration's plan embeds the
+    previous twice — dangling sum + contribution join — so an
+    untruncated logical tree grows 2^iters and Catalyst's
+    per-downstream-query ANALYSIS cost with it; measured seconds of
+    driver time per consumer at iters=3), the previous round's storage
+    released once the next is materialized, and the RETURNED DataFrame
+    is a file-backed reliable-checkpoint snapshot (graph._reliable_result:
+    survives caller clearCache, zero block-manager storage, so
+    test_registry_smoke's zero-persistent-RDD assert holds). On a real
+    cluster the same recipe holds with the checkpoint dir on HDFS; flip
+    the per-iteration localCheckpoints to reliable checkpoint() too if
+    executor loss mid-iteration must be survivable."""
     _check_rank_params(iters, unit, num, den)
     dv = _DIV["spark"]
     # edges feeds hosts (×2), outd and every iteration's contribution join
@@ -193,28 +217,20 @@ def host_rank(edges: DataFrame, iters: int = 3, unit: int = 1_000_000,
     n_df = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_hosts"))
     newr = _new_rank_expr("spark", num, den, unit)
 
-    r = base.select("host", "out_deg",
-                    F.lit(unit).cast("bigint").alias("r"))
+    from .graph import _release_local_checkpoint, _reliable_result
+
+    r = (base.select("host", "out_deg",
+                     F.lit(unit).cast("bigint").alias("r"))
+         .localCheckpoint())  # eager seed, like CC's label seed
     for _ in range(iters):
-        # lazy localCheckpoint, not persist: each iteration's plan embeds
-        # the previous one 2× (dangling sum + contribution join), so the
-        # LOGICAL tree — and Catalyst's per-downstream-query analysis
-        # cost — grows 2^iters without truncation (measured: seconds of
-        # driver time per consumer at iters=3). Values are unchanged: the
-        # checkpoint materializes once and both consumers read it.
-        r = r.localCheckpoint(eager=False)
-        dang = r.filter("out_deg IS NULL").agg(
-            F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dang"))
-        s = (r.filter("out_deg IS NOT NULL")
-             .join(edges, F.col("host") == F.col("src_host"))
-             .select(F.col("dst_host").alias("host"),
-                     F.expr(f"r {dv} out_deg").alias("c"))
-             .groupBy("host").agg(F.sum("c").cast("bigint").alias("s")))
-        r = (base.join(s, "host", "left")
-             .crossJoin(F.broadcast(dang))   # 1-row scalar, not data×data
-             .crossJoin(F.broadcast(n_df))
-             .select("host", "out_deg", F.expr(newr).alias("r")))
-    return r.select("host", F.col("r").alias("rank_micro"))
+        new_r = _rank_step(base, edges, r, n_df, newr, dv).localCheckpoint()
+        _release_local_checkpoint(r)
+        r = new_r
+    # file-backed snapshot, NOT persist-atop-checkpoint: see _reliable_result
+    final = _reliable_result(
+        r.select("host", F.col("r").alias("rank_micro")))
+    _release_local_checkpoint(r)
+    return final
 
 
 def host_rank_sql_duck(edges_sql: str, iters: int = 3,

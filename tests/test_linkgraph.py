@@ -198,10 +198,27 @@ def test_budgeted_frontier_cuts_per_host(spark):
 
 def test_rank_plan_no_data_cartesian(spark):
     """The only nested-loop joins are the 1-row scalar broadcasts; the
-    rank⋈edges join is an equi-join; no CartesianProduct node."""
+    rank⋈edges join is an equi-join; no CartesianProduct node. host_rank
+    checkpoints each iteration (hiding the join tree from the final
+    plan), so inspect one un-checkpointed _rank_step directly."""
+    from pyspark.sql import functions as F
     n = 120
-    plan = (lg.host_rank(lg.host_edges(_pages_spark(spark, n)), iters=2)
-            ._jdf.queryExecution().executedPlan().toString())
+    edges = lg.host_edges(_pages_spark(spark, n))
+    hosts = (edges.select(F.col("src_host").alias("host"))
+             .unionByName(edges.select(F.col("dst_host").alias("host")))
+             .distinct())
+    outd = (edges.groupBy(F.col("src_host").alias("host"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("out_deg")))
+    base = hosts.join(outd, "host", "left")
+    n_df = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_hosts"))
+    r0 = base.select("host", "out_deg",
+                     F.lit(1_000_000).cast("bigint").alias("r"))
+    step = lg._rank_step(base, edges, r0,
+                         n_df, lg._new_rank_expr("spark", 17, 20, 1_000_000),
+                         lg._DIV["spark"])
+    plan = step._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # the full operator still runs green end-to-end with checkpointing
+    assert lg.host_rank(edges, iters=2).count() > 0
     spark.catalog.clearCache()
