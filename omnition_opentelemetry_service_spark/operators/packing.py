@@ -131,6 +131,42 @@ def with_pack_id_ffd(seqs: DataFrame, budget: int = 2048,
     return sharded.groupBy(key, "_shard").applyInPandas(ffd, schema=out_schema)
 
 
+def assemble_packs(seqs_with_pack: DataFrame, key: str = "source",
+                   order: str = "seq_no") -> DataFrame:
+    """Trainer-ready pack assembly — the last mile after ``with_pack_id``:
+    per (key, pack_id), the CONCATENATED token array plus parallel
+    document-boundary arrays (doc_ids / starts / lens) a trainer needs to
+    build its block-diagonal attention mask. Boundary arrays are primitive
+    (string/int), so the cross-engine value hash is exact.
+
+    Scale shape: one window over (key, pack_id) for the within-pack start
+    offsets (partition = one pack, bounded by budget + one overflow
+    sequence — NEVER a whole source, unlike the raw ``key`` window), then
+    ONE hash-exchange groupBy on the same (key, pack_id) with
+    sort_array(collect_list(struct)) for deterministic in-pack order.
+    Group state is budget-bounded (~2048 tokens), so collect_list cannot
+    blow an executor regardless of corpus size. No joins, no driver state.
+    """
+    w = (Window.partitionBy(key, "pack_id").orderBy(order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rows = seqs_with_pack.withColumn(
+        "_start", (F.sum("n_tok").over(w) - F.col("n_tok")).cast("int"))
+    g = rows.groupBy(key, "pack_id").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col(order).alias("o"), F.col("doc_id"), F.col("_start"),
+            F.col("n_tok"), F.col("tokens")))).alias("rs"))
+    return g.select(
+        key, "pack_id",
+        F.flatten(F.expr("transform(rs, r -> r.tokens)")).alias("pack_tokens"),
+        F.expr("transform(rs, r -> r.doc_id)").alias("doc_ids"),
+        F.expr("transform(rs, r -> r._start)").alias("starts"),
+        F.expr("transform(rs, r -> r.n_tok)").alias("lens"),
+        F.size("rs").alias("n_docs"),
+        F.expr("CAST(aggregate(rs, 0L, (a, r) -> a + r.n_tok) AS INT)")
+        .alias("pack_len"),
+    )
+
+
 def chunk_sequences(seqs: DataFrame, window: int = 512,
                     stride: int = 384) -> DataFrame:
     """Split every token sequence into fixed-size training context windows

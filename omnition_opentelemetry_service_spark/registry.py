@@ -1123,6 +1123,11 @@ def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pk.pack_stats(packed)
 
 
+def q_assembled_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = pk.with_pack_id(fx.sequences(spark, _n(sf_dir)), budget=2048)
+    return pk.assemble_packs(packed)
+
+
 def q_union_two_receivers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _n(sf_dir)
     a = fx.sequences(spark, n // 2)
@@ -1622,6 +1627,7 @@ def _extra_queries_pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "attrs_rename": q_attrs_rename,
         "token_counts": q_token_counts,
         "pack_stats": q_pack_stats,
+        "assembled_packs": q_assembled_packs,
         "quarantined_rows": q_quarantined_rows,
         "union_two_receivers": q_union_two_receivers,
         "ivf_cell_sizes": q_ivf_cell_sizes,
@@ -1659,6 +1665,29 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
       FROM seq)
     SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_seqs,
            CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY source, pack_id"""
+
+    # assemble_packs twin: the same cumsum binning, then within-pack start
+    # offsets and ORDER BY seq_no list aggregation — boundary arrays are
+    # primitive so str(list) hashing is exact across engines.
+    o["assembled_packs"] = f"""{pre},
+    packed AS (
+      SELECT source, pack_id, doc_id, tokens, n_tok, seq_no,
+             CAST(sum(n_tok) OVER (PARTITION BY source, pack_id
+               ORDER BY seq_no ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) - n_tok AS INTEGER) AS start
+      FROM (
+        SELECT *, CAST(floor((sum(n_tok) OVER (PARTITION BY source
+                 ORDER BY seq_no ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) - n_tok) / 2048) AS BIGINT) AS pack_id
+        FROM seq))
+    SELECT source, pack_id,
+           flatten(list(tokens ORDER BY seq_no)) AS pack_tokens,
+           list(doc_id ORDER BY seq_no) AS doc_ids,
+           list(start ORDER BY seq_no) AS starts,
+           list(n_tok ORDER BY seq_no) AS lens,
+           CAST(count(*) AS INTEGER) AS n_docs,
+           CAST(sum(n_tok) AS INTEGER) AS pack_len
     FROM packed GROUP BY source, pack_id"""
 
     o["quarantined_rows"] = f"""{pre}

@@ -165,3 +165,33 @@ def test_ffd_tie_assignments_identical_across_orderings(spark):
     mb = {r.doc_id: r.pack_id for r in b.collect()}
     assert ma == mb
     assert len(set(ma.values())) > 1  # nonvacuous: multiple bins exist
+
+
+def test_assemble_packs_reconstruction_and_boundaries(spark):
+    """assemble_packs invariants: concatenated tokens reconstruct exactly
+    the per-doc token arrays in seq_no order; starts/lens are a valid
+    partition of the pack (contiguous, start 0, sum = pack_len); every
+    doc appears in exactly one pack."""
+    budget = 512
+    seqs = fx.sequences(spark, 400)
+    packed = pk.with_pack_id(seqs, budget=budget)
+    out = pk.assemble_packs(packed).collect()
+
+    src = {(r.doc_id): (r.seq_no, r.tokens, r.n_tok)
+           for r in seqs.collect()}
+    seen_docs = []
+    for r in out:
+        assert r.n_docs == len(r.doc_ids) == len(r.starts) == len(r.lens)
+        assert r.pack_len == sum(r.lens) == len(r.pack_tokens)
+        # contiguous boundary partition
+        assert r.starts[0] == 0
+        for i in range(1, r.n_docs):
+            assert r.starts[i] == r.starts[i - 1] + r.lens[i - 1]
+        # in-pack order is seq_no order and slices reconstruct each doc
+        seq_nos = [src[d][0] for d in r.doc_ids]
+        assert seq_nos == sorted(seq_nos)
+        for d, s, ln in zip(r.doc_ids, r.starts, r.lens):
+            assert r.pack_tokens[s:s + ln] == src[d][1]
+            assert ln == src[d][2]
+        seen_docs.extend(r.doc_ids)
+    assert sorted(seen_docs) == sorted(src)  # exactly-once coverage
