@@ -167,6 +167,43 @@ def assemble_packs(seqs_with_pack: DataFrame, key: str = "source",
     )
 
 
+def finalize_packs(packs: DataFrame, budget: int = 2048,
+                   pad_id: int = -1) -> DataFrame:
+    """Fixed-context trainer finishing over ``assemble_packs`` output: pad
+    every pack to the context length and emit the two per-token arrays a
+    causal-LM trainer consumes alongside the tokens —
+
+      * ``position_ids``: 0..len-1 RESET at each document boundary (the
+        packed-attention convention: positions restart per doc so RoPE /
+        learned embeddings never see cross-doc offsets); pads get 0.
+      * ``loss_mask``: 1 for real tokens, 0 for pads.
+
+    Overflow packs (cumsum binning lets the last sequence spill past the
+    budget) keep their natural length with n_pad = 0 — truncation is a
+    corpus-policy decision (caps.truncate_tokens), never applied silently
+    here. Pure projection: zero exchanges, whole-stage codegen; the only
+    non-trivial expression is a flatten(transform(lens, ...)) whose size
+    is budget-bounded per row.
+    """
+    pad = F.greatest(F.lit(budget) - F.col("pack_len"), F.lit(0))
+    # slice(..., 1, n) instead of a CASE-to-array() guard: an untyped
+    # array() literal coerces to array<string> and breaks the branch types;
+    # slicing a 1-element sequence to length 0 keeps array<int> throughout.
+    positions = F.expr(
+        "flatten(transform(lens, n -> "
+        "slice(sequence(0, greatest(n, 1) - 1), 1, n)))")
+    return packs.select(
+        *[c for c in packs.columns if c not in ("pack_tokens",)],
+        F.concat(F.col("pack_tokens"),
+                 F.array_repeat(F.lit(pad_id), pad)).alias("padded_tokens"),
+        F.concat(positions, F.array_repeat(F.lit(0), pad))
+        .alias("position_ids"),
+        F.concat(F.array_repeat(F.lit(1), F.col("pack_len")),
+                 F.array_repeat(F.lit(0), pad)).alias("loss_mask"),
+        pad.cast("int").alias("n_pad"),
+    )
+
+
 def chunk_sequences(seqs: DataFrame, window: int = 512,
                     stride: int = 384) -> DataFrame:
     """Split every token sequence into fixed-size training context windows

@@ -1128,6 +1128,13 @@ def q_assembled_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pk.assemble_packs(packed)
 
 
+def q_finalized_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = pk.with_pack_id(fx.sequences(spark, _n(sf_dir)), budget=2048)
+    fin = pk.finalize_packs(pk.assemble_packs(packed), budget=2048)
+    return fin.select("source", "pack_id", "padded_tokens", "position_ids",
+                      "loss_mask", "n_pad")
+
+
 def q_union_two_receivers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _n(sf_dir)
     a = fx.sequences(spark, n // 2)
@@ -1628,6 +1635,7 @@ def _extra_queries_pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "token_counts": q_token_counts,
         "pack_stats": q_pack_stats,
         "assembled_packs": q_assembled_packs,
+        "finalized_packs": q_finalized_packs,
         "quarantined_rows": q_quarantined_rows,
         "union_two_receivers": q_union_two_receivers,
         "ivf_cell_sizes": q_ivf_cell_sizes,
@@ -1689,6 +1697,38 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
            CAST(count(*) AS INTEGER) AS n_docs,
            CAST(sum(n_tok) AS INTEGER) AS pack_len
     FROM packed GROUP BY source, pack_id"""
+
+    # finalize_packs twin: pad-to-budget + per-doc-reset position ids +
+    # loss mask, recomputed from the same assembled CTE. range(n) handles
+    # n = 0 natively in DuckDB (empty list), mirroring the slice guard.
+    o["finalized_packs"] = f"""{pre},
+    prows AS (
+      SELECT source, pack_id, tokens, n_tok, seq_no
+      FROM (
+        SELECT *, CAST(floor((sum(n_tok) OVER (PARTITION BY source
+                 ORDER BY seq_no ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) - n_tok) / 2048) AS BIGINT) AS pack_id
+        FROM seq)),
+    packs AS (
+      SELECT source, pack_id,
+             flatten(list(tokens ORDER BY seq_no)) AS pack_tokens,
+             list(n_tok ORDER BY seq_no) AS lens,
+             CAST(sum(n_tok) AS INTEGER) AS pack_len
+      FROM prows GROUP BY source, pack_id)
+    SELECT source, pack_id,
+           list_concat(pack_tokens, list_transform(
+             range(greatest(2048 - pack_len, 0)), x -> -1)) AS padded_tokens,
+           list_concat(
+             flatten(list_transform(lens, n ->
+               list_transform(range(n), x -> CAST(x AS INTEGER)))),
+             list_transform(range(greatest(2048 - pack_len, 0)), x -> 0)
+           ) AS position_ids,
+           list_concat(
+             list_transform(range(pack_len), x -> 1),
+             list_transform(range(greatest(2048 - pack_len, 0)), x -> 0)
+           ) AS loss_mask,
+           CAST(greatest(2048 - pack_len, 0) AS INTEGER) AS n_pad
+    FROM packs"""
 
     o["quarantined_rows"] = f"""{pre}
     SELECT doc_id, stream_id, msg_seq FROM parsed WHERE NOT valid"""

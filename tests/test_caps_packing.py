@@ -195,3 +195,36 @@ def test_assemble_packs_reconstruction_and_boundaries(spark):
             assert ln == src[d][2]
         seen_docs.extend(r.doc_ids)
     assert sorted(seen_docs) == sorted(src)  # exactly-once coverage
+
+
+def test_finalize_packs_padding_positions_lossmask(spark):
+    """finalize_packs invariants: all three arrays share the padded length;
+    pads carry pad_id / position 0 / mask 0; positions reset to 0 at every
+    doc boundary and count 0..len-1 within each doc; overflow packs keep
+    natural length (n_pad = 0)."""
+    budget = 512
+    seqs = fx.sequences(spark, 300)
+    packs = pk.assemble_packs(pk.with_pack_id(seqs, budget=budget))
+    raw = {(r.source, r.pack_id): list(r.pack_tokens) for r in packs.collect()}
+    out = pk.finalize_packs(packs, budget=budget, pad_id=-7).collect()
+    assert out
+    saw_pad = saw_overflow = False
+    for r in out:
+        L = max(budget, r.pack_len)
+        assert len(r.padded_tokens) == len(r.position_ids) == \
+            len(r.loss_mask) == L
+        assert r.n_pad == L - r.pack_len
+        if r.n_pad:
+            saw_pad = True
+            assert set(r.padded_tokens[r.pack_len:]) == {-7}
+            assert set(r.position_ids[r.pack_len:]) == {0}
+            assert set(r.loss_mask[r.pack_len:]) == {0}
+        if r.pack_len > budget:
+            saw_overflow = True
+        assert all(m == 1 for m in r.loss_mask[:r.pack_len])
+        # per-doc position reset
+        expect = [p for ln in r.lens for p in range(ln)]
+        assert r.position_ids[:r.pack_len] == expect
+        assert r.padded_tokens[:r.pack_len] == raw[(r.source, r.pack_id)]
+    assert saw_pad  # nonvacuous: padding actually exercised
+    assert saw_overflow  # cumsum binning produced at least one spill pack
