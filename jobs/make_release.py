@@ -222,6 +222,34 @@ def _mix_pack_shard(cleaned, budget: int, n_shards: int,
     return sharded
 
 
+def assemble_release(rel, budget: int):
+    """Trainer-ready emit mode: collapse the row-level release to one row
+    per pack — concatenated padded tokens, per-doc-reset position ids, loss
+    mask, boundary arrays. split/shard/shuffle_ord are constant within a
+    pack (shard hashes the pack identity), so they ride the SAME aggregate
+    via assemble_packs(carry=...) — no second exchange, no join-back. One
+    (pack_key, pack_id) hash-agg with budget-bounded group state is the
+    whole cost on top of the rows emit."""
+    from omnition_opentelemetry_service_spark.operators import packing
+
+    packs = packing.assemble_packs(
+        rel, key="pack_key", order="seq_no",
+        carry=("split", "shard", "shuffle_ord"))
+    return packing.finalize_packs(packs, budget=budget)
+
+
+def write_packs_release(df, out_dir: str, n_shards: int) -> None:
+    """Pack-mode writer: same (split, shard) layout and total in-partition
+    order as write_release, keyed at pack grain (pack identity is unique,
+    so reruns stay byte-identical)."""
+    from omnition_opentelemetry_service_spark.operators.mixture import (
+        materialize_sharded)
+
+    materialize_sharded(df, out_dir, n_shards,
+                        partition_cols=("split", "shard"),
+                        sort_cols=("shuffle_ord", "pack_key", "pack_id"))
+
+
 def write_release(df, out_dir: str, n_shards: int) -> None:
     """ONE exchange on (split, shard); the in-partition sort is a TOTAL
     order (pack hash, then the unique pack key, then seq_no) so reruns
@@ -252,6 +280,10 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--emit", choices=("rows", "packs"), default="rows",
+                    help="rows: one row per sequence with pack ids "
+                         "(default); packs: one row per pack — padded "
+                         "tokens, position ids, loss mask, doc boundaries")
     ap.add_argument("--epoch-weights", default=None,
                     help="source=weight[,source=weight...] (train split only)")
     ap.add_argument("--max-dup-frac", type=float, default=None,
@@ -358,15 +390,20 @@ def main() -> None:
                             counters=counters,
                             checkpoint_dir=args.checkpoint_dir,
                             input_token=input_token)
-        write_release(rel, args.out, args.shards)
+        if args.emit == "packs":
+            write_packs_release(assemble_release(rel, args.budget),
+                                args.out, args.shards)
+        else:
+            write_release(rel, args.out, args.shards)
         counters.harvest()
         spark.catalog.clearCache()  # release the gate's persist (cache rule)
         out = spark.read.parquet(args.out)
         from pyspark.sql import functions as F
+        tok_col = "pack_len" if args.emit == "packs" else "n_tok"
         per_split = {r["split"]: (r["rows"], r["toks"]) for r in
                      out.groupBy("split").agg(
                          F.count(F.lit(1)).alias("rows"),
-                         F.sum("n_tok").alias("toks")).collect()}
+                         F.sum(tok_col).alias("toks")).collect()}
         print(json.dumps({
             "out": args.out,
             "wall_s": round(time.perf_counter() - t0, 2),

@@ -132,7 +132,8 @@ def with_pack_id_ffd(seqs: DataFrame, budget: int = 2048,
 
 
 def assemble_packs(seqs_with_pack: DataFrame, key: str = "source",
-                   order: str = "seq_no") -> DataFrame:
+                   order: str = "seq_no",
+                   carry: tuple[str, ...] = ()) -> DataFrame:
     """Trainer-ready pack assembly — the last mile after ``with_pack_id``:
     per (key, pack_id), the CONCATENATED token array plus parallel
     document-boundary arrays (doc_ids / starts / lens) a trainer needs to
@@ -146,6 +147,10 @@ def assemble_packs(seqs_with_pack: DataFrame, key: str = "source",
     sort_array(collect_list(struct)) for deterministic in-pack order.
     Group state is budget-bounded (~2048 tokens), so collect_list cannot
     blow an executor regardless of corpus size. No joins, no driver state.
+
+    ``carry`` names columns CONSTANT within a pack (e.g. split/shard in the
+    release job) to fold into the same aggregate as min() — avoids a second
+    exchange + join-back to re-attach pack-level metadata.
     """
     w = (Window.partitionBy(key, "pack_id").orderBy(order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -154,9 +159,10 @@ def assemble_packs(seqs_with_pack: DataFrame, key: str = "source",
     g = rows.groupBy(key, "pack_id").agg(
         F.sort_array(F.collect_list(F.struct(
             F.col(order).alias("o"), F.col("doc_id"), F.col("_start"),
-            F.col("n_tok"), F.col("tokens")))).alias("rs"))
+            F.col("n_tok"), F.col("tokens")))).alias("rs"),
+        *[F.min(c).alias(c) for c in carry])
     return g.select(
-        key, "pack_id",
+        key, "pack_id", *carry,
         F.flatten(F.expr("transform(rs, r -> r.tokens)")).alias("pack_tokens"),
         F.expr("transform(rs, r -> r.doc_id)").alias("doc_ids"),
         F.expr("transform(rs, r -> r._start)").alias("starts"),

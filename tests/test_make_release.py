@@ -306,3 +306,46 @@ def test_reader_sees_contiguous_packs_in_writer_order(spark, tmp_path):
                 assert r.seq_no > prev[1], f"bin {b} out of packing order"
             prev = (b, r.seq_no)
     spark.catalog.clearCache()
+
+
+def test_packs_emit_reconstructs_row_release(spark, tmp_path):
+    """--emit packs invariants: every (pack_key, pack_id) of the row-level
+    release appears exactly once; concatenated real tokens equal the pack's
+    sequences flattened in seq_no order; split/shard/shuffle_ord carried
+    constants match the row side; padding honors the budget; the writer
+    lays out (split, shard) dirs and reruns are byte-identical."""
+    import glob
+
+    from jobs.make_release import assemble_release, write_packs_release
+
+    budget = 1024
+    rel = _release(spark).persist()
+    packs = assemble_release(rel, budget=budget).persist()
+
+    rows = rel.collect()
+    by_pack: dict = {}
+    for r in rows:
+        by_pack.setdefault((r.pack_key, r.pack_id), []).append(r)
+    got = {(p.pack_key, p.pack_id): p for p in packs.collect()}
+    assert set(got) == set(by_pack)
+    for k, members in by_pack.items():
+        p = got[k]
+        members.sort(key=lambda r: r.seq_no)
+        flat = [t for m in members for t in m.tokens]
+        assert p.padded_tokens[:p.pack_len] == flat
+        assert p.doc_ids == [m.doc_id for m in members]
+        assert len(p.padded_tokens) == max(budget, p.pack_len)
+        # carried constants agree with every member row
+        assert {m.split for m in members} == {p.split}
+        assert {m.shard for m in members} == {p.shard}
+        assert {m.shuffle_ord for m in members} == {p.shuffle_ord}
+
+    out = str(tmp_path / "packs_rel")
+    write_packs_release(packs, out, n_shards=8)
+    assert glob.glob(f"{out}/split=*/shard=*/*.parquet")
+    a = sorted(str(r) for r in spark.read.parquet(out).collect())
+    write_packs_release(packs, out, n_shards=8)
+    b = sorted(str(r) for r in spark.read.parquet(out).collect())
+    assert a == b
+    rel.unpersist()
+    packs.unpersist()
