@@ -1135,6 +1135,12 @@ def q_finalized_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "loss_mask", "n_pad")
 
 
+def q_fim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import augment
+
+    return augment.fim_transform(fx.sequences(spark, _n(sf_dir)), rate=0.4)
+
+
 def q_union_two_receivers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _n(sf_dir)
     a = fx.sequences(spark, n // 2)
@@ -1636,6 +1642,7 @@ def _extra_queries_pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pack_stats": q_pack_stats,
         "assembled_packs": q_assembled_packs,
         "finalized_packs": q_finalized_packs,
+        "fim_docs": q_fim_docs,
         "quarantined_rows": q_quarantined_rows,
         "union_two_receivers": q_union_two_receivers,
         "ivf_cell_sizes": q_ivf_cell_sizes,
@@ -1729,6 +1736,10 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
            ) AS loss_mask,
            CAST(greatest(2048 - pack_len, 0) AS INTEGER) AS n_pad
     FROM packs"""
+
+    from .operators import augment as _augment
+    o["fim_docs"] = f"""{pre}
+    {_augment.fim_sql_duck(rate=0.4)}"""
 
     o["quarantined_rows"] = f"""{pre}
     SELECT doc_id, stream_id, msg_seq FROM parsed WHERE NOT valid"""
