@@ -245,6 +245,38 @@ def jaccard_verify(candidates: DataFrame, docs_with_shingles: DataFrame,
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def split_leakage_pairs(docs: DataFrame, threshold: float = 0.3,
+                        weights: dict[str, float] | None = None,
+                        salt: str = "split",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Cross-split decontamination report: near-duplicate document pairs
+    whose endpoints fall in DIFFERENT release splits — a train doc that is
+    a near-dup of a val/test doc leaks evaluation signal (the reason
+    GPT-3-style pipelines decontaminate eval sets against train). Exact
+    duplicates are a degenerate case (jaccard 1.0), so this subsumes the
+    exact-leakage check.
+
+    Composition, nothing new to trust: minhash band candidates →
+    exact-jaccard verify (the shipped near-dup scale path: band equi-joins
+    only, no cross product), then split labels as PROJECTIONS of the id
+    hash (mixture.split_expr — with_split is id-deterministic by design),
+    so no join against a corpus-sized split table is ever added. Caller
+    owns the shingle persist (cache rule), released via the shared
+    registry.release_caches path.
+    """
+    from .mixture import split_expr
+
+    sh = docs.select(F.col(id_col).alias("doc_id"),
+                     char_shingles("text").alias("shingles")).persist()
+    cands = minhash_candidates(minhash_signatures_pandas(sh), id_col="id")
+    ver = jaccard_verify(cands, sh, threshold=threshold)
+    return (ver.select(
+        "id_a", "id_b", "jaccard",
+        split_expr("id_a", weights, salt).alias("split_a"),
+        split_expr("id_b", weights, salt).alias("split_b"))
+        .filter(F.col("split_a") != F.col("split_b")))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         id_limit: int = 200, threshold: float = 0.2) -> DataFrame:

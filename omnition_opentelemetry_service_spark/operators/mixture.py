@@ -107,9 +107,18 @@ def with_split(df: DataFrame, weights: dict[str, float] | None = None,
 
     Hash the DOCUMENT id, not a row number: the assignment survives
     re-partitioning, filtering upstream rows, and cluster-size changes."""
+    return df.withColumn("split", split_expr(id_col, weights, salt))
+
+
+def split_expr(id_col: str = "doc_id",
+               weights: dict[str, float] | None = None,
+               salt: str = "split") -> F.Column:
+    """The split assignment as a bare Column — usable wherever the doc id
+    is in scope (e.g. labeling pair endpoints) without joining a
+    corpus-sized split table: the split IS a pure function of the id."""
     weights = weights or DEFAULT_SPLITS
-    h = _H_SPARK.format(col=id_col, salt=salt)
-    return df.withColumn("split", F.expr(_split_case(h, weights)))
+    return F.expr(_split_case(_H_SPARK.format(col=id_col, salt=salt),
+                              weights))
 
 
 def split_sql_duck(weights: dict[str, float] | None = None,

@@ -55,6 +55,22 @@ ORACLE_N = 20_000  # driver's oracle runs at sf0.01
 _PARSE_RX = parse_fns.PAYLOAD_REGEX
 
 
+def _minhash_bands_sql() -> str:
+    """Shared DuckDB CTE chain documents → shingles → signatures → LSH
+    band keys (used by the minhash driver twins AND the split-leakage
+    extras twin — one definition per engine, the corpus.py rule)."""
+    sh5 = tx.char_shingles_sql_duck("text", 5)
+    sig = dd.minhash_signature_sql_duck("shingles")
+    return f"""
+    WITH sh AS (SELECT doc_id, {sh5} AS shingles FROM documents),
+    sig AS (SELECT doc_id, {sig} AS s FROM sh),
+    bands AS (
+      SELECT doc_id, concat(CAST(b AS VARCHAR), ':',
+               array_to_string(list_slice(s, b * {dd.LSH_ROWS} + 1,
+                                          b * {dd.LSH_ROWS} + {dd.LSH_ROWS}), ',')) AS band_key
+      FROM sig, (SELECT unnest(range({dd.LSH_BANDS})) AS b))"""
+
+
 def duck_prelude(n: int = ORACLE_N) -> str:
     rx = _PARSE_RX
     parsed = f"""
@@ -918,14 +934,7 @@ def _main_oracle_sql() -> dict[str, str]:
     WITH sh AS (SELECT doc_id, {sh5} AS shingles FROM documents)
     SELECT doc_id, array_to_string({sig}, ',') AS sig_str FROM sh"""
 
-    minhash_bands = f"""
-    WITH sh AS (SELECT doc_id, {sh5} AS shingles FROM documents),
-    sig AS (SELECT doc_id, {sig} AS s FROM sh),
-    bands AS (
-      SELECT doc_id, concat(CAST(b AS VARCHAR), ':',
-               array_to_string(list_slice(s, b * {dd.LSH_ROWS} + 1,
-                                          b * {dd.LSH_ROWS} + {dd.LSH_ROWS}), ',')) AS band_key
-      FROM sig, (SELECT unnest(range({dd.LSH_BANDS})) AS b))"""
+    minhash_bands = _minhash_bands_sql()
     o["minhash_candidates"] = f"""{minhash_bands}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"""
@@ -1139,6 +1148,15 @@ def q_fim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import augment
 
     return augment.fim_transform(fx.sequences(spark, _n(sf_dir)), rate=0.4)
+
+
+_LEAK_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.split_leakage_pairs(
+        widen_if_narrow(load(spark, sf_dir, "documents")),
+        threshold=0.3, weights=_LEAK_WEIGHTS)
 
 
 def q_union_two_receivers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1643,6 +1661,7 @@ def _extra_queries_pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "assembled_packs": q_assembled_packs,
         "finalized_packs": q_finalized_packs,
         "fim_docs": q_fim_docs,
+        "split_leakage": q_split_leakage,
         "quarantined_rows": q_quarantined_rows,
         "union_two_receivers": q_union_two_receivers,
         "ivf_cell_sizes": q_ivf_cell_sizes,
@@ -1740,6 +1759,25 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
     from .operators import augment as _augment
     o["fim_docs"] = f"""{pre}
     {_augment.fim_sql_duck(rate=0.4)}"""
+
+    from .operators.mixture import split_sql_duck as _split_duck
+    _sa = _split_duck(_LEAK_WEIGHTS, id_col="id_a", salt="split")
+    _sb = _split_duck(_LEAK_WEIGHTS, id_col="id_b", salt="split")
+    o["split_leakage"] = f"""{_minhash_bands_sql()},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key
+                              AND a.doc_id < b.doc_id),
+    ver AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                   len(list_distinct(sa.shingles || sb.shingles)), 6)
+               AS jaccard
+      FROM cands c
+      JOIN sh sa ON c.id_a = sa.doc_id
+      JOIN sh sb ON c.id_b = sb.doc_id)
+    SELECT id_a, id_b, jaccard, {_sa} AS split_a, {_sb} AS split_b
+    FROM ver WHERE jaccard >= 0.3 AND ({_sa}) <> ({_sb})"""
 
     o["quarantined_rows"] = f"""{pre}
     SELECT doc_id, stream_id, msg_seq FROM parsed WHERE NOT valid"""

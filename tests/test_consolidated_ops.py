@@ -35,7 +35,7 @@ def test_extras_full_oracle_hash_parity(spark):
     oracles = registry.build_extra_oracle_sql()
     assert set(extras) == set(oracles) == {
         "attrs_add", "attrs_rename", "token_counts", "pack_stats",
-        "assembled_packs", "finalized_packs", "fim_docs",
+        "assembled_packs", "finalized_packs", "fim_docs", "split_leakage",
         "quarantined_rows", "union_two_receivers", "ivf_cell_sizes",
         "oversized_reject_counts", "simhash_pairs",
         "dsir_scores", "dsir_select", "bloom_flags", "drift_topk",

@@ -442,3 +442,32 @@ def test_seq_near_dup_verified_matches_duckdb_and_plants(spark):
             ._jdf.queryExecution().executedPlan().toString())
     spark.catalog.clearCache()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_split_leakage_pairs_subset_and_labels(spark):
+    """split_leakage invariants on the fixture corpus: every reported pair
+    is a verified near-dup (subset of the minhash verify at the same
+    threshold), endpoints carry the SAME split labels with_split would
+    assign, the two splits differ, and the report is non-vacuous at the
+    pinned 80/10/10 weights."""
+    from omnition_opentelemetry_service_spark.functions import text as tx
+    from omnition_opentelemetry_service_spark.operators import mixture
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    leaks = dd.split_leakage_pairs(docs, threshold=0.3, weights=w).collect()
+    assert leaks  # non-vacuous
+
+    sh = docs.select("doc_id", tx.char_shingles("text").alias("shingles"))
+    ver = {(r.id_a, r.id_b) for r in dd.jaccard_verify(
+        dd.minhash_candidates(dd.minhash_signatures_pandas(sh), id_col="id"),
+        sh, threshold=0.3).collect()}
+    split_of = {r.doc_id: r.split for r in
+                mixture.with_split(docs.select("doc_id"), w).collect()}
+    for r in leaks:
+        assert (r.id_a, r.id_b) in ver
+        assert r.split_a == split_of[r.id_a]
+        assert r.split_b == split_of[r.id_b]
+        assert r.split_a != r.split_b
+        assert r.jaccard >= 0.3
+    spark.catalog.clearCache()
