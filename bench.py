@@ -415,7 +415,11 @@ def main() -> None:
     extras_timed: dict[str, float] = {}
     for name in ("span_removed", "html_stripped", "url_dedup_groups",
                  "term_postings", "bm25_topk", "host_rank",
-                 "budgeted_frontier", "token_budget_docs"):
+                 "budgeted_frontier", "token_budget_docs",
+                 # continuation additions: trainer pack finishing + FIM +
+                 # cross-split decontamination
+                 "assembled_packs", "finalized_packs", "fim_docs",
+                 "split_leakage"):
         dt, _ = _run_query(spark, queries[name], SF_DIR)
         extras_timed[name] = round(dt, 3)
     fx.set_materialized_fixtures(None)
