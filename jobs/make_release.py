@@ -222,6 +222,27 @@ def _mix_pack_shard(cleaned, budget: int, n_shards: int,
     return sharded
 
 
+def write_manifest(out_dir: str, meta: dict) -> str:
+    """`_MANIFEST.json` inside the release dir — the reproducibility
+    contract a consumer checks before training: emit mode, budget, shard
+    count, mix weights, the input fingerprint the checkpoint keyed on, and
+    the per-split row/token totals. Underscore-prefixed, so Spark's
+    parquet reader treats it as metadata and never scans it."""
+    import os
+
+    path = os.path.join(out_dir, "_MANIFEST.json")
+    with open(path, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return path
+
+
+def read_manifest(out_dir: str) -> dict:
+    import os
+
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
+        return json.load(f)
+
+
 def assemble_release(rel, budget: int):
     """Trainer-ready emit mode: collapse the row-level release to one row
     per pack — concatenated padded tokens, per-doc-reset position ids, loss
@@ -404,12 +425,23 @@ def main() -> None:
                      out.groupBy("split").agg(
                          F.count(F.lit(1)).alias("rows"),
                          F.sum(tok_col).alias("toks")).collect()}
-        print(json.dumps({
+        summary = {
             "out": args.out,
             "wall_s": round(time.perf_counter() - t0, 2),
             "per_split": per_split,
             "counters": [list(r) for r in counters.rows],
-        }))
+        }
+        write_manifest(args.out, {
+            "emit": args.emit,
+            "budget": args.budget,
+            "n_shards": args.shards,
+            "epoch_weights": parse_weights(args.epoch_weights),
+            "max_dup_frac": args.max_dup_frac,
+            "input": input_token,
+            "per_split": per_split,
+            "counters": [list(r) for r in counters.rows],
+        })
+        print(json.dumps(summary))
     finally:
         spark.stop()
 

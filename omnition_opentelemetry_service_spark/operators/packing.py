@@ -210,6 +210,32 @@ def finalize_packs(packs: DataFrame, budget: int = 2048,
     )
 
 
+def unpack_packs(packs: DataFrame, tok_col: str = "pack_tokens",
+                 key: str = "source") -> DataFrame:
+    """Inverse of ``assemble_packs`` — the consumer-side contract: explode
+    the boundary arrays back to one row per document and slice each doc's
+    tokens out of the concatenated array. Works on ``finalize_packs``
+    output too (pass tok_col='padded_tokens': real tokens occupy the
+    prefix, so the same starts/lens slices recover them; pads are never
+    inside a doc slice).
+
+    Zero-shuffle flatMap (arrays_zip + posexplode + slice), whole-stage
+    codegen; rides the pack table's partitioning. The round-trip
+    unpack(assemble(x)) == x is pytest-pinned — the property that makes
+    the packed release a lossless re-layout rather than a transformation.
+    """
+    z = F.arrays_zip("doc_ids", "starts", "lens")
+    return (packs.select(
+        key, "pack_id", F.col(tok_col).alias("_pt"),
+        F.posexplode(z).alias("pos_in_pack", "b"))
+        .select(
+            F.col("b.doc_ids").alias("doc_id"),
+            key, "pack_id", "pos_in_pack",
+            F.expr("slice(_pt, b.starts + 1, b.lens)").alias("tokens"),
+            F.col("b.lens").alias("n_tok"),
+        ))
+
+
 def chunk_sequences(seqs: DataFrame, window: int = 512,
                     stride: int = 384) -> DataFrame:
     """Split every token sequence into fixed-size training context windows

@@ -228,3 +228,24 @@ def test_finalize_packs_padding_positions_lossmask(spark):
         assert r.padded_tokens[:r.pack_len] == raw[(r.source, r.pack_id)]
     assert saw_pad  # nonvacuous: padding actually exercised
     assert saw_overflow  # cumsum binning produced at least one spill pack
+
+
+def test_unpack_roundtrip(spark):
+    """unpack(assemble(x)) == x at the (doc_id, tokens) grain — both over
+    the raw assembly and over the padded finalize output (pads never leak
+    into a doc slice)."""
+    seqs = fx.sequences(spark, 350)
+    packed = pk.with_pack_id(seqs, budget=512)
+    packs = pk.assemble_packs(packed).persist()
+    src = {r.doc_id: list(r.tokens) for r in seqs.collect()}
+
+    back = pk.unpack_packs(packs).collect()
+    assert len(back) == len(src)
+    assert {r.doc_id: list(r.tokens) for r in back} == src
+    for r in back:
+        assert r.n_tok == len(r.tokens)
+
+    fin = pk.finalize_packs(packs, budget=512, pad_id=-9)
+    back2 = pk.unpack_packs(fin, tok_col="padded_tokens").collect()
+    assert {r.doc_id: list(r.tokens) for r in back2} == src
+    packs.unpersist()

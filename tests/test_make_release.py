@@ -349,3 +349,18 @@ def test_packs_emit_reconstructs_row_release(spark, tmp_path):
     assert a == b
     rel.unpersist()
     packs.unpersist()
+
+
+def test_manifest_roundtrip(tmp_path):
+    """write_manifest/read_manifest: underscore-named (parquet readers skip
+    it), values survive, per-split totals intact."""
+    from jobs.make_release import read_manifest, write_manifest
+
+    out = str(tmp_path)
+    meta = {"emit": "packs", "budget": 2048, "n_shards": 8,
+            "epoch_weights": {"web": 2.5}, "max_dup_frac": None,
+            "input": "n=1000",
+            "per_split": {"train": [512, 260913]}, "counters": []}
+    p = write_manifest(out, meta)
+    assert p.endswith("/_MANIFEST.json")
+    assert read_manifest(out) == meta
