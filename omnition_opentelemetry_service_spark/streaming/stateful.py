@@ -104,3 +104,95 @@ def run_counts_once(spark, input_dir: str, checkpoint_dir: str,
         .agg(F.max("received").alias("received"),
              F.max("sum_n_tok").alias("sum_n_tok"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming packer — with_pack_id's stateful twin
+# ---------------------------------------------------------------------------
+PACK_OUT_SCHEMA = ("doc_id string, source string, seq_no bigint, n_tok int, "
+                   "pack_id bigint")
+PACK_STATE_SCHEMA = "off bigint"
+
+
+def streaming_pack_ids(seq_stream: DataFrame, budget: int = 2048) -> DataFrame:
+    """packing.with_pack_id as a streaming stage: the per-source running
+    token offset lives in the state store, so pack ids CONTINUE across
+    micro-batches and restarts — a fed-forever ingest packs into the same
+    bins a one-shot batch run would produce (pytest-pinned equality).
+
+    Contract: in-order delivery per source ACROSS triggers (the log-stream
+    assumption; seq_no is the arrival order). Within a trigger the kernel
+    sorts its Arrow batch by seq_no, so intra-batch file ordering is free;
+    cross-trigger reordering is the feed's responsibility, exactly as in
+    the batch form where seq_no is the window order.
+
+    Scale shape: state = ONE bigint per source (not per pack, not per
+    row); emitted rows are append-mode (each input row exactly once per
+    delivery). Hot-key caveat matches the batch form: one source = one
+    state partition per trigger — the node_batches_scalable slicing applies
+    upstream if a single source dominates a trigger.
+    """
+    def update(key: tuple, pdfs: Iterator["pd.DataFrame"],
+               state: GroupState) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        off = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            state.update((off,))
+            return
+        pdf = pdf.sort_values("seq_no", kind="mergesort", ignore_index=True)
+        n = pdf["n_tok"].astype("int64")
+        starts = off + n.cumsum() - n
+        out = pd.DataFrame({
+            "doc_id": pdf["doc_id"], "source": pdf["source"],
+            "seq_no": pdf["seq_no"].astype("int64"),
+            "n_tok": pdf["n_tok"].astype("int32"),
+            "pack_id": (starts // budget).astype("int64"),
+        })
+        state.update((int(off + int(n.sum())),))
+        yield out
+
+    return seq_stream.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=PACK_OUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_pack_once(spark, input_dir: str, checkpoint_dir: str,
+                  budget: int = 2048) -> DataFrame:
+    """Drain <input_dir>/sequences as one availableNow pass through the
+    streaming packer; assignments append to a parquet log inside the
+    checkpoint dir (same lifetime-coupling rationale as run_counts_once).
+    Returns the full log — re-running after adding input files CONTINUES
+    the running offsets from the state store."""
+    import os
+
+    from .stream_pipeline import SEQ_SCHEMA
+
+    stream = (
+        spark.readStream.schema(SEQ_SCHEMA)
+        .parquet(f"{input_dir}/sequences")
+    )
+    packed = streaming_pack_ids(stream.select(
+        "doc_id", "source", "seq_no", "n_tok"), budget=budget)
+    updates_dir = os.path.join(checkpoint_dir, "_packs")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(updates_dir)
+
+    q = (
+        packed.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    if not os.path.exists(updates_dir):
+        return spark.createDataFrame([], PACK_OUT_SCHEMA)
+    return spark.read.parquet(updates_dir)

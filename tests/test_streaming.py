@@ -357,3 +357,45 @@ def test_stream_stream_interval_join_equals_batch(spark, input_dir, tmp_path):
     assert len(stream_rows) > 0
     # every ack matched within the horizon: latency in [0, 30)
     assert all(0 <= r[2] < 30 for r in stream_rows)
+
+
+def test_streaming_pack_ids_equal_batch_across_feeds(spark, tmp_path):
+    """Streaming packer == batch with_pack_id when the same rows arrive as
+    TWO sequential feeds (separate availableNow runs over one checkpoint):
+    the per-source offset survives in the state store, so bins continue
+    across the feed boundary exactly where a one-shot batch run would put
+    them."""
+    import os
+
+    from omnition_opentelemetry_service_spark.operators import packing as pk
+    from omnition_opentelemetry_service_spark.streaming import stateful
+
+    budget = 512
+    in_dir = str(tmp_path / "feed")
+    seq_dir = os.path.join(in_dir, "sequences")
+    ckpt = str(tmp_path / "ckpt")
+
+    # feed 1: rows [0, 200); feed 2: rows [200, 400) — in-order delivery
+    # per source across triggers (the documented contract)
+    fx.sequences(spark, 200).coalesce(1).write.mode("append").parquet(seq_dir)
+    first = stateful.run_pack_once(spark, in_dir, ckpt, budget=budget)
+    assert first.count() == 200
+    fx.sequences(spark, 400, start=200).coalesce(1) \
+        .write.mode("append").parquet(seq_dir)
+    log = stateful.run_pack_once(spark, in_dir, ckpt, budget=budget)
+
+    got = {r.doc_id: r.pack_id for r in log.collect()}
+    batch = pk.with_pack_id(fx.sequences(spark, 400), budget=budget)
+    want = {r.doc_id: r.pack_id for r in batch.collect()}
+    assert got == want
+    # non-vacuous continuation: feed-2 rows exist whose bin STARTED in feed 1
+    seq_of = {r.doc_id: r.seq_no for r in batch.collect()}
+    f1_max_pack = {}
+    for r in batch.collect():
+        if seq_of[r.doc_id] < 200:
+            f1_max_pack[r.source] = max(
+                f1_max_pack.get(r.source, -1), r.pack_id)
+    assert any(want[d] == f1_max_pack.get(r_source, -2)
+               for d, r_source in
+               ((r.doc_id, r.source) for r in batch.collect()
+                if r.seq_no >= 200))
