@@ -203,10 +203,80 @@ def tokenize_documents_bpe(docs: DataFrame, merges: list[tuple[str, str]],
     pieces = encode_bpe(docs, merges, id_col=id_col, text_col=text_col,
                         passthrough=(source_col,) if has_src else ())
     toks = F.expr(
-        f"transform(pieces, "
-        f"p -> CAST(CAST(conv(substring(md5(p), 1, 8), 16, 10) AS BIGINT) "
-        f"% {vocab_size} AS INT))")
+        "transform(pieces, p -> "
+        + _TOKEN_ID_SQL.format(col="p", vocab_size=vocab_size) + ")")
     return pieces.select(
         "doc_id", toks.alias("tokens"),
         F.col("n_pieces").alias("n_tok"),
         (F.col(source_col) if has_src else F.lit("docs")).alias("source"))
+
+
+_TOKEN_ID_SQL = ("CAST(CAST(conv(substring(md5({col}), 1, 8), 16, 10) "
+                 "AS BIGINT) % {vocab_size} AS INT)")
+
+
+def bpe_vocab_table(docs: DataFrame, merges: list[tuple[str, str]],
+                    vocab_size: int = 65_536) -> DataFrame:
+    """(piece, token_id, cnt): every DISTINCT piece the corpus encodes to,
+    with its hash-vocab id (the SAME md5-prefix rule as
+    tokenize_documents_bpe — one definition, reused) and its corpus count.
+    This is the serving-side id→piece artifact the hash vocab otherwise
+    lacks, plus the coverage/collision surface (two pieces sharing a
+    token_id = a measurable hash collision).
+
+    Scale shape: explode + ONE hash-agg with map-side partials; output is
+    VOCAB-bounded (distinct pieces ≤ chars + merges learned), never
+    corpus-bounded."""
+    pieces = encode_bpe(docs, merges)
+    return (pieces.filter(F.col("pieces").isNotNull())
+            .select(F.explode("pieces").alias("piece"))
+            .groupBy("piece").agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("token_id", F.expr(_TOKEN_ID_SQL.format(
+                col="piece", vocab_size=vocab_size))))
+
+
+def detokenize_bpe(seqs: DataFrame, vocab_rows: list,
+                   id_col: str = "doc_id",
+                   tokens_col: str = "tokens") -> DataFrame:
+    """(doc_id, text): invert tokenize_documents_bpe through an id→piece
+    table. Exact round-trip detok(tok(x)) == lower_fold + ws-normalized x
+    whenever the doc's ids are collision-free in the vocab (pinned in
+    tests with a collision-free vocab_size); colliding ids resolve to the
+    HIGHEST-count piece (cnt desc, piece asc — deterministic), unknown ids
+    to U+FFFD.
+
+    ``vocab_rows`` is the COLLECTED bpe_vocab_table (vocab-bounded driver
+    artifact — same class as the merge list itself, NOT corpus data).
+    Kernel is mapInPandas over Arrow batches: join-free, zero shuffle —
+    a broadcast-join + per-token explode/regroup would pay a corpus-sized
+    exchange at token grain for the same answer."""
+    from collections.abc import Iterator
+
+    best: dict[int, tuple[int, str]] = {}
+    for r in vocab_rows:
+        tid, piece, cnt = int(r["token_id"]), r["piece"], int(r["cnt"])
+        cur = best.get(tid)
+        # max cnt wins; ties break on piece ASC
+        if cur is None or (-cnt, piece) < (-cur[0], cur[1]):
+            best[tid] = (cnt, piece)
+    mapping = {tid: p for tid, (_, p) in best.items()}
+
+    def detok(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, texts = [], []
+            for did, toks in zip(pdf[id_col], pdf[tokens_col]):
+                ids.append(did)
+                if toks is None:
+                    texts.append(None)
+                    continue
+                s = "".join(mapping.get(int(t), "�") for t in toks)
+                texts.append(s.replace(END, " ").rstrip(" "))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "text": texts,
+            })
+
+    return seqs.select(F.col(id_col).alias(id_col), tokens_col).mapInPandas(
+        detok, schema="doc_id bigint, text string")

@@ -153,3 +153,47 @@ def test_make_release_cli_with_bpe(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     rep = json.loads(r.stdout.strip().splitlines()[-1])
     assert sum(v[0] for v in rep["per_split"].values()) == 60
+
+
+def test_vocab_table_ids_and_bounds(spark, docs):
+    """bpe_vocab_table: piece ids equal tokenize_documents_bpe's ids for
+    the same pieces (one hash definition), pieces are distinct, counts sum
+    to the corpus piece total, and the table is vocab-bounded."""
+    merges = bpe.train_bpe(docs, n_merges=30)
+    vocab = bpe.bpe_vocab_table(docs, merges).collect()
+    pieces_df = bpe.encode_bpe(docs, merges).collect()
+    all_pieces = [p for r in pieces_df for p in r.pieces]
+    assert len({r.piece for r in vocab}) == len(vocab)
+    assert sum(r.cnt for r in vocab) == len(all_pieces)
+    assert {r.piece for r in vocab} == set(all_pieces)
+    assert len(vocab) <= len(set("".join(t for _, t in DOCS))) + 30 + 2
+
+    toks = {r.doc_id: list(r.tokens)
+            for r in bpe.tokenize_documents_bpe(docs, merges).collect()}
+    id_of = {r.piece: r.token_id for r in vocab}
+    for r in pieces_df:
+        assert toks[r.doc_id] == [id_of[p] for p in r.pieces]
+
+
+def test_detokenize_roundtrip_and_unknown_id(spark, docs):
+    """detok(tok(x)) == the encoder's own normalization of x when ids are
+    collision-free (vocab_size 2^30); unknown ids surface as U+FFFD."""
+    import re
+
+    from omnition_opentelemetry_service_spark.functions.text import (
+        lower_fold_py)
+
+    merges = bpe.train_bpe(docs, n_merges=30)
+    big = 1 << 30  # collision-free id space for this tiny vocab
+    seqs = bpe.tokenize_documents_bpe(docs, merges, vocab_size=big)
+    vocab = bpe.bpe_vocab_table(docs, merges, vocab_size=big).collect()
+    got = {r.doc_id: r.text
+           for r in bpe.detokenize_bpe(seqs, vocab).collect()}
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    for did, t in DOCS:
+        want = " ".join(w for w in ws.split(lower_fold_py(t.strip(" "))) if w)
+        assert got[did] == want
+
+    bad = spark.createDataFrame([(99, [123456789])],
+                                "doc_id long, tokens array<int>")
+    assert bpe.detokenize_bpe(bad, vocab).collect()[0].text == "�"
