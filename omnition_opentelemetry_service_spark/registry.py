@@ -2046,9 +2046,17 @@ def _main_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # slot itself keeps the IDENTICAL rows+schema+hash gate via the extras pool
 # (tools/check_oracle --extras + tests/test_consolidated_ops.py).
 _PROMOTED = ["warc_docs", "robots_docs", "frontier_sched",
-             "host_rank", "bm25_topk"]
+             "host_rank", "bm25_topk",
+             # continuation rotation: trainer last-mile earns driver rows
+             # (pack assembly with doc-boundary arrays; deterministic FIM).
+             # Demoted: attrs_transform (family keeps enrich_attrs, which
+             # the chained form composes) and embedding_near_dup_lsh
+             # (family keeps embedding_near_dup + ann_lsh_topk covers the
+             # LSH path); both keep the identical gate via extras.
+             "assembled_packs", "fim_docs"]
 _DEMOTED = ["carry_forward", "events_json_extract", "simhash_values",
-            "lsh_bucket_sizes", "ngram_jaccard_pairs"]
+            "lsh_bucket_sizes", "ngram_jaccard_pairs",
+            "attrs_transform", "embedding_near_dup_lsh"]
 
 
 def _partition(main: dict, extra: dict) -> tuple[dict, dict]:

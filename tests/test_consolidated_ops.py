@@ -35,7 +35,7 @@ def test_extras_full_oracle_hash_parity(spark):
     oracles = registry.build_extra_oracle_sql()
     assert set(extras) == set(oracles) == {
         "attrs_add", "attrs_rename", "token_counts", "pack_stats",
-        "assembled_packs", "finalized_packs", "fim_docs", "split_leakage",
+        "finalized_packs", "split_leakage",
         "quarantined_rows", "union_two_receivers", "ivf_cell_sizes",
         "oversized_reject_counts", "simhash_pairs",
         "dsir_scores", "dsir_select", "bloom_flags", "drift_topk",
@@ -52,7 +52,9 @@ def test_extras_full_oracle_hash_parity(spark):
         # demoted by the round-3 driver-window rotation (registry._DEMOTED)
         # — family keeps driver rows, these keep the identical gate here
         "carry_forward", "events_json_extract", "simhash_values",
-        "lsh_bucket_sizes", "ngram_jaccard_pairs"} - {
+        "lsh_bucket_sizes", "ngram_jaccard_pairs",
+        # continuation rotation: demoted here, promoted ones left the pool
+        "attrs_transform", "embedding_near_dup_lsh"} - {
         # promoted to driver slots (registry._PROMOTED)
         "warc_docs", "robots_docs", "frontier_sched", "host_rank",
         "bm25_topk"}

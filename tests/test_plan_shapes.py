@@ -47,10 +47,11 @@ def test_no_cartesian_anywhere_in_registry_samples(spark):
     """Representative joins never degrade to CartesianProduct."""
     from omnition_opentelemetry_service_spark import registry
 
-    q = registry.build_queries()
+    q = {**registry.build_queries(), **registry.build_extra_queries()}
     for name in ["tpch_q3_top10", "region_supplier_rollup",
                  "minhash_candidates", "ann_lsh_topk", "ivf_ann_topk",
-                 "simhash_band_pairs", "embedding_near_dup_lsh"]:
+                 "simhash_band_pairs", "embedding_near_dup_lsh",
+                 "assembled_packs", "split_leakage"]:
         plan = _plan(q[name](spark, SF))
         assert "CartesianProduct" not in plan, name
     spark.catalog.clearCache()
