@@ -271,6 +271,24 @@ def write_packs_release(df, out_dir: str, n_shards: int) -> None:
                         sort_cols=("shuffle_ord", "pack_key", "pack_id"))
 
 
+def read_packs_release(spark, out_dir: str, split: str = "train"):
+    """Consumer side of --emit packs: one row per pack in exactly the
+    order a sequential trainer steps through them — shard by shard, within
+    a shard by the writer's total order (pack hash, pack key, pack id).
+    Same re-sort rationale as mixture.read_release_stream (parquet scan
+    order is not guaranteed across row groups); read_ord is the trainer's
+    step number, one pack per step."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(out_dir).filter(F.col("split") == split)
+    w = W.partitionBy("shard").orderBy("shuffle_ord", "pack_key", "pack_id")
+    return (df.withColumn("read_ord", F.row_number().over(w) - 1)
+            .select("shard", "read_ord", "pack_key", "pack_id", "pack_len",
+                    "n_pad", "doc_ids", "starts", "lens",
+                    "padded_tokens", "position_ids", "loss_mask"))
+
+
 def write_release(df, out_dir: str, n_shards: int) -> None:
     """ONE exchange on (split, shard); the in-partition sort is a TOTAL
     order (pack hash, then the unique pack key, then seq_no) so reruns

@@ -364,3 +364,37 @@ def test_manifest_roundtrip(tmp_path):
     p = write_manifest(out, meta)
     assert p.endswith("/_MANIFEST.json")
     assert read_manifest(out) == meta
+
+
+def test_packs_reader_order_matches_rows_reader(spark, tmp_path):
+    """read_packs_release steps through the SAME pack sequence the
+    row-level reader visits (first-occurrence order per shard), read_ord
+    is dense per shard, and every train pack appears exactly once."""
+    from jobs.make_release import (assemble_release, read_packs_release,
+                                   write_packs_release)
+    from omnition_opentelemetry_service_spark.operators.mixture import (
+        read_release_stream)
+
+    budget = 1024
+    rel = _release(spark).persist()
+    rows_out = str(tmp_path / "rows_rel")
+    packs_out = str(tmp_path / "packs_rel")
+    write_release(rel, rows_out, n_shards=4)
+    write_packs_release(assemble_release(rel, budget), packs_out, n_shards=4)
+
+    rows_order: dict = {}
+    for r in read_release_stream(spark, rows_out).collect():
+        rows_order.setdefault(r.shard, [])
+        k = (r.pack_key, r.pack_id)
+        if not rows_order[r.shard] or rows_order[r.shard][-1] != k:
+            rows_order[r.shard].append(k)
+    packs = read_packs_release(spark, packs_out).collect()
+    packs_order: dict = {}
+    for p in sorted(packs, key=lambda p: (p.shard, p.read_ord)):
+        packs_order.setdefault(p.shard, []).append((p.pack_key, p.pack_id))
+    assert packs_order == rows_order
+    for shard, lst in packs_order.items():
+        ords = sorted(p.read_ord for p in packs if p.shard == shard)
+        assert ords == list(range(len(lst)))
+        assert len(set(lst)) == len(lst)
+    rel.unpersist()
