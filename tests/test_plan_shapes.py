@@ -135,3 +135,19 @@ def test_multi_receiver_union_is_one_scan_not_union(spark, tmp_path):
     # exactly one file scan per table (payloads + sequences), each carrying
     # BOTH receiver paths — not one scan per receiver
     assert plan.count("FileScan parquet") == 2
+
+
+def test_pack_assembly_single_exchange(spark):
+    """with_pack_id → assemble_packs → finalize_packs is ONE hash exchange
+    end-to-end: hash(source) partitioning from the pack-id window already
+    CLUSTERS (source, pack_id), so the within-pack window and the pack
+    groupBy both reuse it (sorts only); finalize is a projection."""
+    import re
+
+    from omnition_opentelemetry_service_spark import fixtures as fx
+    from omnition_opentelemetry_service_spark.operators import packing as pk
+
+    df = pk.finalize_packs(pk.assemble_packs(
+        pk.with_pack_id(fx.sequences(spark, 500), budget=512)), budget=512)
+    plan = _plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
