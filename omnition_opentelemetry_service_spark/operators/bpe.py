@@ -240,10 +240,14 @@ def detokenize_bpe(seqs: DataFrame, vocab_rows: list,
                    tokens_col: str = "tokens") -> DataFrame:
     """(doc_id, text): invert tokenize_documents_bpe through an id→piece
     table. Exact round-trip detok(tok(x)) == lower_fold + ws-normalized x
-    whenever the doc's ids are collision-free in the vocab (pinned in
-    tests with a collision-free vocab_size); colliding ids resolve to the
-    HIGHEST-count piece (cnt desc, piece asc — deterministic), unknown ids
-    to U+FFFD.
+    whenever (a) the doc's ids are collision-free in the vocab (pinned in
+    tests with a collision-free vocab_size) AND (b) the normalized text
+    contains no literal end-of-word marker ``</w>`` — the marker is
+    in-band, so a document LITERALLY containing it is indistinguishable
+    from a word boundary and detokenizes with a space there (the standard
+    BPE end-of-word ambiguity; disclosed and pinned in tests rather than
+    silently wrong). Colliding ids resolve to the HIGHEST-count piece
+    (cnt desc, piece asc — deterministic), unknown ids to U+FFFD.
 
     ``vocab_rows`` is the COLLECTED bpe_vocab_table (vocab-bounded driver
     artifact — same class as the merge list itself, NOT corpus data).

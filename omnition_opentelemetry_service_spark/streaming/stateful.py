@@ -137,10 +137,11 @@ def streaming_pack_ids(seq_stream: DataFrame, budget: int = 2048) -> DataFrame:
         import pandas as pd
 
         off = state.get[0] if state.exists else 0
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        if len(pdf) == 0:
-            state.update((off,))
-            return
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:  # zero-data invocation (e.g. a future timeout path):
+            state.update((off,))  # keep state, emit nothing — and never
+            return                # feed pd.concat an empty list (it raises)
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values("seq_no", kind="mergesort", ignore_index=True)
         n = pdf["n_tok"].astype("int64")
         starts = off + n.cumsum() - n
@@ -165,8 +166,14 @@ def streaming_pack_ids(seq_stream: DataFrame, budget: int = 2048) -> DataFrame:
 def run_pack_once(spark, input_dir: str, checkpoint_dir: str,
                   budget: int = 2048) -> DataFrame:
     """Drain <input_dir>/sequences as one availableNow pass through the
-    streaming packer; assignments append to a parquet log inside the
-    checkpoint dir (same lifetime-coupling rationale as run_counts_once).
+    streaming packer; assignments land in a parquet log inside the
+    checkpoint dir (same lifetime-coupling rationale as run_counts_once),
+    IDEMPOTENT on the checkpointed batch id: each batch owns
+    ``_packs/batch_id=N`` and crash-redelivery overwrites it in place —
+    a bare append would duplicate every redelivered row in the returned
+    log (the stream_pipeline envelope-sink recipe; batch ids never reset
+    within a checkpoint lifetime, and log and state store share the
+    checkpoint dir's lifetime so neither can outlive the other).
     Returns the full log — re-running after adding input files CONTINUES
     the running offsets from the state store."""
     import os
@@ -182,7 +189,8 @@ def run_pack_once(spark, input_dir: str, checkpoint_dir: str,
     updates_dir = os.path.join(checkpoint_dir, "_packs")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(updates_dir)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(updates_dir, f"batch_id={batch_id}"))
 
     q = (
         packed.writeStream.outputMode("append")
@@ -195,4 +203,6 @@ def run_pack_once(spark, input_dir: str, checkpoint_dir: str,
     q.stop()
     if not os.path.exists(updates_dir):
         return spark.createDataFrame([], PACK_OUT_SCHEMA)
-    return spark.read.parquet(updates_dir)
+    # batch_id is the partition-discovery column from the idempotent
+    # per-batch dirs — sink bookkeeping, not part of the pack contract
+    return spark.read.parquet(updates_dir).drop("batch_id")

@@ -197,3 +197,16 @@ def test_detokenize_roundtrip_and_unknown_id(spark, docs):
     bad = spark.createDataFrame([(99, [123456789])],
                                 "doc_id long, tokens array<int>")
     assert bpe.detokenize_bpe(bad, vocab).collect()[0].text == "�"
+
+
+def test_detokenize_inband_marker_limitation_pinned(spark):
+    """A doc literally containing '</w>' detokenizes with a space at the
+    marker (the documented in-band ambiguity) — pinned so the behavior is
+    a disclosed contract, not a surprise."""
+    d = spark.createDataFrame([(1, "a</w>b plain")], "doc_id long, text string")
+    merges = bpe.train_bpe(d, n_merges=5)
+    big = 1 << 30
+    seqs = bpe.tokenize_documents_bpe(d, merges, vocab_size=big)
+    vocab = bpe.bpe_vocab_table(d, merges, vocab_size=big).collect()
+    got = bpe.detokenize_bpe(seqs, vocab).collect()[0].text
+    assert got == "a b plain"  # embedded marker became a boundary

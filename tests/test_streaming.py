@@ -384,6 +384,11 @@ def test_streaming_pack_ids_equal_batch_across_feeds(spark, tmp_path):
         .write.mode("append").parquet(seq_dir)
     log = stateful.run_pack_once(spark, in_dir, ckpt, budget=budget)
 
+    # a third run with NO new data must leave the log unchanged (no
+    # re-emission, no duplicate appends — the idempotent batch-dir sink)
+    again = stateful.run_pack_once(spark, in_dir, ckpt, budget=budget)
+    assert again.count() == log.count() == 400
+
     got = {r.doc_id: r.pack_id for r in log.collect()}
     batch = pk.with_pack_id(fx.sequences(spark, 400), budget=budget)
     want = {r.doc_id: r.pack_id for r in batch.collect()}
