@@ -373,3 +373,49 @@ def strip_invisible(col: str = "text") -> Column:
 
 def strip_invisible_sql_duck(col: str = "text") -> str:
     return f"regexp_replace({col}, '{INVISIBLE_RX}', '', 'g')"
+
+
+# -- character-entropy quality signal ------------------------------------------
+# Shannon entropy (bits/char) of the character distribution — the classic
+# gibberish/boilerplate detector (near-0 = repeated filler, high = random
+# blobs; natural text sits in a band). ONE definition per engine, built
+# from the identity H = ln(n)/ln(2) - (Σ c·ln c)/(n·ln 2).
+#
+# Float-fold discipline (PARITY trap 11): the Σ folds over terms sorted BY
+# VALUE (array_sort on DOUBLEs — identical ASC semantics in both engines),
+# NOT by character: string collation differs between UTF-16 code-unit
+# order (Spark) and UTF-8 byte order (DuckDB) for astral-vs-BMP mixes,
+# while equal double terms are order-indifferent to the sum by identity.
+# ln parity between engines is the lm.py precedent (same double-op order).
+#
+# Scale shape: pure projection, zero shuffle; per-row cost is
+# O(alphabet · len) from the count-per-distinct-char filter — alphabet is
+# bounded (≤ distinct chars in a doc), so the term stays scan-shaped at
+# any corpus size. Empty/NULL text → NULL (no distribution to measure).
+_ENTROPY_TMPL = (
+    "CASE WHEN {t} IS NULL OR length({t}) = 0 THEN NULL ELSE "
+    "round((ln(CAST(length({t}) AS DOUBLE)) - {fold} / "
+    "CAST(length({t}) AS DOUBLE)) / ln(CAST(2 AS DOUBLE)), 6) END")
+_TERM_SPARK = ("transform(array_sort(array_distinct(split({t}, ''))), "
+               "c -> CAST(size(filter(split({t}, ''), x -> x = c)) AS DOUBLE)"
+               " * ln(CAST(size(filter(split({t}, ''), x -> x = c)) "
+               "AS DOUBLE)))")
+_FOLD_SPARK = ("aggregate(array_sort({terms}), CAST(0 AS DOUBLE), "
+               "(acc, v) -> acc + v)")
+_TERM_DUCK = ("list_transform(list_sort(list_distinct(string_split({t}, "
+              "''))), c -> CAST(len(list_filter(string_split({t}, ''), "
+              "x -> x = c)) AS DOUBLE) * ln(CAST(len(list_filter("
+              "string_split({t}, ''), x -> x = c)) AS DOUBLE)))")
+_FOLD_DUCK = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+              "list_sort({terms})), (acc, v) -> acc + v)")
+
+
+def char_entropy(col: str = "text") -> Column:
+    """Shannon entropy in bits/char; NULL for empty/NULL text."""
+    fold = _FOLD_SPARK.format(terms=_TERM_SPARK.format(t=col))
+    return F.expr(_ENTROPY_TMPL.format(t=col, fold=fold))
+
+
+def char_entropy_sql_duck(col: str = "text") -> str:
+    fold = _FOLD_DUCK.format(terms=_TERM_DUCK.format(t=col))
+    return _ENTROPY_TMPL.format(t=col, fold=fold)

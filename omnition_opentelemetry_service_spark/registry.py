@@ -1150,6 +1150,12 @@ def q_fim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return augment.fim_transform(fx.sequences(spark, _n(sf_dir)), rate=0.4)
 
 
+def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.length("text").alias("n_chars"),
+                       tx.char_entropy("text").alias("entropy"))
+
+
 _LEAK_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -1662,6 +1668,7 @@ def _extra_queries_pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "finalized_packs": q_finalized_packs,
         "fim_docs": q_fim_docs,
         "split_leakage": q_split_leakage,
+        "char_entropy_docs": q_char_entropy_docs,
         "quarantined_rows": q_quarantined_rows,
         "union_two_receivers": q_union_two_receivers,
         "ivf_cell_sizes": q_ivf_cell_sizes,
@@ -1759,6 +1766,11 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
     from .operators import augment as _augment
     o["fim_docs"] = f"""{pre}
     {_augment.fim_sql_duck(rate=0.4)}"""
+
+    o["char_entropy_docs"] = f"""
+    SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+           {tx.char_entropy_sql_duck('text')} AS entropy
+    FROM documents"""
 
     from .operators.mixture import split_sql_duck as _split_duck
     _sa = _split_duck(_LEAK_WEIGHTS, id_col="id_a", salt="split")

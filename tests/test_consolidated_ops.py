@@ -35,7 +35,7 @@ def test_extras_full_oracle_hash_parity(spark):
     oracles = registry.build_extra_oracle_sql()
     assert set(extras) == set(oracles) == {
         "attrs_add", "attrs_rename", "token_counts", "pack_stats",
-        "finalized_packs", "split_leakage",
+        "finalized_packs", "split_leakage", "char_entropy_docs",
         "quarantined_rows", "union_two_receivers", "ivf_cell_sizes",
         "oversized_reject_counts", "simhash_pairs",
         "dsir_scores", "dsir_select", "bloom_flags", "drift_topk",

@@ -404,3 +404,38 @@ def test_scrub_pii_preserves_dates(spark):
         f"SELECT doc_id, {tx.scrub_pii_sql_duck('text')} AS clean "
         f"FROM (VALUES {vals}) AS t(doc_id, text)").fetchall())
     assert got == oracle
+
+
+def test_char_entropy_matches_duckdb_and_model(spark):
+    """char_entropy: EXACT cross-engine equality on the fixture corpus
+    (value-sorted fold — collation-independent), closed-form values on
+    crafted inputs, NULL on empty/NULL text, python-model agreement."""
+    import math
+    from collections import Counter
+
+    from omnition_opentelemetry_service_spark.functions import text as tx
+
+    docs = load(spark, SF, "documents")
+    s = {r.doc_id: r.e for r in docs.select(
+        "doc_id", tx.char_entropy("text").alias("e")).collect()}
+    d = dict(_duck(f"SELECT doc_id, {tx.char_entropy_sql_duck('text')} AS e "
+                   "FROM documents").itertuples(index=False))
+    assert s == d  # exact, not approx: same rounded fold both engines
+
+    cases = ["aaaa", "ab", "abcd", "x", "aab", "", None, "héllo wörld"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "doc_id int, text string")
+    got = {r.doc_id: r.e for r in df.select(
+        "doc_id", tx.char_entropy("text").alias("e")).collect()}
+    assert got[0] == 0.0            # single symbol → zero entropy
+    assert got[1] == 1.0            # two equiprobable → 1 bit
+    assert got[2] == 2.0
+    assert got[3] == 0.0
+    assert got[5] is None and got[6] is None
+    for i, t in enumerate(cases):
+        if not t:
+            continue
+        n = len(t)
+        want = round(-sum((c / n) * math.log2(c / n)
+                          for c in Counter(t).values()), 6)
+        assert got[i] is not None and abs(got[i] - want) < 2e-6, t
