@@ -419,7 +419,7 @@ def main() -> None:
                  # continuation additions: trainer pack finishing + FIM +
                  # cross-split decontamination
                  "assembled_packs", "finalized_packs", "fim_docs",
-                 "split_leakage"):
+                 "split_leakage", "char_entropy_docs"):
         dt, _ = _run_query(spark, queries[name], SF_DIR)
         extras_timed[name] = round(dt, 3)
     fx.set_materialized_fixtures(None)

@@ -452,3 +452,42 @@ def test_span_removal_matches_duckdb_on_arbitrary_tokens(spark, arrays, k):
             "SELECT doc_id, tokens FROM seqs_in", k=k, min_docs=2))
         .fetchall()))
     assert got == want
+
+
+@SET
+@given(st.lists(st.text(alphabet=st.characters(codec="utf-8"), max_size=24),
+                min_size=1, max_size=15))
+def test_char_entropy_cross_engine_on_arbitrary_unicode(spark, texts):
+    """char_entropy is EXACTLY equal across engines on arbitrary unicode —
+    the value-sorted fold makes the claim collation-independent (UTF-16
+    code-unit vs UTF-8 byte order never reorders the sum), and a python
+    Counter model bounds the value itself."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from omnition_opentelemetry_service_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    got = {r.doc_id: r.e for r in df.select(
+        "doc_id", tx.char_entropy("text").alias("e")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id INTEGER, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(texts)])
+    duck = dict(con.execute(
+        f"SELECT doc_id, {tx.char_entropy_sql_duck('text')} FROM d"
+    ).fetchall())
+    assert got == duck
+
+    for i, t in enumerate(texts):
+        if len(t) == 0:
+            assert got[i] is None
+            continue
+        n = len(t)
+        want = round(-sum((c / n) * math.log2(c / n)
+                          for c in Counter(t).values()), 6)
+        assert abs(got[i] - want) < 2e-6
