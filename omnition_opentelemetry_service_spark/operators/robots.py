@@ -21,10 +21,12 @@ Cross-engine twin discipline: the whole parse (line split → comment strip
 matcher (pattern → LIKE with ``!`` as the escape char — NO backslash
 anywhere, PARITY.md trap 24/28) are built from ONE fragment builder per
 step parameterized by engine, corpus.py `_words_expr` style. The verdict
-aggregate uses an integer score ``2*len(pattern) + (type=allow)`` so
-max_by needs no struct comparison and ties cannot flip the verdict;
-max_by/arg_max both ignore NULL score rows (non-matching rules), pinned
-by test_robots.
+aggregate orders by ``2*octets(pattern) + (type=allow)`` — ties cannot
+flip the ALLOWED verdict (equal score ⇒ equal type), and the reported
+matched_pattern uses a zero-padded score+pattern string key
+(``_score_key``) so max_by/arg_max ties resolve identically in both
+engines and across runs; both aggregates ignore NULL-key rows
+(non-matching rules), pinned by test_robots.
 
 Shape at scale: parse is per-host-bounded (a robots file is ≤ a few KB —
 the windows partition by host over ≤ file-line counts); the gate is ONE
@@ -102,6 +104,23 @@ def _score(typ: str, plen: str, match: str) -> str:
             f"ELSE NULL END")
 
 
+def _score_key(typ: str, plen: str, match: str, pattern: str) -> str:
+    """max_by/arg_max ordering key with a DETERMINISTIC total order:
+    fixed-width zero-padded score then the pattern text. Two distinct
+    same-length, same-type patterns tie on the integer score alone, and
+    max_by is documented non-deterministic on ties (Spark) / picks its
+    own row (DuckDB) — an oracle-compared matched_pattern column must not
+    depend on that. Equal key ⇒ equal pattern ⇒ equal rule type (the
+    score's allow-bit is part of the key), so the verdict row is unique.
+    NULL when the rule does not match (both aggregates skip NULL keys);
+    inner concat args are non-NULL by construction, so trap 25 (engine
+    NULL-concat divergence) has no surface."""
+    s = _score(typ, plen, match)
+    return (f"CASE WHEN ({s}) IS NULL THEN NULL ELSE "
+            f"concat(lpad(CAST({s} AS STRING), 12, '0'), '|', {pattern}) "
+            f"END")
+
+
 # -- Spark implementation -------------------------------------------------------
 def parse_robots(robots: DataFrame, agent: str = DEFAULT_AGENT,
                  host_col: str = "host",
@@ -114,7 +133,16 @@ def parse_robots(robots: DataFrame, agent: str = DEFAULT_AGENT,
     return rules.select(
         "host", "rule_type", "pattern",
         F.expr(_like_pat("pattern")).alias("like_pat"),
-        F.length("pattern").cast("bigint").alias("plen"))
+        # RFC 9309 §2.2.2 ranks by most OCTETS (UTF-8 bytes), not chars —
+        # Spark octet_length == DuckDB strlen; length() would mis-rank any
+        # multibyte pattern against an ASCII one
+        F.expr("octet_length(pattern)").cast("bigint").alias("plen"))
+
+
+# Every group-scoped record type (RFC 9309 rules + the de-facto
+# crawl-delay extension): ALL of them participate in block formation, in
+# both engines, whichever type a caller extracts.
+GROUP_RECORD_KEYS = ("allow", "disallow", "crawl-delay")
 
 
 def _lines(robots: DataFrame, host_col: str, txt_col: str) -> DataFrame:
@@ -130,15 +158,20 @@ def _lines(robots: DataFrame, host_col: str, txt_col: str) -> DataFrame:
 
 def _group_scoped(robots: DataFrame, rule_keys: tuple[str, ...],
                   agent: str, host_col: str, txt_col: str) -> DataFrame:
-    """Group machinery shared by allow/disallow and crawl-delay scoping:
-    RFC 9309's "other records MUST NOT interfere" applied symmetrically —
-    groups are formed over user-agent lines + ONLY the record types being
-    scoped, so an unrelated directive between two agent lines does not
-    split their group. Returns (host, bid, rule_type, pattern) for the
-    groups chosen for ``agent`` (exact match excludes '*')."""
+    """Group machinery shared by allow/disallow and crawl-delay scoping.
+    Blocks are formed over user-agent lines + EVERY group-record type
+    (GROUP_RECORD_KEYS) regardless of which type is being extracted: any
+    recognized rule line terminates an agent-line run, so in
+    'ua:a / disallow:/x / ua:b / crawl-delay:7' the delay scopes to b
+    ONLY (mainstream-parser behavior; extracting crawl-delay with blocks
+    formed over delay lines alone would merge a and b and leak b's delay
+    to a). Truly-unrecognized directives between two agent lines still do
+    not split their group (RFC 9309 "other records MUST NOT interfere").
+    Returns (host, bid, rule_type, pattern) for the groups chosen for
+    ``agent`` (exact match excludes '*')."""
     a = _check_agent(agent)
     d = _lines(robots, host_col, txt_col)
-    d = d.filter(F.col("k").isin("user-agent", *rule_keys))
+    d = d.filter(F.col("k").isin("user-agent", *GROUP_RECORD_KEYS))
     w = Window.partitionBy("host").orderBy("ln")
     blocks = (d
               .withColumn("ia", (F.col("k") == "user-agent").cast("int"))
@@ -156,7 +189,8 @@ def _group_scoped(robots: DataFrame, rule_keys: tuple[str, ...],
                       | ((F.col("has_spec") == 0)
                          & (F.col("aname") == "*")))
               .select("host", "bid").distinct())
-    rules = (blocks.filter((F.col("ia") == 0) & (F.col("v") != ""))
+    rules = (blocks.filter((F.col("ia") == 0) & (F.col("v") != "")
+                           & F.col("k").isin(*rule_keys))
              .select("host", "bid", F.col("k").alias("rule_type"),
                      F.col("v").alias("pattern")))
     return rules.join(chosen, ["host", "bid"], "leftsemi")
@@ -255,10 +289,10 @@ def robots_gate(docs: DataFrame, robots: DataFrame,
             .agg(F.min("url").alias("url"),
                  F.min("host").alias("host"),
                  F.expr(f"max_by(rule_type, "
-                        f"{_score('rule_type', 'plen', m)})")
+                        f"{_score_key('rule_type', 'plen', m, 'pattern')})")
                  .alias("matched_rule"),
                  F.expr(f"max_by(pattern, "
-                        f"{_score('rule_type', 'plen', m)})")
+                        f"{_score_key('rule_type', 'plen', m, 'pattern')})")
                  .alias("matched_pattern"))
             .select(id_col, "url", "host",
                     (F.col("matched_rule").isNull()
@@ -347,7 +381,8 @@ def _duck_scoped_cte(robots_table: str, agent: str, rule_keys: tuple,
     """CTE chain ending in scoped rules ``ru``/chosen groups ``ch`` —
     the DuckDB half of _group_scoped (same group semantics)."""
     a = _check_agent(agent)
-    keys = ", ".join(f"'{k}'" for k in ("user-agent",) + rule_keys)
+    keys = ", ".join(f"'{k}'" for k in ("user-agent",) + GROUP_RECORD_KEYS)
+    extract = ", ".join(f"'{k}'" for k in rule_keys)
     return f"""{_duck_lines_cte(robots_table, host_col, txt_col)},
     d AS (SELECT * FROM ln WHERE k IN ({keys})),
     blk AS (SELECT *,
@@ -368,7 +403,7 @@ def _duck_scoped_cte(robots_table: str, agent: str, rule_keys: tuple,
            WHERE (has_spec = 1 AND aname = '{a}')
               OR (has_spec = 0 AND aname = '*')),
     ru AS (SELECT host, bid, k AS rule_type, v AS pattern
-           FROM bid WHERE ia = 0 AND v <> ''),
+           FROM bid WHERE ia = 0 AND v <> '' AND k IN ({extract})),
     scoped AS (SELECT r.* FROM ru r
                SEMI JOIN ch c ON r.host = c.host AND r.bid = c.bid)"""
 
@@ -383,7 +418,7 @@ def parse_robots_sql_duck(robots_table: str, agent: str = DEFAULT_AGENT,
     return f"""{cte}
     SELECT host, rule_type, pattern,
            {_like_pat('pattern')} AS like_pat,
-           CAST(length(pattern) AS BIGINT) AS plen
+           CAST(strlen(pattern) AS BIGINT) AS plen
     FROM scoped"""
 
 
@@ -445,9 +480,9 @@ def robots_gate_sql_duck(docs_table: str, robots_table: str,
     j AS (SELECT p.*, r.rule_type, r.pattern, r.like_pat, r.plen
           FROM pathed p LEFT JOIN rules r ON p.host = r.host),
     agg AS (SELECT {id_col}, min(url) AS url, min(host) AS host,
-                   arg_max(rule_type, {_score('rule_type', 'plen', m)})
+                   arg_max(rule_type, {_score_key('rule_type', 'plen', m, 'pattern')})
                      AS matched_rule,
-                   arg_max(pattern, {_score('rule_type', 'plen', m)})
+                   arg_max(pattern, {_score_key('rule_type', 'plen', m, 'pattern')})
                      AS matched_pattern
             FROM j GROUP BY {id_col})
     SELECT {id_col}, url, host,

@@ -268,3 +268,50 @@ def test_cross_engine_value_parity(spark):
     assert 0 < blocked < n  # the gate binds both ways
     # both group regimes exercised: specific-agent hosts and '*' hosts
     assert {r[4] for r in sp} >= {"allow", "disallow", None}
+
+
+def test_crawl_delay_not_leaked_across_rule_separated_groups(spark):
+    """'ua:a / disallow:/x / ua:b / crawl-delay:7': the disallow line
+    TERMINATES a's agent-line run, so the delay scopes to b ONLY — a must
+    get no delay (the naive delay-only block formation merged a and b and
+    throttled a 7x; review finding)."""
+    from omnition_opentelemetry_service_spark.operators import robots as rb
+
+    txt = ("User-agent: a\nDisallow: /x\n"
+           "User-agent: b\nCrawl-delay: 7\n")
+    df = spark.createDataFrame([("h1", txt)], "host string, robots_txt string")
+    assert rb.crawl_delays(df, agent="a").collect() == []
+    got = rb.crawl_delays(df, agent="b").collect()
+    assert len(got) == 1 and got[0].crawl_delay == 7.0
+    # and a's DISALLOW rule still applies to a only
+    ra = {(r.rule_type, r.pattern) for r in
+          rb.parse_robots(df, agent="a").collect()}
+    assert ra == {("disallow", "/x")}
+    assert rb.parse_robots(df, agent="b").collect() == []
+
+
+def test_matched_pattern_deterministic_on_score_ties(spark):
+    """Two same-octet same-type patterns both matching: the reported
+    matched_pattern must be the deterministic (score, pattern)-max in
+    BOTH engines — not whichever row max_by saw last."""
+    import duckdb
+
+    from omnition_opentelemetry_service_spark.operators import robots as rb
+
+    txt = "User-agent: *\nDisallow: /ab*\nDisallow: /a*b\n"
+    robots = spark.createDataFrame([("h1", txt)],
+                                   "host string, robots_txt string")
+    docs = spark.createDataFrame([(1, "http://h1/ab")],
+                                 "doc_id long, url string")
+    for _ in range(3):  # stable across repeated runs
+        r = rb.robots_gate(docs, robots).collect()[0]
+        assert (r.allowed, r.matched_rule, r.matched_pattern) == \
+            (False, "disallow", "/ab*")  # '/ab*' > '/a*b' lexicographically
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, url VARCHAR)")
+    con.execute("INSERT INTO d VALUES (1, 'http://h1/ab')")
+    con.execute("CREATE TABLE r (host VARCHAR, robots_txt VARCHAR)")
+    con.execute("INSERT INTO r VALUES ('h1', ?)", [txt])
+    row = con.execute(rb.robots_gate_sql_duck("d", "r")).fetchall()[0]
+    assert row[3] is False and row[4] == "disallow" and row[5] == "/ab*"
