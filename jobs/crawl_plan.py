@@ -23,9 +23,9 @@ re-expressed as one declarative plan over the whole frontier.
 
 url_id for discovered candidates is the md5-prefix BIGINT of the
 canonical url (the operators/dedup.py hash pattern): deterministic
-across runs/engines with no global counter shuffle. A 32-bit prefix
-collision would only swap two urls' within-host fetch order — ordering
-keys, not identities.
+across runs/engines with no global counter shuffle. The id is the 48-bit
+prefix: id collisions are identity collisions (ordering ties, oracle
+cardinality), so the wide pair applies (dedup._XH12_*).
 
 Shape at scale: everything upstream documents its own shape (see each
 operator's docstring); this job adds NO exchange of its own — the final
@@ -54,8 +54,15 @@ if __package__ in (None, ""):  # direct `python jobs/crawl_plan.py`
     sys.path.insert(0, os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
 
-# md5-prefix BIGINT id (operators/dedup.py / retry.py hash pattern)
-_ID_EXPR = "CAST(conv(substring(md5(canon_url), 1, 8), 16, 10) AS BIGINT)"
+# md5-prefix BIGINT id — the CANONICAL wide pair from operators/dedup.py
+# (48-bit: at 10^6 frontier urls a 32-bit id expects ~100 birthday
+# collisions, which are NOT benign — a colliding pair makes the within-
+# host fetch order tie-nondeterministic across runs and diverges from a
+# GROUP-BY-id oracle; 48-bit expects ~0.004, disclosed residual risk)
+from omnition_opentelemetry_service_spark.operators.dedup import (
+    _XH12_SPARK)
+
+_ID_EXPR = _XH12_SPARK.format(s="canon_url")
 
 
 def crawl_plan(pages: DataFrame, robots: DataFrame, budget: int = 1000,
@@ -79,6 +86,10 @@ def crawl_plan(pages: DataFrame, robots: DataFrame, budget: int = 1000,
     # relative hrefs carry no authority (url_host = '') — same-host
     # self-links, not fetch candidates (the host_edges predicate)
     entries = (lg.extract_links(pages)
+               # absolute http(s) only: mailto:/javascript:/tel:/data:
+               # hrefs parse to junk hosts through URL_PAT and would earn
+               # budget + frontier slots (review finding)
+               .filter(ur.is_fetchable("href"))
                .withColumn("h", ur.url_host("href"))
                .filter("h IS NOT NULL AND h <> ''")
                .select(F.col("h").alias("host"),

@@ -42,6 +42,12 @@ LSH_ROWS = MH_HASHES // LSH_BANDS
 # x(s): first 8 md5 hex chars → uint32. Spark `conv` / DuckDB '0x' cast.
 _XH_SPARK = "CAST(conv(substring(md5({s}), 1, 8), 16, 10) AS BIGINT)"
 _XH_DUCK = "CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
+# 12-hex (48-bit) widening for ID use: at 10^6 keys the 32-bit prefix
+# expects ~100 birthday collisions (cardinality divergence in any twin
+# that GROUPs BY the id), 48-bit expects ~0.004 — use THIS pair whenever
+# the hash is an identity rather than a bucketing key.
+_XH12_SPARK = "CAST(conv(substring(md5({s}), 1, 12), 16, 10) AS BIGINT)"
+_XH12_DUCK = "CAST(concat('0x', substr(md5({s}), 1, 12)) AS BIGINT)"
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

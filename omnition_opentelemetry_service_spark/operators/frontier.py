@@ -118,8 +118,14 @@ def frontier_schedule_scalable(candidates: DataFrame, robots: DataFrame,
         _collapse(_annotate_gate(candidates, robots, agent, url_col,
                                  id_col)),
         robots, agent, default_delay)
+    # sliced feeds BOTH the in-slice rank and the per-slice counts —
+    # without a persist the whole upstream (gate projection, canon
+    # collapse exchange, delay join) executes twice per action (review
+    # finding; allocate_budget persists for the same reason). Caller
+    # releases per the repo cache contract.
     sliced = kept.withColumn(
-        "_slice", (F.col("url_id") / F.lit(slice_rows)).cast("bigint"))
+        "_slice", (F.col("url_id") / F.lit(slice_rows)).cast("bigint")) \
+        .persist()
     w_in = Window.partitionBy("host", "_slice").orderBy("url_id")
     ranked = sliced.withColumn("_rk", F.row_number().over(w_in))
 
@@ -152,8 +158,13 @@ def discover_from_sitemaps(entries: DataFrame, seen: DataFrame | None = None,
                     ur.canonical_url("loc").alias("canon_url"))
             .filter(F.col("canon_url").isNotNull())
             .groupBy("canon_url")
-            .agg(F.expr("min_by(host, url)").alias("host"),
-                 F.min("url").alias("url")))
+            # keeper = lexicographic min (url, host) PAIR: min_by(host,
+            # url) is tie-nondeterministic when two hosts' sitemaps list
+            # the identical loc (review finding) — the struct min is a
+            # total order in both engines
+            .agg(F.min(F.struct("url", "host")).alias("_k"))
+            .select("canon_url", F.col("_k.host").alias("host"),
+                    F.col("_k.url").alias("url")))
     if seen is None:
         return cand.select("host", "url", "canon_url")
     seen_canon = seen.select(
@@ -212,7 +223,8 @@ def discover_from_sitemaps_sql_duck(entries_table: str,
     return f"""
     WITH cand AS (SELECT host, loc AS url, {canon} AS canon_url
                   FROM {entries_table} WHERE kind = 'url'),
-    ded AS (SELECT canon_url, arg_min(host, url) AS host,
+    ded AS (SELECT canon_url,
+                   (min(struct_pack(u := url, h := host))).h AS host,
                    min(url) AS url
             FROM cand WHERE canon_url IS NOT NULL GROUP BY canon_url)
     SELECT host, url, canon_url FROM ded{anti}"""

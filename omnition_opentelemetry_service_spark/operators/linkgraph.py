@@ -112,12 +112,16 @@ def host_edges(pages: DataFrame, url_col: str = "url",
                html_col: str = "html") -> DataFrame:
     """DISTINCT (src_host, dst_host) over canonical hosts. Relative hrefs
     canonicalize to '' (no authority) and are dropped with self-loops —
-    a relative link IS a self-link. One hash-agg exchange."""
+    a relative link IS a self-link. Non-fetchable schemes (mailto:,
+    javascript:, tel:, data:) are dropped BEFORE host extraction: they
+    parse to junk hosts through URL_PAT and would earn PageRank mass
+    (review finding). One hash-agg exchange."""
     return (pages
             .select(ur.url_host(url_col).alias("src_host"),
                     F.explode(F.expr(
                         f"regexp_extract_all({html_col}, '{LINK_RX}', 1)"))
                     .alias("href"))
+            .filter(ur.is_fetchable("href"))
             .select("src_host", ur.url_host("href").alias("dst_host"))
             .filter(_EDGE_PRED)
             .distinct())
@@ -131,7 +135,8 @@ def host_edges_sql_duck(pages_sql: str, url_col: str = "url",
                  {ur.url_host_sql_duck('href')} AS dst_host
           FROM (SELECT {url_col}, unnest(regexp_extract_all({html_col},
                        '{LINK_RX}', 1)) AS href
-                FROM ({pages_sql}) pg) lx) ed
+                FROM ({pages_sql}) pg) lx
+          WHERE {ur.is_fetchable_sql_duck('href')}) ed
     WHERE {_EDGE_PRED}"""
 
 

@@ -83,6 +83,12 @@ def index_stats(docs: DataFrame, text_col: str = "text") -> tuple[int, int]:
     if int(row["n"]) == 0:
         raise ValueError("empty corpus has no BM25 statistics "
                          "(index_stats needs at least one document)")
+    if row["sdl"] is None or int(row["sdl"]) == 0:
+        # non-empty corpus whose every text is NULL sums size() to NULL
+        # (ANSI): int(None) crashed opaquely, and a 0 avgdl would divide
+        # downstream — same contract style as the empty-corpus guard
+        raise ValueError("corpus has no tokens (all texts NULL/empty) — "
+                         "no BM25 statistics")
     return int(row["n"]), int(row["sdl"])
 
 

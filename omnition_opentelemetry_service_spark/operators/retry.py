@@ -37,8 +37,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # md5-prefix string hash, exact cross-engine twin (operators/dedup.py:43)
-_XH_SPARK = "CAST(conv(substring(md5({s}), 1, 8), 16, 10) AS BIGINT)"
-_XH_DUCK = "CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
+# the canonical md5-prefix hash pair lives in dedup.py — import, never
+# re-spell (one definition per engine; a future widening must reach every
+# consumer, review finding)
+from .dedup import _XH_DUCK, _XH_SPARK  # noqa: E402
 
 
 def _check_params(base_delay: float, factor: float, max_backoff: float,

@@ -208,3 +208,29 @@ def url_fixture_sql(id_col: str = "doc_id") -> str:
       WHEN {id_col} % 7 = 5 THEN concat('http://crawler@site', {h}, '.example.com/other/p', {p})
       ELSE concat('HTTP://Site', {h}, '.Example.COM/plain/p', {p})
     END"""
+
+
+# -- fetchability gate ----------------------------------------------------------
+# Only absolute http(s) URLs are crawl candidates. Everything else an
+# <a href> can carry — mailto:, javascript:, tel:, data:, ftp:// — parses
+# to a junk "host" through URL_PAT (its authority group tolerates
+# schemeless forms, so 'mailto:bob@e.com' yields host 'e.com'), pollutes
+# host_edges/host_rank, and earns frontier budget it can never use.
+# Discovery must gate on this BEFORE host extraction. (?i) is shared
+# regex syntax (java.util.regex and RE2 agree).
+FETCHABLE_RX = "(?i)^https?://"
+
+
+def is_fetchable(col: str = "url") -> Column:
+    return F.expr(_fetchable_sql(col, "spark"))
+
+
+def is_fetchable_sql_duck(col: str = "url") -> str:
+    return _fetchable_sql(col, "duck")
+
+
+def _fetchable_sql(col: str, engine: str) -> str:
+    s = _SYNTAX[engine]
+    t = s["trim"].format(x=col)
+    m = s["match"].format(x=t, p=FETCHABLE_RX)
+    return f"CASE WHEN {col} IS NULL THEN false ELSE {m} END"

@@ -205,14 +205,22 @@ def parse_warc(files: DataFrame, file_col: str = "warc_file",
             for fname, data in zip(pdf[file_col], pdf[data_col]):
                 for rec in decode_warc(bytes(data)):
                     status, body = None, rec["payload"]
+                    # mime = the PAYLOAD's media type: for responses the
+                    # HTTP Content-Type header (the envelope type is the
+                    # constant 'application/http; msgtype=response' for
+                    # every response record — carrying it instead threw
+                    # the actual media type away; review finding).
+                    mime = rec["content_type"]
                     if rec["warc_type"] == "response":
-                        status, _, body = split_http_response(rec["payload"])
+                        status, hdrs, body = split_http_response(
+                            rec["payload"])
+                        mime = hdrs.get("content-type", mime)
                     rows.append({
                         "warc_file": fname, "rec_offset": rec["offset"],
                         "warc_type": rec["warc_type"],
                         "rec_id": rec["rec_id"], "url": rec["target_uri"],
                         "http_status": status,
-                        "mime": rec["content_type"], "body": body,
+                        "mime": mime, "body": body,
                     })
             yield pd.DataFrame(rows, columns=[
                 "warc_file", "rec_offset", "warc_type", "rec_id", "url",
@@ -243,8 +251,13 @@ def fetch_drop_pred() -> "F.Column":
     """The predicate warc_to_docs filters on, exposed so jobs can hang a
     received/dropped Observation on the parse output (obsreport
     discipline: counters ride the pass, they don't add one)."""
+    # text/* only now that mime is the real HTTP Content-Type: a 200
+    # image/png body cast to "html" would feed binary bytes into the HTML
+    # strip (mime was formerly the constant WARC envelope type, making a
+    # media-type gate impossible — review finding)
     return ~((F.col("warc_type") == "response")
-             & (F.col("http_status") == 200))
+             & (F.col("http_status") == 200)
+             & F.col("mime").startswith("text/"))
 
 
 def load_warc_docs(spark, path: str, source: str = "warc",

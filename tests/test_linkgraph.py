@@ -222,3 +222,26 @@ def test_rank_plan_no_data_cartesian(spark):
     # the full operator still runs green end-to-end with checkpointing
     assert lg.host_rank(edges, iters=2).count() > 0
     spark.catalog.clearCache()
+
+
+def test_non_fetchable_schemes_never_become_hosts(spark):
+    """mailto:/javascript:/tel:/data: hrefs must not mint graph hosts or
+    frontier candidates — URL_PAT's tolerant authority group would parse
+    them to junk hosts (review finding)."""
+    html = ('<a href="mailto:bob@example.com">m</a>'
+            '<a href="javascript:void(0)">j</a>'
+            '<a href="tel:+15551234567">t</a>'
+            '<a href="data:text/plain;base64,aGk=">d</a>'
+            '<a href="https://real.com/page">ok</a>')
+    pages = spark.createDataFrame(
+        [("http://src.com/a", html)], "url string, html string")
+    edges = lg.host_edges(pages).collect()
+    assert {(e.src_host, e.dst_host) for e in edges} == \
+        {("src.com", "real.com")}
+
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (url VARCHAR, html VARCHAR)")
+    con.execute("INSERT INTO p VALUES (?, ?)", ["http://src.com/a", html])
+    got = con.execute(lg.host_edges_sql_duck("SELECT * FROM p")).fetchall()
+    assert set(got) == {("src.com", "real.com")}

@@ -105,3 +105,16 @@ def test_query_prunes_term_partitions(spark, docs, tmp_path):
     plan = (ps.bm25_topk(idx, *ps.index_stats(docs), ["fox", "spark"], k=3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan and "IN (fox,spark)" in plan
+
+
+def test_index_stats_all_null_text_is_contract_error(spark):
+    """Non-empty corpus, every text NULL: a clear ValueError, not
+    int(None) (review finding)."""
+    import pytest
+
+    from omnition_opentelemetry_service_spark.operators import postings as po
+
+    df = spark.createDataFrame([(1, None), (2, None)],
+                               "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        po.index_stats(df)
