@@ -156,7 +156,9 @@ def encode_bpe(docs: DataFrame, merges: list[tuple[str, str]],
 
         for pdf in it:
             ids, pieces = [], []
-            for did, t in zip(pdf[id_col], pdf[text_col]):
+            # the input select aliases id_col to "doc_id" — read that name,
+            # not id_col (KeyError for any non-default id_col otherwise)
+            for did, t in zip(pdf["doc_id"], pdf[text_col]):
                 if t is None:
                     ids.append(did)
                     pieces.append(None)  # NULL text → NULL pieces (the

@@ -431,6 +431,70 @@ def _token_grams_sql_duck(k: int, tokens_col: str) -> str:
     )
 
 
+def token_contamination_check(seqs: DataFrame, benchmark: DataFrame,
+                              k: int = 8, id_col: str = "doc_id",
+                              tokens_col: str = "tokens") -> DataFrame:
+    """Benchmark decontamination on the NORTH-STAR token shape: per
+    sequence, the count of distinct k-TOKEN windows shared with an eval
+    benchmark's sequences → (doc_id, n_grams, n_contaminated,
+    contamination_frac). The token-grain twin of contamination_check —
+    post-tokenization pipelines must decontaminate the table they actually
+    train on (word-grain overlap misses tokenizer-boundary paraphrases of
+    an eval answer; the eval set is tokenized with the SAME vocab).
+
+    Shape at scale: the benchmark side is eval-set-sized (KBs–MBs) → its
+    distinct window set BROADCASTS; the corpus side is one scan + explode
+    + broadcast left join + per-doc count — corpus windows never shuffle
+    against each other, never doc×doc. Sequences shorter than k have no
+    windows in either engine and yield no row (they cannot be
+    contaminated). Window identity is _token_grams_expr's space-joined
+    string (ONE definition per engine; the 100 TB variant keys by xxhash64
+    of the same string)."""
+    doc_grams = seqs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(
+            F.expr(_token_grams_expr(k, tokens_col)))).alias("gram"))
+    bench_grams = (
+        benchmark.select(F.explode(F.array_distinct(
+            F.expr(_token_grams_expr(k, tokens_col)))).alias("gram"))
+        .distinct().withColumn("hit", F.lit(1)))
+    joined = doc_grams.join(broadcast(bench_grams), "gram", "left")
+    return (
+        joined.groupBy(F.col("id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint")
+             .alias("n_contaminated"))
+        .withColumn("contamination_frac",
+                    F.round(F.col("n_contaminated") / F.col("n_grams"), 6)))
+
+
+def token_contamination_sql_duck(seqs_cte: str, bench_pred: str,
+                                 k: int = 8, id_col: str = "doc_id",
+                                 tokens_col: str = "tokens") -> str:
+    """DuckDB twin over a ``seq`` CTE (duck_prelude shape); ``bench_pred``
+    selects the benchmark slice by the same deterministic predicate in
+    both engines (evaluated against seq's own columns, e.g. seq_no)."""
+    return f"""{seqs_cte},
+    tg AS (
+      SELECT {id_col} AS id, ({bench_pred}) AS is_bench,
+             list_distinct({_token_grams_sql_duck(k, tokens_col)}) AS grams
+      FROM seq
+    ), doc_grams AS (
+      SELECT id, unnest(grams) AS gram FROM tg
+    ), bench_grams AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM tg WHERE is_bench
+    )
+    SELECT d.id AS {id_col},
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_contaminated,
+           round(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) * 1.0
+                 / count(*), 6) AS contamination_frac
+    FROM doc_grams d LEFT JOIN bench_grams b USING (gram)
+    GROUP BY 1
+    """
+
+
 def token_span_counts(seqs: DataFrame, k: int = 8, id_col: str = "doc_id",
                       tokens_col: str = "tokens") -> DataFrame:
     """(id, gram, c) — distinct k-token windows per sequence with in-sequence

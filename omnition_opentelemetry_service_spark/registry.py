@@ -1156,6 +1156,21 @@ def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        tx.char_entropy("text").alias("entropy"))
 
 
+# token-grain decontamination: benchmark = the deterministic seq_no % 97
+# slice of the SAME fixture table (non-vacuous by construction — slice
+# members score contamination_frac 1.0), mirroring the word-grain
+# contamination twin's bench_pred convention (seq_no, not doc_id: the
+# sequence fixture's doc_id is a STRING).
+_TOKCONTAM_PRED = "seq_no % 97 = 0"
+_TOKCONTAM_K = 8
+
+
+def q_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs = fx.sequences(spark, _n(sf_dir))
+    return cp.token_contamination_check(
+        seqs, seqs.filter(_TOKCONTAM_PRED), k=_TOKCONTAM_K)
+
+
 _LEAK_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -1669,6 +1684,7 @@ def _extra_queries_pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "fim_docs": q_fim_docs,
         "split_leakage": q_split_leakage,
         "char_entropy_docs": q_char_entropy_docs,
+        "token_contamination": q_token_contamination,
         "quarantined_rows": q_quarantined_rows,
         "union_two_receivers": q_union_two_receivers,
         "ivf_cell_sizes": q_ivf_cell_sizes,
@@ -1965,6 +1981,9 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
         f"SELECT doc_id, url, {ur.canonical_url_sql_duck('url')} AS canon_url "
         f"FROM ({_url_fx})")
     o["url_dedup_groups"] = ur.url_dedup_groups_sql_duck(_url_fx)
+
+    o["token_contamination"] = cp.token_contamination_sql_duck(
+        pre, _TOKCONTAM_PRED, k=_TOKCONTAM_K)
 
     return o
 

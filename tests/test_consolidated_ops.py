@@ -44,7 +44,7 @@ def test_extras_full_oracle_hash_parity(spark):
         "minhash_quality", "normalized_docs", "skew_report", "heavy_keys",
         "warc_docs", "robots_docs", "crawl_delay_hosts", "sitemap_hosts",
         "sitemap_entries", "sitemap_discover",
-        "retry_outcomes", "worker_queue_load",
+        "retry_outcomes", "worker_queue_load", "token_contamination",
         "host_link_edges", "host_link_degrees",
         "term_postings",
         "crawl_budget", "budgeted_frontier", "anchor_profiles",

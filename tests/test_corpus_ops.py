@@ -439,3 +439,46 @@ def test_char_entropy_matches_duckdb_and_model(spark):
         want = round(-sum((c / n) * math.log2(c / n)
                           for c in Counter(t).values()), 6)
         assert got[i] is not None and abs(got[i] - want) < 2e-6, t
+
+
+# ---------------------------------------------------------------------------
+# token-grain decontamination (token_contamination_check): value parity is
+# pinned by the extras gate (test_consolidated_ops at sf0.01); here the
+# semantics — self-flagging, row coverage, broadcast plan — on fixtures.
+# ---------------------------------------------------------------------------
+def test_token_contamination_self_flagged_and_covered(spark):
+    from omnition_opentelemetry_service_spark import fixtures as fx
+
+    seqs = fx.sequences(spark, 400)
+    bench = seqs.filter(F.col("seq_no") % 97 == 0)
+    out = corpus.token_contamination_check(seqs, bench, k=8)
+    # every sequence has n_tok >= 16 >= k, so every row is scored
+    assert out.count() == 400
+    self_rows = (out.join(bench.select("doc_id"), "doc_id")
+                 .select("contamination_frac").collect())
+    assert len(self_rows) == bench.count() > 0
+    assert all(r.contamination_frac == 1.0 for r in self_rows)
+    # fractions are well-formed
+    bad = out.filter("contamination_frac < 0 OR contamination_frac > 1 "
+                     "OR n_contaminated > n_grams").count()
+    assert bad == 0
+
+
+def test_token_contamination_short_seqs_unscored(spark):
+    df = spark.createDataFrame(
+        [("a", list(range(4))), ("b", list(range(12)))],
+        "doc_id string, tokens array<int>")
+    out = corpus.token_contamination_check(df, df.limit(0), k=8)
+    got = {r.doc_id for r in out.collect()}
+    assert got == {"b"}  # 4 < k: no windows, no row (cannot be contaminated)
+
+
+def test_token_contamination_plan_broadcasts_benchmark(spark):
+    from omnition_opentelemetry_service_spark import fixtures as fx
+
+    seqs = fx.sequences(spark, 400)
+    bench = seqs.filter(F.col("seq_no") % 97 == 0)
+    plan = (corpus.token_contamination_check(seqs, bench, k=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -56,7 +56,8 @@ def test_pandas_udfs_only_where_declared():
                "media_codecs.py",  # docstring names mapInPandas; pure codecs
                "bpe.py",  # encode_bpe: memoized merge loop per Arrow batch
                "normalize.py",  # NFC: pd.Series.str.normalize per batch
-               "warc.py"}  # parse_warc: opaque archive buffers per batch
+               "warc.py",  # parse_warc: opaque archive buffers per batch
+               "unigram.py"}  # encode/detok: memoized Viterbi per batch
     hits = []
     for p, src in _sources():
         if ("mapInPandas" in src or "pandas_udf" in src) and \
