@@ -316,6 +316,10 @@ def main() -> None:
                     help="with --input-docs: train a learned BPE of this "
                          "many merges on the input (operators/bpe) and "
                          "tokenize with it instead of the regex hash vocab")
+    ap.add_argument("--unigram-vocab", type=int, default=None,
+                    help="with --input-docs: train a unigram-LM tokenizer "
+                         "of this piece-vocab size on the input "
+                         "(operators/unigram) and tokenize with it")
     ap.add_argument("--out", required=True)
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--shards", type=int, default=64)
@@ -350,6 +354,12 @@ def main() -> None:
     if args.bpe_merges is not None and args.input_docs is None:
         raise SystemExit("--bpe-merges requires --input-docs (it trains the "
                          "tokenizer on the raw text being ingested)")
+    if args.unigram_vocab is not None and args.input_docs is None:
+        raise SystemExit("--unigram-vocab requires --input-docs (it trains "
+                         "the tokenizer on the raw text being ingested)")
+    if args.unigram_vocab is not None and args.bpe_merges is not None:
+        raise SystemExit("--bpe-merges and --unigram-vocab are exclusive "
+                         "(one tokenizer per release)")
     if (args.dsir_target is None) != (args.dsir_keep is None):
         raise SystemExit("--dsir-target and --dsir-keep go together")
     if args.dsir_target is not None and args.input_docs is None:
@@ -408,6 +418,16 @@ def main() -> None:
                 tokenized = bpe.tokenize_documents_bpe(docs, merges)
                 input_token = (f"docs={args.input_docs}"
                                f"|bpe={args.bpe_merges}")
+            elif args.unigram_vocab is not None:
+                from omnition_opentelemetry_service_spark.operators import (
+                    unigram,
+                )
+
+                model = unigram.train_unigram(
+                    docs, vocab_size=args.unigram_vocab)
+                tokenized = unigram.tokenize_documents_unigram(docs, model)
+                input_token = (f"docs={args.input_docs}"
+                               f"|unigram={args.unigram_vocab}")
             else:
                 tokenized = tokenize_documents(docs)
                 input_token = f"docs={args.input_docs}"

@@ -85,3 +85,62 @@ def tokenize_documents_sql_duck(rel: str = "documents",
         f"SELECT {id_col} AS doc_id, {toks} AS tokens, "
         f"CAST(len({toks}) AS INT) AS n_tok, {src} AS source FROM {rel}"
     )
+
+def tokenizer_fertility(docs: DataFrame, source_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Per-source tokenizer evaluation — the fertility/compression report
+    every tokenizer change ships with: (source, n_docs, n_words, n_pieces,
+    n_chars, fertility, chars_per_piece). ``fertility`` = pieces per
+    whitespace word (≈1 for English with a good vocab, rises on
+    out-of-domain text); ``chars_per_piece`` = compression (bytes-per-token
+    proxy). Pieces are the PIECE_RX segmentation — the identical character
+    classes the hash vocab, the BPE estimate, and the quality gates use
+    (one definition per engine, functions/text.PIECE_RX).
+
+    Shape at scale: one scan, map-side-combinable sums, one source-bounded
+    exchange — the same shape as every stats pass here. NULL-text rows are
+    quarantine rows and are excluded in both engines."""
+    from ..functions.text import bpe_token_estimate, token_count
+
+    agg = (docs.filter(F.col(text_col).isNotNull())
+           .groupBy(source_col)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(token_count(text_col)).cast("bigint").alias("n_words"),
+                F.sum(bpe_token_estimate(text_col)).cast("bigint")
+                .alias("n_pieces"),
+                F.sum(F.length(text_col)).cast("bigint").alias("n_chars")))
+    return agg.select(
+        source_col, "n_docs", "n_words", "n_pieces", "n_chars",
+        F.when(F.col("n_words") > 0,
+               F.round(F.col("n_pieces") / F.col("n_words"), 6))
+        .alias("fertility"),
+        F.when(F.col("n_pieces") > 0,
+               F.round(F.col("n_chars") / F.col("n_pieces"), 6))
+        .alias("chars_per_piece"))
+
+
+def tokenizer_fertility_sql_duck(rel: str = "documents",
+                                 source_col: str = "source",
+                                 text_col: str = "text") -> str:
+    from ..functions.text import (bpe_token_estimate_sql_duck,
+                                  token_count_sql_duck)
+
+    w = token_count_sql_duck(text_col)
+    p = bpe_token_estimate_sql_duck(text_col)
+    return f"""
+    WITH agg AS (
+      SELECT {source_col},
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum({w}) AS BIGINT) AS n_words,
+             CAST(sum({p}) AS BIGINT) AS n_pieces,
+             CAST(sum(length({text_col})) AS BIGINT) AS n_chars
+      FROM {rel} WHERE {text_col} IS NOT NULL
+      GROUP BY {source_col})
+    SELECT {source_col}, n_docs, n_words, n_pieces, n_chars,
+           CASE WHEN n_words > 0
+                THEN round(n_pieces * 1.0 / n_words, 6) END AS fertility,
+           CASE WHEN n_pieces > 0
+                THEN round(n_chars * 1.0 / n_pieces, 6) END
+             AS chars_per_piece
+    FROM agg
+    """

@@ -1171,6 +1171,12 @@ def q_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         seqs, seqs.filter(_TOKCONTAM_PRED), k=_TOKCONTAM_K)
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import tokenize as tkz
+
+    return tkz.tokenizer_fertility(load(spark, sf_dir, "documents"))
+
+
 _LEAK_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -1685,6 +1691,7 @@ def _extra_queries_pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "split_leakage": q_split_leakage,
         "char_entropy_docs": q_char_entropy_docs,
         "token_contamination": q_token_contamination,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "quarantined_rows": q_quarantined_rows,
         "union_two_receivers": q_union_two_receivers,
         "ivf_cell_sizes": q_ivf_cell_sizes,
@@ -1984,6 +1991,10 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
 
     o["token_contamination"] = cp.token_contamination_sql_duck(
         pre, _TOKCONTAM_PRED, k=_TOKCONTAM_K)
+
+    from .operators import tokenize as tkz
+
+    o["tokenizer_fertility"] = tkz.tokenizer_fertility_sql_duck("documents")
 
     return o
 

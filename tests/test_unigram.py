@@ -198,3 +198,38 @@ def test_fuzz_driver_reconstruction(text):
         bw = unigram.BOUNDARY + w
         pieces = unigram.viterbi_pieces(bw, logp, max_len, unk)
         assert "".join(pieces) == bw
+
+
+def test_make_release_cli_with_unigram(spark, tmp_path):
+    """jobs/make_release.py --unigram-vocab: raw text → learned unigram
+    tokenize → full release, end-to-end through the CLI (the --bpe-merges
+    twin path); exclusivity of the two learned tokenizers is rejected."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    docs_pq = str(tmp_path / "docs.parquet")
+    out_dir = str(tmp_path / "rel")
+    rows = [(i, f"doc {i} body words repeat repeat {i % 4}", "web")
+            for i in range(60)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string").write.parquet(docs_pq)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "make_release.py"),
+         "--input-docs", docs_pq, "--unigram-vocab", "48",
+         "--out", out_dir, "--budget", "64", "--shards", "4",
+         "--parallelism", "4"],
+        capture_output=True, text=True, timeout=300, cwd=repo)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert sum(v[0] for v in rep["per_split"].values()) == 60
+
+    bad = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "make_release.py"),
+         "--input-docs", docs_pq, "--unigram-vocab", "48",
+         "--bpe-merges", "20", "--out", str(tmp_path / "never")],
+        capture_output=True, text=True, timeout=60, cwd=repo)
+    assert bad.returncode != 0
+    assert "exclusive" in bad.stderr
