@@ -56,6 +56,10 @@ def reshard_release(spark, in_dir: str, out_dir: str, n_shards: int) -> dict:
         write_release(df, out_dir, n_shards)
     meta = dict(manifest)
     meta["resharded_from"] = manifest["n_shards"]
+    # full provenance chain: chained reshards append, so the canonical
+    # original's shard count stays recoverable from any descendant
+    meta["reshard_history"] = (manifest.get("reshard_history", [])
+                               + [manifest["n_shards"]])
     meta["n_shards"] = n_shards
     write_manifest(out_dir, meta)
     return meta

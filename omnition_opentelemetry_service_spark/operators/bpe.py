@@ -122,18 +122,24 @@ def apply_merges(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return sym
 
 
-def encode_bpe(docs: DataFrame, merges: list[tuple[str, str]],
-               id_col: str = "doc_id", text_col: str = "text",
-               passthrough: tuple[str, ...] = ()) -> DataFrame:
-    """(doc_id, pieces array<string>, n_pieces int[, passthrough...]) —
-    one scan, zero shuffle; the merge loop runs once per DISTINCT word per
-    task (memo, same capped pattern as dedup.simhash_signatures_pandas).
-    ``passthrough`` string columns ride the kernel unchanged — threading
-    them through is free, while reattaching them afterwards would be a
-    corpus-sized self-join."""
-    from collections.abc import Iterator
+def encode_pieces(docs: DataFrame, word_pieces_factory,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """THE word-level encode kernel, shared by every learned tokenizer
+    (BPE merges here, unigram Viterbi in operators/unigram.py — one
+    definition of the whitespace split, NULL-text quarantine, memo cap,
+    passthrough threading, and output schema, so the tokenizers can never
+    desynchronize on scaffolding).
 
-    ranks = {p: i for i, p in enumerate(merges)}
+    (doc_id, pieces array<string>, n_pieces int[, passthrough...]) — one
+    scan, zero shuffle. ``word_pieces_factory()`` is called ONCE PER TASK
+    and returns the word → pieces callable; the shared memo wrapper makes
+    it run once per DISTINCT word per task (the
+    dedup.simhash_signatures_pandas memoization pattern — web corpora
+    repeat words heavily). ``passthrough`` string columns ride the kernel
+    unchanged — threading them through is free, while reattaching them
+    afterwards would be a corpus-sized self-join."""
+    from collections.abc import Iterator
 
     def enc(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import re
@@ -143,6 +149,7 @@ def encode_bpe(docs: DataFrame, merges: list[tuple[str, str]],
         from ..functions.text import lower_fold_py
 
         ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        word_fn = word_pieces_factory()
         memo: dict[str, list[str]] = {}
 
         def word_pieces(w: str) -> list[str]:
@@ -150,7 +157,7 @@ def encode_bpe(docs: DataFrame, merges: list[tuple[str, str]],
             if got is None:
                 if len(memo) > 1_000_000:
                     memo.clear()
-                got = apply_merges(w, ranks)
+                got = word_fn(w)
                 memo[w] = got
             return got
 
@@ -190,6 +197,34 @@ def encode_bpe(docs: DataFrame, merges: list[tuple[str, str]],
         enc, schema=f"doc_id bigint, pieces array<string>, n_pieces int{extra}")
 
 
+def pieces_to_sequences(pieces: DataFrame, vocab_size: int,
+                        source_col: str, has_src: bool) -> DataFrame:
+    """pieces → the BASELINE.json sequence shape under the md5-prefix
+    hash-vocab id rule (_TOKEN_ID_SQL — one definition, shared by every
+    tokenizer's tokenize_documents_*)."""
+    toks = F.expr(
+        "transform(pieces, p -> "
+        + _TOKEN_ID_SQL.format(col="p", vocab_size=vocab_size) + ")")
+    return pieces.select(
+        "doc_id", toks.alias("tokens"),
+        F.col("n_pieces").alias("n_tok"),
+        (F.col(source_col) if has_src else F.lit("docs")).alias("source"))
+
+
+def encode_bpe(docs: DataFrame, merges: list[tuple[str, str]],
+               id_col: str = "doc_id", text_col: str = "text",
+               passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """BPE instantiation of encode_pieces: the merge loop runs once per
+    DISTINCT word per task (shared memo)."""
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def factory():
+        return lambda w: apply_merges(w, ranks)
+
+    return encode_pieces(docs, factory, id_col=id_col, text_col=text_col,
+                         passthrough=passthrough)
+
+
 def tokenize_documents_bpe(docs: DataFrame, merges: list[tuple[str, str]],
                            vocab_size: int = 65_536,
                            id_col: str = "doc_id",
@@ -204,13 +239,7 @@ def tokenize_documents_bpe(docs: DataFrame, merges: list[tuple[str, str]],
     has_src = source_col in docs.columns
     pieces = encode_bpe(docs, merges, id_col=id_col, text_col=text_col,
                         passthrough=(source_col,) if has_src else ())
-    toks = F.expr(
-        "transform(pieces, p -> "
-        + _TOKEN_ID_SQL.format(col="p", vocab_size=vocab_size) + ")")
-    return pieces.select(
-        "doc_id", toks.alias("tokens"),
-        F.col("n_pieces").alias("n_tok"),
-        (F.col(source_col) if has_src else F.lit("docs")).alias("source"))
+    return pieces_to_sequences(pieces, vocab_size, source_col, has_src)
 
 
 _TOKEN_ID_SQL = ("CAST(CAST(conv(substring(md5({col}), 1, 8), 16, 10) "

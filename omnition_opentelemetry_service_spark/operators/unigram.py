@@ -141,12 +141,11 @@ def corpus_loglik(words: list[tuple[str, int]], logp: dict[str, float],
     return total
 
 
-def em_step(words: list[tuple[str, int]], logp: dict[str, float],
-            max_len: int) -> dict[str, float]:
-    """One EM round: expected piece counts by forward-backward, then the
-    closed-form M-step re-normalization. Pieces whose expected count hits
-    exactly zero drop out UNLESS single chars (coverage floor: they keep
-    an epsilon so every word stays spellable)."""
+def _expected_counts(words: list[tuple[str, int]], logp: dict[str, float],
+                     max_len: int) -> dict[str, float]:
+    """E-step: expected piece counts by forward-backward over every pool
+    word's segmentation lattice — the ONE numerically sensitive
+    accumulation, shared by em_step and _prune."""
     exp_cnt: dict[str, float] = {p: 0.0 for p in logp}
     for w, c in words:
         n = len(w)
@@ -163,6 +162,16 @@ def em_step(words: list[tuple[str, int]], logp: dict[str, float],
                 if lp is not None and beta[j] > -math.inf:
                     exp_cnt[w[i:j]] += c * math.exp(
                         alpha[i] + lp + beta[j] - z)
+    return exp_cnt
+
+
+def em_step(words: list[tuple[str, int]], logp: dict[str, float],
+            max_len: int) -> dict[str, float]:
+    """One EM round: expected piece counts by forward-backward, then the
+    closed-form M-step re-normalization. Pieces whose expected count hits
+    exactly zero drop out UNLESS single chars (coverage floor: they keep
+    an epsilon so every word stays spellable)."""
+    exp_cnt = _expected_counts(words, logp, max_len)
     floor = min((v for v in exp_cnt.values() if v > 0.0), default=1.0) * 1e-6
     kept = {p: (v if v > 0.0 else (floor if len(p) == 1 else 0.0))
             for p, v in exp_cnt.items()}
@@ -173,23 +182,10 @@ def _prune(words: list[tuple[str, int]], logp: dict[str, float],
            max_len: int, keep: int) -> dict[str, float]:
     """Drop the lowest-expected-count multi-char pieces until ``keep``
     remain (singles never drop). Tie-break (cnt asc, piece desc) so the
-    SURVIVOR set is deterministic."""
-    exp_cnt: dict[str, float] = {p: 0.0 for p in logp}
-    for w, c in words:
-        n = len(w)
-        alpha = _forward(w, logp, max_len)
-        z = alpha[n]
-        if z == -math.inf:
-            continue
-        beta = _backward(w, logp, max_len)
-        for i in range(n):
-            if alpha[i] == -math.inf:
-                continue
-            for j in range(i + 1, min(i + max_len, n) + 1):
-                lp = logp.get(w[i:j])
-                if lp is not None and beta[j] > -math.inf:
-                    exp_cnt[w[i:j]] += c * math.exp(
-                        alpha[i] + lp + beta[j] - z)
+    SURVIVOR set is deterministic. Counts are recomputed under the
+    CURRENT (post-EM) probs — ranking under stale pre-M-step counts would
+    prune a different set."""
+    exp_cnt = _expected_counts(words, logp, max_len)
     multi = sorted(((p, v) for p, v in exp_cnt.items() if len(p) > 1),
                    key=lambda kv: (kv[1], kv[0]), reverse=True)
     n_singles = sum(1 for p in logp if len(p) == 1)
@@ -273,68 +269,18 @@ def model_unk_logp(model: list[tuple[str, float]]) -> float:
 def encode_unigram(docs: DataFrame, model: list[tuple[str, float]],
                    id_col: str = "doc_id", text_col: str = "text",
                    passthrough: tuple[str, ...] = ()) -> DataFrame:
-    """(doc_id, pieces array<string>, n_pieces int[, passthrough...]) —
-    one scan, zero shuffle; Viterbi runs once per DISTINCT word per task
-    (memo). NULL text → NULL pieces (the quarantine convention).
-    ``passthrough`` string columns ride the kernel unchanged (same
-    contract as bpe.encode_bpe)."""
-    from collections.abc import Iterator
-
+    """Unigram instantiation of bpe.encode_pieces (the ONE shared
+    word-level kernel — whitespace split, NULL-text quarantine, memo cap,
+    passthrough, schema): Viterbi runs once per DISTINCT word per task."""
     logp = dict(model)
     max_len = max(len(p) for p in logp)
     unk = model_unk_logp(model)
 
-    def enc(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import re
+    def factory():
+        return lambda w: viterbi_pieces(BOUNDARY + w, logp, max_len, unk)
 
-        import pandas as pd
-
-        from ..functions.text import lower_fold_py
-
-        ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
-        memo: dict[str, list[str]] = {}
-
-        def word_pieces(w: str) -> list[str]:
-            got = memo.get(w)
-            if got is None:
-                if len(memo) > 1_000_000:
-                    memo.clear()
-                got = viterbi_pieces(BOUNDARY + w, logp, max_len, unk)
-                memo[w] = got
-            return got
-
-        for pdf in it:
-            ids, pieces = [], []
-            for did, t in zip(pdf["doc_id"], pdf[text_col]):
-                if t is None:
-                    ids.append(did)
-                    pieces.append(None)
-                    continue
-                ws = [w for w in ascii_ws.split(
-                    lower_fold_py(t.strip(" "))) if w]
-                out: list[str] = []
-                for w in ws:
-                    out.extend(word_pieces(w))
-                ids.append(did)
-                pieces.append(out)
-            cols = {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "pieces": pieces,
-                "n_pieces": pd.Series(
-                    [len(p) if p is not None else None for p in pieces],
-                    dtype="Int32"),
-            }
-            for c in passthrough:
-                cols[c] = pdf[c]
-            yield pd.DataFrame(cols)
-
-    from .widen import widen_if_narrow
-
-    extra = "".join(f", {c} string" for c in passthrough)
-    return widen_if_narrow(docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col),
-        *[F.col(c) for c in passthrough])).mapInPandas(
-        enc, schema=f"doc_id bigint, pieces array<string>, n_pieces int{extra}")
+    return bpe.encode_pieces(docs, factory, id_col=id_col,
+                             text_col=text_col, passthrough=passthrough)
 
 
 # ---------------------------------------------------------------------------
@@ -373,13 +319,7 @@ def tokenize_documents_unigram(docs: DataFrame,
     has_src = source_col in docs.columns
     pieces = encode_unigram(docs, model, id_col=id_col, text_col=text_col,
                             passthrough=(source_col,) if has_src else ())
-    toks = F.expr(
-        "transform(pieces, p -> "
-        + bpe._TOKEN_ID_SQL.format(col="p", vocab_size=vocab_size) + ")")
-    return pieces.select(
-        "doc_id", toks.alias("tokens"),
-        F.col("n_pieces").alias("n_tok"),
-        (F.col(source_col) if has_src else F.lit("docs")).alias("source"))
+    return bpe.pieces_to_sequences(pieces, vocab_size, source_col, has_src)
 
 
 def detokenize_unigram(seqs: DataFrame, model: list[tuple[str, float]],

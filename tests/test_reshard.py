@@ -119,11 +119,19 @@ def test_reshard_rerun_byte_identical(spark, tmp_path):
     assert a == b
 
 
-def test_reshard_manifest_provenance(spark, tmp_path):
+def test_reshard_manifest_provenance_chain(spark, tmp_path):
     src = _fresh(spark, tmp_path, "rows")
     out = str(tmp_path / "prov")
     reshard_release(spark, src, out, 8)
     src_meta, got = read_manifest(src), read_manifest(out)
     assert got["resharded_from"] == 4 and got["n_shards"] == 8
+    assert got["reshard_history"] == [4]
     assert got["per_split"] == src_meta["per_split"]
     assert got["budget"] == src_meta["budget"]
+    # chained reshard keeps the FULL chain, not just the immediate parent
+    out2 = str(tmp_path / "prov2")
+    reshard_release(spark, out, out2, 2)
+    got2 = read_manifest(out2)
+    assert got2["n_shards"] == 2 and got2["resharded_from"] == 8
+    assert got2["reshard_history"] == [4, 8]
+    assert validate(spark, out2)["ok"]
