@@ -246,6 +246,61 @@ def shuffle_shard_sql_duck(n_shards: int = 1024, id_col: str = "doc_id",
     return h, f"({h}) % {n_shards}"
 
 
+# curriculum_ord packs (phase, wide-hash) into one bigint sort key:
+# phase * 2^48 + hash. 2^48 is exactly the wide hash's range, so the
+# packing is collision-free; int64 holds phase ≤ 32767 losslessly.
+WIDE_MOD = 1 << 48
+MAX_PHASE = 32767
+
+
+def curriculum_shards(df: DataFrame, phase_col: str, n_shards: int = 1024,
+                      id_col: str = "doc_id",
+                      seed: str = "s0") -> DataFrame:
+    """Phase-major deterministic shuffle — the CURRICULUM / midtraining-
+    anneal order: adds `shard` (identity hash mod n_shards, exactly
+    shuffle_shards' bucketing) and `curriculum_ord` (phase · 2^48 + wide
+    hash). Within every shard, sorting by curriculum_ord reads ALL
+    phase-0 rows — in one fixed pseudo-random permutation — before any
+    phase-1 row, and so on: each data-parallel rank consumes its shard in
+    curriculum order (broad mix first, the high-quality anneal slice
+    last) with the within-phase order still a hash shuffle.
+
+    Phase assignment is the CALLER's single integer expression — e.g. a
+    literal quality threshold obtained from the GK quantile sketch
+    (sketches.py), the literal-inlined-stats pattern every scorer here
+    uses. Phases outside [0, 32767] raise (packing into int64 would
+    silently corrupt the order otherwise); NULL phase raises too (a row
+    with no phase has no position in the curriculum — quarantine before
+    ordering).
+
+    Scale shape: identical to shuffle_shards — pure projections here; the
+    materialization is ONE exchange on shard + in-partition sort. Shard
+    balance is phase-independent (shard hashes row identity, not phase),
+    so a tiny anneal slice still spreads over every rank."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = mix_hash_wide(id_col, f"shuffle-{seed}")
+    phase = F.expr(
+        f"CASE WHEN {phase_col} IS NULL THEN "
+        f"raise_error('curriculum phase is NULL') "
+        f"WHEN {phase_col} < 0 OR {phase_col} > {MAX_PHASE} THEN "
+        f"raise_error('curriculum phase out of [0, {MAX_PHASE}]') "
+        f"ELSE CAST({phase_col} AS BIGINT) END")
+    return (df.withColumn("curriculum_ord", phase * F.lit(WIDE_MOD) + h)
+              .withColumn("shard", F.pmod(h, F.lit(n_shards))))
+
+
+def curriculum_shard_sql_duck(phase_sql: str, n_shards: int = 1024,
+                              id_col: str = "doc_id",
+                              seed: str = "s0") -> tuple[str, str]:
+    """(curriculum_ord, shard) expression twins for the oracle —
+    ``phase_sql`` is the caller's phase expression (valid inputs only;
+    the Spark-side raise_error guard has no oracle twin by design)."""
+    h = mix_hash_wide_sql_duck(id_col, f"shuffle-{seed}")
+    return (f"(CAST(({phase_sql}) AS BIGINT) * {WIDE_MOD} + ({h}))",
+            f"({h}) % {n_shards}")
+
+
 def materialize_sharded(df: DataFrame, path: str, n_shards: int,
                         partition_cols: tuple[str, ...] = ("shard",),
                         sort_cols: tuple[str, ...] = ("shuffle_ord",)) -> None:

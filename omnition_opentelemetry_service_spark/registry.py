@@ -1177,6 +1177,24 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tkz.tokenizer_fertility(load(spark, sf_dir, "documents"))
 
 
+# curriculum phase threshold: 0.5 sits OUTSIDE quality_score's reachable
+# value set ({0, .3, .4, .6, .7, 1}), so the float comparison can never
+# hit the equality edge (the corpus_filter threshold convention).
+_CURR_THR = 0.5
+_CURR_SHARDS = 16
+
+
+def q_curriculum_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mixture as mx
+
+    docs = load(spark, sf_dir, "documents")
+    phased = docs.select(
+        "doc_id",
+        F.when(tx.quality_score("text") >= _CURR_THR, F.lit(1))
+        .otherwise(F.lit(0)).alias("phase"))
+    return mx.curriculum_shards(phased, "phase", n_shards=_CURR_SHARDS)
+
+
 _LEAK_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -1692,6 +1710,7 @@ def _extra_queries_pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "char_entropy_docs": q_char_entropy_docs,
         "token_contamination": q_token_contamination,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "curriculum_docs": q_curriculum_docs,
         "quarantined_rows": q_quarantined_rows,
         "union_two_receivers": q_union_two_receivers,
         "ivf_cell_sizes": q_ivf_cell_sizes,
@@ -1995,6 +2014,17 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
     from .operators import tokenize as tkz
 
     o["tokenizer_fertility"] = tkz.tokenizer_fertility_sql_duck("documents")
+
+    _c_ord, _c_shard = mx.curriculum_shard_sql_duck(
+        "phase", _CURR_SHARDS, "doc_id")
+    o["curriculum_docs"] = f"""
+    WITH phased AS (
+      SELECT doc_id,
+             CASE WHEN {tx.quality_score_sql_duck('text')} >= {_CURR_THR}
+                  THEN 1 ELSE 0 END AS phase
+      FROM documents)
+    SELECT doc_id, phase, {_c_ord} AS curriculum_ord, {_c_shard} AS shard
+    FROM phased"""
 
     return o
 

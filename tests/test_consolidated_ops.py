@@ -45,7 +45,7 @@ def test_extras_full_oracle_hash_parity(spark):
         "warc_docs", "robots_docs", "crawl_delay_hosts", "sitemap_hosts",
         "sitemap_entries", "sitemap_discover",
         "retry_outcomes", "worker_queue_load", "token_contamination",
-        "tokenizer_fertility",
+        "tokenizer_fertility", "curriculum_docs",
         "host_link_edges", "host_link_degrees",
         "term_postings",
         "crawl_budget", "budgeted_frontier", "anchor_profiles",

@@ -275,3 +275,76 @@ def test_token_budget_rerun_and_salt(spark):
     b2 = sorted(r["doc_id"] for r in
                 mx.select_token_budget(seqs, b, salt="other").collect())
     assert b2 != a1
+
+
+# ---------------------------------------------------------------------------
+# curriculum_shards: phase-major order, phase-independent shard bucketing,
+# within-phase permutation == shuffle_shards', guards. Value parity is the
+# curriculum_docs extras twin (test_consolidated_ops).
+# ---------------------------------------------------------------------------
+def test_curriculum_phase_major_within_shard(spark):
+    from omnition_opentelemetry_service_spark.operators import mixture as mx
+
+    docs = spark.range(500).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") % 3).cast("int").alias("phase"))
+    out = mx.curriculum_shards(docs, "phase", n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.curriculum_ord)
+        phases = [r.phase for r in rows]
+        assert phases == sorted(phases), "curriculum order is phase-major"
+
+
+def test_curriculum_shard_and_order_match_shuffle_shards(spark):
+    from omnition_opentelemetry_service_spark.operators import mixture as mx
+
+    docs = spark.range(300).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") % 2).cast("int").alias("phase"))
+    cur = {r.doc_id: r for r in
+           mx.curriculum_shards(docs, "phase", n_shards=8).collect()}
+    shf = {r.doc_id: r for r in
+           mx.shuffle_shards(docs, n_shards=8).collect()}
+    for did, r in cur.items():
+        s = shf[did]
+        # same bucketing (phase-independent), and the packed ord decomposes
+        # into (phase, the SAME wide hash shuffle_shards uses)
+        assert r.shard == s.shard
+        assert r.curriculum_ord == r.phase * mx.WIDE_MOD + s.shuffle_ord
+
+
+def test_curriculum_deterministic_under_repartition(spark):
+    from omnition_opentelemetry_service_spark.operators import mixture as mx
+
+    docs = spark.range(300).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") % 2).cast("int").alias("phase"))
+    a = sorted(map(tuple, mx.curriculum_shards(
+        docs, "phase", n_shards=8).collect()))
+    b = sorted(map(tuple, mx.curriculum_shards(
+        docs.repartition(13), "phase", n_shards=8).collect()))
+    assert a == b
+
+
+def test_curriculum_guards(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from omnition_opentelemetry_service_spark.operators import mixture as mx
+
+    with pytest.raises(ValueError, match="n_shards"):
+        mx.curriculum_shards(spark.range(1).selectExpr(
+            "CAST(id AS STRING) doc_id", "0 AS phase"), "phase", n_shards=0)
+    bad_null = spark.createDataFrame([("a", None)],
+                                     "doc_id string, phase int")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        mx.curriculum_shards(bad_null, "phase").collect()
+    bad_range = spark.createDataFrame([("a", 40000)],
+                                      "doc_id string, phase int")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        mx.curriculum_shards(bad_range, "phase").collect()
