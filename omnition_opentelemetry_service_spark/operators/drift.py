@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dsir import (DSIR_BUCKETS, _bucket_sql_duck, _bucket_sql_spark,
-                   _grams_case_duck, _grams_sql_spark)
+                   _unibigrams_case_duck, _grams_sql_spark)
 from .corpus import _words_sql_duck
 
 
@@ -87,7 +87,7 @@ def _counts_cte_duck(where_a: str, where_b: str, n_buckets: int,
                      {_words_sql_duck(text_col)} AS ws
               FROM {rel} WHERE ({where_a}) OR ({where_b})),
     grams AS (SELECT is_a, {bucket} AS b
-              FROM (SELECT is_a, unnest({_grams_case_duck()}) AS g
+              FROM (SELECT is_a, unnest({_unibigrams_case_duck()}) AS g
                     FROM words)),
     counts AS (SELECT b, sum(is_a) AS c_a, sum(1 - is_a) AS c_b
                FROM grams GROUP BY b)"""
@@ -163,7 +163,7 @@ def drift_topk_grams_sql_duck(where_a: str, where_b: str, k: int = 20,
                           {_words_sql_duck(text_col)} AS ws
                    FROM {rel} WHERE ({where_a}) OR ({where_b})),
     grams AS (SELECT is_a, g AS gram
-              FROM (SELECT is_a, unnest({_grams_case_duck()}) AS g
+              FROM (SELECT is_a, unnest({_unibigrams_case_duck()}) AS g
                     FROM words)),
     counts AS (SELECT gram, sum(is_a) AS c_a, sum(1 - is_a) AS c_b
                FROM grams GROUP BY gram),
@@ -180,8 +180,17 @@ def kl_tvd(counts_rows, n_buckets: int = DSIR_BUCKETS) -> dict[str, float]:
     KL(a||b), KL(b||a) and total-variation distance, INCLUDING the
     closed-form mass of the (n_buckets - seen) buckets observed in
     neither corpus. Driver cost is O(n_buckets) — model-table math, the
-    kmeans/bpe trainer precedent, never corpus-bounded."""
-    rows = [(int(r[0]), int(r[1]), int(r[2])) for r in counts_rows]
+    kmeans/bpe trainer precedent, never corpus-bounded.
+
+    Rows with named fields (Spark Row / dict) are read BY NAME so a
+    reprojected column order cannot silently swap bucket ids and counts;
+    plain tuples are read positionally as (b, c_a, c_b)."""
+    def _cnt(r):
+        if hasattr(r, "__fields__") or isinstance(r, dict):
+            return int(r["b"]), int(r["c_a"]), int(r["c_b"])
+        return int(r[0]), int(r[1]), int(r[2])
+
+    rows = [_cnt(r) for r in counts_rows]
     ta = sum(c for _, c, _ in rows)
     tb = sum(c for _, _, c in rows)
     da, db = float(ta + n_buckets), float(tb + n_buckets)

@@ -40,7 +40,10 @@ parity rule (round each lam to 9, sum exactly as DECIMAL, cast DOUBLE
 last — lm.py's rule, PARITY.md traps 8/9/11). The Gumbel key does use
 engine ``ln`` — its operands are exact dyadic doubles from the md5 hash,
 and the rank key is rounded to 9 decimals with a doc-id tiebreak before
-ranking, so a last-ulp ln divergence cannot reorder the top-k.
+ranking — a last-ulp ln divergence reorders the top-k only if a key
+lands within an ulp of a 0.5e-9 rounding boundary AND that doc sits
+exactly at the k cut (vanishingly improbable on the pinned seed, not
+impossible; the oracle gate would catch such a fixture collision).
 """
 
 from __future__ import annotations
@@ -69,7 +72,7 @@ def _grams_sql_spark(text_col: str) -> str:
     )
 
 
-def _grams_case_duck(ws: str = "ws") -> str:
+def _unibigrams_case_duck(ws: str = "ws") -> str:
     """DuckDB: the unigram+bigram list over an already-bound word-list
     column (corpus.py's bound-ws CTE pattern — NEVER inline the words
     expression here; it would re-evaluate per reference)."""
@@ -162,7 +165,7 @@ def dsir_scores_sql_duck(lam: dict[int, float], lam0: float,
               FROM {rel}),
     grams AS (
       SELECT {id_col}, {bucket} AS b
-      FROM (SELECT {id_col}, unnest({_grams_case_duck()}) AS g
+      FROM (SELECT {id_col}, unnest({_unibigrams_case_duck()}) AS g
             FROM words)),
     joined AS (
       SELECT g.{id_col},
@@ -249,7 +252,7 @@ def dsir_scores_e2e_sql_duck(target_where: str,
                           {_words_sql_duck(text_col)} AS ws FROM {rel}),
     grams AS (
       SELECT {id_col}, is_tgt, {bucket} AS b
-      FROM (SELECT {id_col}, is_tgt, unnest({_grams_case_duck()}) AS g
+      FROM (SELECT {id_col}, is_tgt, unnest({_unibigrams_case_duck()}) AS g
             FROM words)),
     tcnt AS (SELECT b, count(*) AS c FROM grams WHERE is_tgt GROUP BY b),
     rcnt AS (SELECT b, count(*) AS c FROM grams GROUP BY b),

@@ -36,14 +36,23 @@ def _reliable_result(df: DataFrame) -> DataFrame:
     checkpoint is immune: result rows live as files under the checkpoint
     dir (local tmp here; HDFS/object store on a real cluster), occupy
     zero block-manager storage (getPersistentRDDs stays empty), survive
-    clearCache, and every re-action re-reads the files. Files live until
-    context stop (or the ContextCleaner with cleanCheckpoints=true);
-    size is one result-table, operator-bounded, never corpus-bounded.
+    clearCache, and every re-action re-reads the files. Spark itself
+    never deletes reliable-checkpoint files (not even at context stop,
+    unless spark.cleaner.referenceTracking.cleanCheckpoints is on), so a
+    dir THIS module created is removed by an atexit hook — without it,
+    repeated bench/pytest runs would accumulate unbounded /tmp copies.
+    Size per checkpoint is one result-table, operator-bounded, never
+    corpus-bounded.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
+        import atexit
+        import shutil
         import tempfile
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+
+        d = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        sc.setCheckpointDir(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     return df.checkpoint(eager=True)
 
 
@@ -193,9 +202,11 @@ def near_dup_keep_list(docs: DataFrame, verified_pairs: DataFrame,
     label table — broadcastable whenever near-dups are a small corpus
     fraction (the normal case).
 
-    Cache lifecycle is CALLER-owned (same contract as dedup.py): the label
-    table the result consumes stays persisted; release via
-    registry.release_caches / clearCache after the consuming action.
+    Storage lifecycle: the label table the result consumes is a
+    FILE-BACKED reliable checkpoint (_reliable_result), not a persisted
+    table — it occupies zero block-manager storage, survives clearCache
+    by design, and its files are reclaimed by the checkpoint-dir atexit
+    hook (nothing for registry.release_caches to free here).
     """
     comp = connected_components(verified_pairs)
     return (

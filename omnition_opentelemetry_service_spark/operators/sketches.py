@@ -78,9 +78,11 @@ def token_length_quantiles_approx(seqs: DataFrame,
 
 
 def frequent_tokens(seqs: DataFrame, support: float = 0.01) -> list[int]:
-    """Tokens appearing in ≥ support fraction of token positions
-    (single-pass, no shuffle of per-token counts). freqItems guarantee:
-    NO false negatives — every truly-frequent token is returned; false
+    """Tokens appearing in MORE THAN a support fraction of token
+    positions (single-pass, no shuffle of per-token counts). freqItems /
+    Misra-Gries guarantee is STRICT: every token with frequency
+    strictly > support is returned (no false negatives above the
+    threshold); a token at exactly support*N can be evicted. False
     positives are possible and callers verify with one exact pass over
     the (tiny) candidate set."""
     toks = seqs.select(F.explode("tokens").alias("tok"))
