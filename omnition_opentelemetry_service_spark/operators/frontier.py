@@ -152,8 +152,13 @@ def discover_from_sitemaps(entries: DataFrame, seen: DataFrame | None = None,
     canonical key. ``seen`` is any table carrying already-known urls
     (the URL store, the current frontier). One hash-agg exchange + one
     anti-join on canon_url; the seen side is whatever identity store the
-    crawl already maintains — no new corpus-scale state."""
+    crawl already maintains — no new corpus-scale state. Non-fetchable
+    locs (mailto:/javascript:/relative — a sitemap may carry anything)
+    are gated out BEFORE canonicalization, the same is_fetchable rule as
+    host_edges/anchor_texts: URL_PAT's tolerant authority group would
+    otherwise schedule a junk candidate that can never be fetched."""
     cand = (entries.filter(F.col("kind") == "url")
+            .filter(ur.is_fetchable("loc"))
             .select("host", F.col("loc").alias("url"),
                     ur.canonical_url("loc").alias("canon_url"))
             .filter(F.col("canon_url").isNotNull())
@@ -222,7 +227,8 @@ def discover_from_sitemaps_sql_duck(entries_table: str,
                 f"FROM {seen_table} WHERE {seen_url_col} IS NOT NULL)")
     return f"""
     WITH cand AS (SELECT host, loc AS url, {canon} AS canon_url
-                  FROM {entries_table} WHERE kind = 'url'),
+                  FROM {entries_table}
+                  WHERE kind = 'url' AND {ur.is_fetchable_sql_duck('loc')}),
     ded AS (SELECT canon_url,
                    (min(struct_pack(u := url, h := host))).h AS host,
                    min(url) AS url

@@ -55,9 +55,19 @@ def _assign_struct_expr(metric: str = "cosine") -> str:
              f"(sqrt({_dot_expr('embedding', 'embedding')}) * "
              f"sqrt({_dot_expr('c.c_emb', 'c.c_emb')}))")
     scored = f"transform(cents, c -> named_struct('s', {s}, 'cid', c.centroid_id))"
+    # NULL scores sort LAST (the similarity.ivf_assign comparator, kept
+    # branch-identical): a zero-norm centroid under cosine scores 0/0 →
+    # NULL in non-ANSI sessions, where bare > / < comparisons are both
+    # false and the NULL-scored centroid would fall through to the cid
+    # rule, outranking every real score (non-total order). ANSI sessions
+    # raise on 0/0 before ordering — the branches keep the two session
+    # modes twin-identical instead of silently divergent.
     return (
         f"array_sort({scored}, (a, b) -> "
-        "CASE WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1 "
+        "CASE WHEN a.s IS NULL AND b.s IS NULL THEN "
+        "(CASE WHEN a.cid < b.cid THEN -1 WHEN a.cid > b.cid THEN 1 ELSE 0 END) "
+        "WHEN a.s IS NULL THEN 1 WHEN b.s IS NULL THEN -1 "
+        "WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1 "
         "WHEN a.cid < b.cid THEN -1 WHEN a.cid > b.cid THEN 1 ELSE 0 END)"
         "[0]"
     )
@@ -104,6 +114,8 @@ def init_centroids(emb: DataFrame, k: int, id_col: str = "vec_id",
     farthest-first pass covers every well-separated cluster that the pool
     touches (pool misses a cluster with prob ≤ (1−1/k)^(oversample·k) ≈
     e^-oversample)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
     m = max(k * oversample, k)
     h = F.expr(f"conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10)")
     rows = (emb.select(F.col(id_col), F.col(emb_col), h.cast("bigint").alias("h"))
@@ -163,8 +175,26 @@ def kmeans_train(emb: DataFrame, k: int = 8, max_iter: int = 10,
     for similarity.ivf_assign / ivf_ann_topk (same schema as
     similarity.ivf_centroids). The cost list is the mean assigned-cosine
     per iteration (monotone non-decreasing up to float fold noise — the
-    convergence diagnostic a production index build logs)."""
+    convergence diagnostic a production index build logs).
+
+    The input projection is persisted for the loop's lifetime (seeding
+    scan + one stats pass per iteration would otherwise re-execute the
+    whole upstream lineage max_iter+1 times) and released before return
+    — an internal working set, not a returned DataFrame, so the
+    caller-owned cache rule does not apply."""
     spark = emb.sparkSession
+    src = emb.select(F.col(id_col), F.col(emb_col)).persist()
+    try:
+        return _kmeans_train_loop(spark, src, k, max_iter, tol, id_col,
+                                  emb_col, dim, metric)
+    finally:
+        src.unpersist()
+
+
+def _kmeans_train_loop(spark, emb: DataFrame, k: int, max_iter: int,
+                       tol: float, id_col: str, emb_col: str, dim: int,
+                       metric: str,
+                       ) -> tuple[list[tuple[int, list[float]]], list[float]]:
     cents = init_centroids(emb, k, id_col, emb_col, metric=metric)
     costs: list[float] = []
     src = emb.select(F.col(emb_col).alias("embedding"))

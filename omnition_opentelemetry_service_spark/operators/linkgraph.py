@@ -312,7 +312,11 @@ def anchor_texts(pages: DataFrame, url_col: str = "url",
     the classic off-page relevance signal (same-host/nav anchors excluded
     like host_edges' self-loops; blank anchors dropped). Spark's
     arrays_zip / DuckDB's list_zip align the two capture groups of the
-    SAME pattern, so href/text pairing is positional and exact."""
+    SAME pattern, so href/text pairing is positional and exact.
+    Non-fetchable hrefs (mailto:/javascript:/tel:/relative) are gated out
+    BEFORE host extraction — the same is_fetchable gate as host_edges;
+    URL_PAT's tolerant authority group would otherwise mint a junk
+    dst_host from a mailto address and attribute the anchor text to it."""
     z = F.expr(
         f"explode(arrays_zip("
         f"regexp_extract_all({html_col}, '{ANCHOR_RX}', 1), "
@@ -322,6 +326,7 @@ def anchor_texts(pages: DataFrame, url_col: str = "url",
             .select("src_host",
                     F.col("z").getField("0").alias("href"),
                     F.col("z").getField("1").alias("anchor"))
+            .filter(ur.is_fetchable("href"))
             .select("src_host", ur.url_host("href").alias("dst_host"),
                     "anchor")
             .filter(_EDGE_PRED)
@@ -342,7 +347,8 @@ def anchor_texts_sql_duck(pages_sql: str, url_col: str = "url",
                                                   '{ANCHOR_RX}', 1),
                                regexp_extract_all({html_col},
                                                   '{ANCHOR_RX}', 2))) AS z
-                      FROM ({pages_sql}) pg) zz) hh) aa
+                      FROM ({pages_sql}) pg) zz
+                WHERE {ur.is_fetchable_sql_duck('z[1]')}) hh) aa
     WHERE {_EDGE_PRED} AND trim(anchor, ' ') <> ''"""
 
 

@@ -125,12 +125,22 @@ def bm25_topk(postings: DataFrame, n: int, sdl: int, terms: list[str],
               id_col: str = "doc_id") -> DataFrame:
     """(doc_id, bm25) — top-k by (bm25 DESC, doc_id) over the postings of
     the query terms only. df per term is a bounded |terms|-row collect
-    (the corpus_stats pattern)."""
+    (the corpus_stats pattern).
+
+    ``sel`` — the query terms' postings, |terms|·df-bounded, never
+    corpus-bounded — is persisted because it is consumed TWICE: the df
+    collect here and the returned score plan. Without it, a postings
+    argument that is an unpersisted in-memory BUILD re-executes its whole
+    tokenize/explode/agg lineage once per action (the allocate_budget /
+    frontier_schedule_scalable review-finding pattern). Caller releases
+    (registry.release_caches / clearCache), per the cache rule; over a
+    term-partitioned STORE both consumers are pruned scans and the
+    persist is merely small."""
     _check_terms(terms)
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     tl = [t.lower() for t in terms]
-    sel = postings.filter(F.col("term").isin(tl))  # literal pushdown
+    sel = postings.filter(F.col("term").isin(tl)).persist()  # literal pushdown
     dfs = {r["term"]: int(r["df"]) for r in
            sel.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
            .collect()}

@@ -95,7 +95,9 @@ def test_discover_from_sitemaps_anti_join_and_dedup(spark):
         [("h", "url", "https://h/new1", None),
          ("h", "url", "https://h/new1/", None),      # canon-dup in batch
          ("h", "url", "https://h/known?utm_source=x", None),  # seen
-         ("h", "sitemap", "https://h/more.xml", None)],       # index: skip
+         ("h", "sitemap", "https://h/more.xml", None),        # index: skip
+         ("h", "url", "mailto:sales@h", None),                # scheme gate
+         ("h", "url", "/relative/path", None)],               # scheme gate
         "host string, kind string, loc string, lastmod string")
     seen = spark.createDataFrame(
         [("https://h/known",)], "url string")

@@ -100,3 +100,16 @@ def test_assign_plan_has_no_corpus_shuffle(spark, emb):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_k_below_one_raises(spark):
+    import pytest
+
+    from omnition_opentelemetry_service_spark.operators import kmeans as km
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        km.kmeans_train(emb, k=0, dim=2)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        km.init_centroids(emb, k=-1)

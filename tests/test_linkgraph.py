@@ -113,10 +113,14 @@ def test_anchor_texts_semantics(spark):
           '<a href="https://src.com/self">self nav</a>'   # same-host: drop
           '<a href="https://dst.com/r"><b>wrapped</b></a>'  # '' text: drop
           '<a href="https://dst.com/s">   </a>'             # blank: drop
-          '<a href="/rel">relative</a>'),                   # no host: drop
+          '<a href="/rel">relative</a>'                     # no host: drop
+          '<a href="mailto:bob@junk.example.com">contact</a>'  # scheme gate
+          '<a href="javascript:void(0)">js</a>'),              # scheme gate
          (2, None, '<a href="https://dst.com/q">no src</a>')],
         "doc_id long, url string, html string")
     got = sorted(tuple(r) for r in lg.anchor_texts(pages).collect())
+    # the mailto target must NOT mint a junk.example.com dst_host — the
+    # is_fetchable gate runs BEFORE host extraction (host_edges rule)
     assert got == [("dst.com", "Read This")]
 
 
