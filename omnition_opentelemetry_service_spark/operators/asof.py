@@ -29,12 +29,24 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
     exchange the join would need anyway. Ties (equal timestamps) resolve to
     the right row (the state is visible to events at the same instant).
 
-    ``value_cols`` defaults to every right column except key/time.
+    ``value_cols`` defaults to every right column except key/time; a
+    value column sharing a name with a left column raises (the output
+    would carry two same-named columns and fail far from the call site).
+
+    Determinism: when the RIGHT side has several rows at the same
+    (key, time), the carried row is the one whose value struct sorts
+    LAST (deterministic total order) — without that final sort key the
+    winner would be whichever tied row the shuffle delivered last.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, time_col)]
+    clash = sorted(set(value_cols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"value_cols collide with left columns: {clash} — rename or "
+            f"pass explicit value_cols")
 
     l_tag = left.select(
         key, time_col,
@@ -51,15 +63,19 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
     )
     merged = l_tag.unionByName(r_tag)
 
+    # the trailing value-struct key makes the order TOTAL over right-side
+    # ties (same key, same time): last(ignorenulls) then deterministically
+    # carries the max-struct row instead of shuffle-arrival order
+    tie = F.struct(*[F.col(f"_r_{c}") for c in value_cols]).asc()
     if direction == "backward":
         # right rows sort BEFORE left rows at the same timestamp → a state
         # change at t is visible to events at t
         w = (Window.partitionBy(key)
-             .orderBy(F.col(time_col).asc(), F.col("_is_left").asc())
+             .orderBy(F.col(time_col).asc(), F.col("_is_left").asc(), tie)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     else:
         w = (Window.partitionBy(key)
-             .orderBy(F.col(time_col).desc(), F.col("_is_left").asc())
+             .orderBy(F.col(time_col).desc(), F.col("_is_left").asc(), tie)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     filled = merged.select(

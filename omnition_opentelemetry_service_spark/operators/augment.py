@@ -29,22 +29,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .mixture import MIX_MOD, _H_DUCK, _H_SPARK
+from .mixture import MIX_MOD, _H_DUCK, _H_SPARK, _HW_DUCK, _HW_SPARK
 
 
-def _fim_exprs(h_fmt: str, slice3: tuple[str, str, str], arr_fmt: str,
-               cat, rate: float,
+def _fim_exprs(h_fmt: str, hw_fmt: str, slice3: tuple[str, str, str],
+               arr_fmt: str, cat, rate: float,
                seed: str, pre_id: int, mid_id: int, suf_id: int,
                min_len: int, tok: str = "tokens",
                n: str = "n_tok") -> tuple[str, str]:
     """Engine-generic FIM expression pair (applied?, new tokens) built from
-    ONE definition: ``h_fmt`` renders the salted hash, ``slice3`` the three
-    engine slice spellings (prefix, suffix, middle) over cut points lo/hi,
+    ONE definition: ``h_fmt`` renders the salted SELECTION hash (mod-1e6,
+    the fraction-threshold family), ``hw_fmt`` the WIDE [0, 2^48) hash the
+    CUT POINTS reduce — h % (n+1) over the narrow hash would carry a
+    ~(n+1)/1e6 modulo bias toward low positions and could never cut past
+    token 999,999; over 2^48 the bias is ~(n+1)/2^48, negligible at any
+    real sequence length. ``slice3`` gives the three engine slice
+    spellings (prefix, suffix, middle) over cut points lo/hi,
     ``arr_fmt``/``cat`` the engine's array-literal and n-ary list concat.
     Returns (applied_sql, tokens_sql) with lo/hi inlined."""
     sel = h_fmt.format(col="doc_id", salt=f"{seed}|sel")
-    c1 = f"({h_fmt.format(col='doc_id', salt=f'{seed}|c1')} % ({n} + 1))"
-    c2 = f"({h_fmt.format(col='doc_id', salt=f'{seed}|c2')} % ({n} + 1))"
+    c1 = f"({hw_fmt.format(col='doc_id', salt=f'{seed}|c1')} % ({n} + 1))"
+    c2 = f"({hw_fmt.format(col='doc_id', salt=f'{seed}|c2')} % ({n} + 1))"
     lo = f"least({c1}, {c2})"
     hi = f"greatest({c1}, {c2})"
     thr = int(rate * MIX_MOD)  # floor-before-cast (PARITY threshold rule)
@@ -76,14 +81,15 @@ def fim_transform(seqs: DataFrame, rate: float = 0.5, seed: str = "fim-v1",
 
     ``rate`` of sequences (hash-selected, so the choice is a property of
     the document, not of the run) with at least ``min_len`` tokens are cut
-    at two uniform points lo <= hi in [0, n] and re-laid-out
+    at two near-uniform points lo <= hi in [0, n] (wide-hash mod n+1 —
+    bias ~(n+1)/2^48) and re-laid-out
     [PRE]+prefix+[SUF]+suffix+[MID]+middle; the rest pass through
     unchanged. Empty prefix/middle/suffix regions are legal (cuts at the
     ends / coincident cuts), matching the reference FIM recipe's corner
     cases. Output replaces ``tokens``/``n_tok`` and adds ``fim_applied``.
     """
-    applied, toks = _fim_exprs(_H_SPARK, _SLICE_SPARK, _ARR_SPARK,
-                               _CAT_SPARK, rate, seed,
+    applied, toks = _fim_exprs(_H_SPARK, _HW_SPARK, _SLICE_SPARK,
+                               _ARR_SPARK, _CAT_SPARK, rate, seed,
                                pre_id, mid_id, suf_id, min_len)
     others = [c for c in seqs.columns if c not in ("tokens", "n_tok")]
     return seqs.select(
@@ -98,8 +104,8 @@ def fim_sql_duck(rate: float = 0.5, seed: str = "fim-v1",
                  suf_id: int = -103, min_len: int = 2,
                  from_table: str = "seq") -> str:
     """DuckDB twin: identical hash, cuts, layout, and corner cases."""
-    applied, toks = _fim_exprs(_H_DUCK, _SLICE_DUCK, _ARR_DUCK, _CAT_DUCK,
-                               rate, seed,
+    applied, toks = _fim_exprs(_H_DUCK, _HW_DUCK, _SLICE_DUCK, _ARR_DUCK,
+                               _CAT_DUCK, rate, seed,
                                pre_id, mid_id, suf_id, min_len)
     return (f"SELECT doc_id, source, seq_no, {applied} AS fim_applied, "
             f"{toks} AS tokens, len({toks}) AS n_tok FROM {from_table}")

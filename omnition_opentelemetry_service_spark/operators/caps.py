@@ -19,7 +19,16 @@ from pyspark.sql import functions as F
 def truncatable(col: str, max_len: int, out_value: str = None,
                 out_dropped: str = None) -> list[Column]:
     """TruncatableString projection: (value truncated to max_len,
-    truncated_byte_count). Names default to <col>_value / <col>_truncated."""
+    <col>_truncated count). Names default to <col>_value / <col>_truncated.
+
+    DELIBERATE divergence from the reference's byte semantics
+    (truncated_byte_count): max_len counts CHARACTERS (code points), not
+    octets — a byte-exact cut can land mid-codepoint and corrupt the text
+    to U+FFFD on re-decode, which a text pipeline must never do. The
+    dropped count is likewise in characters. For multi-byte text the
+    character cap admits more bytes than the reference would; callers
+    enforcing a hard byte budget should pair this with
+    reject_oversized on an octet_length size column."""
     c = F.col(col)
     return [
         F.substring(c, 1, max_len).alias(out_value or f"{col}_value"),

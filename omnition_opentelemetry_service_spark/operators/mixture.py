@@ -29,6 +29,20 @@ from pyspark.sql import functions as F
 # (2^32 % 1e6 bias ≈ 3e-4 relative — negligible against sampling noise).
 MIX_MOD = 1_000_000
 
+# Names and salts inline into BOTH engines' SQL as quoted literals, so they
+# are VALIDATED to a literal-safe charset and rejected otherwise — never
+# escaped (PARITY trap 24; escaping rules differ between engines, which is
+# itself a parity hole).
+_LIT_OK = ("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+           "0123456789_.:-")
+
+
+def _check_literal(name, what: str) -> None:
+    if not isinstance(name, str) or not name or \
+            any(ch not in _LIT_OK for ch in name):
+        raise ValueError(f"{what} {name!r}: literal-safe names only "
+                         f"(PARITY trap 24 — reject, don't escape)")
+
 # id column explicitly cast to string: identical rendering for BIGINT and
 # VARCHAR ids in both engines (no reliance on implicit-cast rules, which
 # differ under Spark ANSI mode).
@@ -41,10 +55,12 @@ _H_DUCK = ("CAST(concat('0x', substr(md5(concat(CAST({col} AS VARCHAR), "
 def mix_hash(col: str, salt: str) -> F.Column:
     """Uniform [0, MIX_MOD) hash of a string column, salted per use-site so
     split/epoch/shard decisions are independent of each other."""
+    _check_literal(salt, "salt")
     return F.expr(_H_SPARK.format(col=col, salt=salt))
 
 
 def mix_hash_sql_duck(col: str, salt: str) -> str:
+    _check_literal(salt, "salt")
     return _H_DUCK.format(col=col, salt=salt)
 
 
@@ -63,10 +79,12 @@ _HW_DUCK = ("CAST(concat('0x', substr(md5(concat(CAST({col} AS VARCHAR), "
 
 def mix_hash_wide(col: str, salt: str) -> F.Column:
     """Uniform [0, 2^48) hash — the shuffle SORT key (tie-free in practice)."""
+    _check_literal(salt, "salt")
     return F.expr(_HW_SPARK.format(col=col, salt=salt))
 
 
 def mix_hash_wide_sql_duck(col: str, salt: str) -> str:
+    _check_literal(salt, "salt")
     return _HW_DUCK.format(col=col, salt=salt)
 
 
@@ -81,6 +99,8 @@ def _split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
     if total <= 0:
         raise ValueError("split weights must sum to > 0")
     names = list(weights)
+    for name in names:
+        _check_literal(name, "split name")
     bounds, acc = [], 0.0
     for name in names[:-1]:
         acc += weights[name] / total
@@ -142,6 +162,8 @@ def epoch_resample(df: DataFrame, weights: dict[str, float],
     expanded corpus never exists as one shuffled blob."""
     if any(w < 0 for w in weights.values()) or default_weight < 0:
         raise ValueError("epoch weights must be >= 0")
+    for src in weights:
+        _check_literal(src, "source")
     h = _H_SPARK.format(col=id_col, salt="epoch")
 
     def copies_case() -> str:
@@ -199,7 +221,11 @@ def epoch_resample_sql_duck(table: str, weights: dict[str, float],
                             id_col: str = "doc_id",
                             default_weight: float = 1.0,
                             cols: str = "*") -> str:
-    """DuckDB twin: same copies CASE, expanded via a range() lateral join."""
+    """DuckDB twin: same copies CASE, expanded via a range() lateral join.
+    The default cols='*' selects t.* EXCLUDE (n_copies) so the twin's
+    schema matches the Spark output exactly (no internal columns leak)."""
+    for src in weights:
+        _check_literal(src, "source")
     h = _H_DUCK.format(col=id_col, salt="epoch")
     whens = []
     for src, w in weights.items():
@@ -216,8 +242,9 @@ def epoch_resample_sql_duck(table: str, weights: dict[str, float],
     # weights at SQL-build time) and filter to the per-row count.
     max_copies = max([int(w) + 1 for w in weights.values()]
                      + [int(default_weight) + 1])
+    cols_sql = "t.* EXCLUDE (n_copies)" if cols == "*" else cols
     return (
-        f"SELECT {cols}, CAST(r.range AS INT) AS epoch "
+        f"SELECT {cols_sql}, CAST(r.range AS INT) AS epoch "
         f"FROM (SELECT *, {case} AS n_copies FROM {table}) t "
         f"JOIN range({max_copies}) r ON r.range < t.n_copies"
     )
@@ -306,9 +333,11 @@ def materialize_sharded(df: DataFrame, path: str, n_shards: int,
                         sort_cols: tuple[str, ...] = ("shuffle_ord",)) -> None:
     """The canonical shuffle materialization: ONE exchange on the partition
     columns, in-partition sort, one file family per partition directory.
-    ``sort_cols`` must end in a unique key — shuffle_ord is reduced mod
-    MIX_MOD, so ties are common and an ord-only sort would leave tie order
-    to shuffle-fetch arrival (reruns would NOT be byte-identical)."""
+    ``sort_cols`` must end in a unique key for byte-identical reruns —
+    the shuffle_ord-only DEFAULT is a 48-bit hash (ties rare, not
+    impossible); on a tie the order falls to shuffle-fetch arrival, so
+    every in-repo caller appends its unique key (write_release:
+    pack_key/pack_id/seq_no) and new callers must too."""
     (df.repartition(n_shards, *partition_cols)
      .sortWithinPartitions(*partition_cols, *sort_cols)
      .write.mode("overwrite").partitionBy(*partition_cols).parquet(path))

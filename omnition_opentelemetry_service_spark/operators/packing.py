@@ -26,11 +26,16 @@ from pyspark.sql import functions as F
 
 def with_pack_id(seqs: DataFrame, budget: int = 2048,
                  key: str = "source", order: str = "seq_no") -> DataFrame:
-    w = (Window.partitionBy(key).orderBy(order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    offset = F.sum("n_tok").over(w) - F.col("n_tok")
+    # integer DIV, not floor(double /): the running sum is a BIGINT that
+    # exceeds 2^53 once a key's cumulative tokens pass ~9e15 (reachable at
+    # the 10^12-sequence design scale) — double promotion would then
+    # misassign boundary rows by one pack. DIV equals floor() for all
+    # non-negative values, so every floor-based twin stays identical.
     return seqs.withColumn(
-        "pack_id", F.floor(offset / F.lit(budget)).cast("long"))
+        "pack_id", F.expr(
+            f"(sum(n_tok) OVER (PARTITION BY {key} ORDER BY {order} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) "
+            f"DIV {int(budget)}").cast("long"))
 
 
 def pack_stats(seqs_with_pack: DataFrame, key: str = "source") -> DataFrame:

@@ -157,3 +157,30 @@ def test_range_join_inverted_interval_is_inert(spark):
     out = range_join(left, right, "t", "lo", "hi", bucket_width=10)
     rows = [(r.id, r.rid, r.tag) for r in out.collect()]
     assert rows == [(1, 100, "ok")]
+
+
+def test_asof_right_tie_deterministic(spark):
+    """Two right rows at the same (key, time): the carried row is the
+    max value struct — deterministic across runs and parallelism."""
+    from omnition_opentelemetry_service_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 150)], "k string, t long")
+    right = spark.createDataFrame(
+        [("k", 100, "a"), ("k", 100, "b")], "k string, t long, v string")
+    outs = set()
+    for nparts in (1, 7):
+        got = asof_join(left, right.repartition(nparts), "k", "t").collect()
+        assert len(got) == 1
+        outs.add(got[0].v)
+    assert outs == {"b"}  # max struct wins, both layouts
+
+
+def test_asof_value_col_collision_raises(spark):
+    import pytest
+
+    from omnition_opentelemetry_service_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 1, "x")], "k string, t long, v string")
+    right = spark.createDataFrame([("k", 0, "y")], "k string, t long, v string")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", "t")

@@ -348,3 +348,35 @@ def test_curriculum_guards(spark):
                                       "doc_id string, phase int")
     with pytest.raises((SparkRuntimeException, Py4JJavaError)):
         mx.curriculum_shards(bad_range, "phase").collect()
+
+
+def test_literal_unsafe_names_rejected(spark):
+    """PARITY trap 24: names/salts that would inline unsafely into SQL
+    literals are rejected, never escaped."""
+    import pytest
+
+    from omnition_opentelemetry_service_spark.operators import mixture as mx
+
+    df = spark.createDataFrame([("a", "s")], "doc_id string, source string")
+    with pytest.raises(ValueError, match="literal-safe"):
+        mx.epoch_resample(df, {"o'reilly": 2.0})
+    with pytest.raises(ValueError, match="literal-safe"):
+        mx.with_split(df, {"tr'ain": 0.5, "val": 0.5})
+    with pytest.raises(ValueError, match="literal-safe"):
+        mx.mix_hash("doc_id", "bad'salt")
+    with pytest.raises(ValueError, match="literal-safe"):
+        mx.epoch_resample_sql_duck("t", {'a"b': 1.0})
+
+
+def test_epoch_resample_duck_default_cols_schema(spark):
+    """The duck twin's default cols='*' must not leak internal columns."""
+    import duckdb
+
+    from omnition_opentelemetry_service_spark.operators import mixture as mx
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 'd' || range AS doc_id, "
+                "'web' AS source FROM range(10)")
+    out = con.execute(mx.epoch_resample_sql_duck("t", {"web": 2.0})).fetch_df()
+    assert list(out.columns) == ["doc_id", "source", "epoch"]
+    assert len(out) == 20
