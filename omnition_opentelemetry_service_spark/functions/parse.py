@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # grok-style aliases → regex fragments (public grok idiom).
@@ -266,9 +266,17 @@ def quarantine_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     return good, bad
 
 
+# THE timestamp pattern (one definition — every consumer goes through
+# event_time_expr; a variant dropping the quoted 'Z' would parse it as a
+# UTC offset and silently skew outside the pinned UTC session)
+EVENT_TIME_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def event_time_expr(ts_col: str = "ts_str") -> Column:
+    return F.to_timestamp(ts_col, EVENT_TIME_FMT)
+
+
 def with_event_time(parsed: DataFrame) -> DataFrame:
     """ts_str → TimestampType (reference ptypes/ptime/timestamp.go:24-29
     analog: proto Timestamp ↔ time.Time becomes string ↔ TimestampType)."""
-    return parsed.withColumn(
-        "event_time", F.to_timestamp("ts_str", "yyyy-MM-dd'T'HH:mm:ss'Z'")
-    )
+    return parsed.withColumn("event_time", event_time_expr())

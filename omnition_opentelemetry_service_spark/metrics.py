@@ -44,11 +44,16 @@ class StageCounters:
         return df
 
     def harvest(self) -> list[tuple[str, str, int, int]]:
-        """Read observation results (valid after an action ran on the DF)."""
+        """Read observation results (valid after an action ran on the DF).
+        ``or 0`` guards the zero-row stage: F.sum over an empty input
+        observes NULL (the key is PRESENT with value None, so a plain
+        .get default never applies) and int(None) would crash the whole
+        harvest."""
         for stage, tag, obs, _ in self._observations:
             got = obs.get
             self.rows.append(
-                (stage, tag, int(got.get("received", 0)), int(got.get("dropped", 0)))
+                (stage, tag, int(got.get("received") or 0),
+                 int(got.get("dropped") or 0))
             )
         self._observations.clear()
         return self.rows

@@ -63,6 +63,15 @@ from .dedup import (
 FP_BUCKETS = 256  # first hex byte of the md5 fingerprint
 
 
+def hex_bucket_sql(hex_col: str) -> str:
+    """THE 256-way bucket derivation (first hex byte → INT) — one
+    definition shared by the fpb signature store here and the streaming
+    URL store (streaming/web_ingest.URL_UB_SQL) so the partition-pruning
+    contract cannot silently diverge. ``hex_col`` must be a hex string
+    expression (md5 output)."""
+    return f"CAST(conv(substring({hex_col}, 1, 2), 16, 10) AS INT)"
+
+
 def signature_store(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 5) -> DataFrame:
     """(id, fp, minhash, fpb) — one scan over the docs, all JVM-side.
@@ -79,7 +88,7 @@ def signature_store(docs: DataFrame, id_col: str = "doc_id",
         F.when(F.col(text_col).isNotNull(),
                minhash_signature_expr_over(text_col, k)).alias("minhash"),
     ).withColumn("fpb", F.coalesce(
-        F.expr("CAST(conv(substring(fp, 1, 2), 16, 10) AS INT)"), F.lit(0)))
+        F.expr(hex_bucket_sql("fp")), F.lit(0)))
 
 
 def minhash_signature_expr_over(text_col: str, k: int = 5) -> F.Column:

@@ -46,6 +46,46 @@ class SnapshotTable:
         except (FileNotFoundError, ValueError):
             return None
 
+    def _advance_current(self, tmp_cur: str, version: int) -> None:
+        """Publish CURRENT MONOTONICALLY: a slower concurrent writer must
+        never move CURRENT backwards past a newer committed version (the
+        last-writer-wins os.replace alone allows exactly that — writer A
+        claims v_10, stalls, writer B commits and publishes 11, A resumes
+        and would set CURRENT back to 10, hiding B's committed snapshot
+        from read()/stage_manifest()/expire()). The read-compare-replace
+        runs under a short O_EXCL lock; a lock left by a crashed writer is
+        stolen after 60 s, so the worst case is a bounded publish delay,
+        never a lost commit."""
+        lock = self._current_path() + ".lock"
+        fd = None
+        for _ in range(600):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 60:
+                        os.remove(lock)
+                        continue
+                except OSError:
+                    pass
+                time.sleep(0.05)
+        if fd is None:
+            raise RuntimeError(
+                f"could not acquire CURRENT publish lock {lock}")
+        try:
+            cur = self.current_version()
+            if cur is None or cur < version:
+                os.replace(tmp_cur, self._current_path())
+            else:  # a newer commit already published — ours stays readable
+                os.remove(tmp_cur)  # by version; do not move CURRENT back
+        finally:
+            os.close(fd)
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
     def manifest(self, version: int) -> dict | None:
         p = os.path.join(self.root, f"v_{version}.manifest.json")
         if not os.path.exists(p):
@@ -136,7 +176,7 @@ class SnapshotTable:
             tmp_cur = os.path.join(self.root, f".CURRENT.{version}.tmp")
             with open(tmp_cur, "w") as f:
                 f.write(str(version))
-            os.replace(tmp_cur, self._current_path())
+            self._advance_current(tmp_cur, version)
             return manifest
         shutil.rmtree(staged, ignore_errors=True)
         raise RuntimeError(

@@ -52,5 +52,6 @@ def with_event_time_from_ts(df: DataFrame,
     to_timestamp would treat the trailing 'Z' as a UTC offset while every
     other stage parses it as a literal in session time — identical only
     under the pinned UTC session, silently skewed in any other."""
-    return df.withColumn(
-        out, F.to_timestamp(ts_col, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    from ..functions.parse import event_time_expr
+
+    return df.withColumn(out, event_time_expr(ts_col))

@@ -17,7 +17,7 @@ Exactly-once: survivors commit under ``<store>_batches/batch_id=N`` — a
 SIBLING of the base store, not inside it (nesting a second partition layout
 under the fpb-partitioned store trips Spark's partition discovery with
 CONFLICTING_DIRECTORY_STRUCTURES) — with the same idempotent per-batch-
-directory recipe as stream_pipeline.run_routed_to_parquet: re-delivery of
+directory recipe as stream_pipeline.run_stream_to_sinks: re-delivery of
 batch N overwrites batch N, never duplicates it. The history read for
 batch N unions the base store with committed batch dirs id < N ONLY —
 including N itself (possible after a commit-then-crash-before-checkpoint
@@ -82,35 +82,69 @@ def run_dedup_stream(stream_docs: DataFrame, store_path: str,
 
     Shape per batch = the batch incremental_dedup shape: bucket-pruned
     exact anti-join + broadcast-batch LSH band join; the stream side is
-    always the (small) broadcast side, the store streams map-side."""
+    always the (small) broadcast side, the store streams map-side.
+
+    Fresh-checkpoint guard: a new checkpoint restarts batch ids at 0, and
+    batch_id=N overwrites would silently DESTROY a prior generation's
+    committed survivor dirs (their fingerprints leave the history and
+    those documents' duplicates are re-admitted forever). When the
+    checkpoint has no commits but batch dirs exist, compact_store folds
+    them into the base store first — committed identity is preserved and
+    the id space is genuinely fresh."""
     spark = stream_docs.sparkSession
+    if not os.path.exists(os.path.join(checkpoint_dir, "commits")):
+        bdir = batches_dir(store_path)
+        if os.path.isdir(bdir) and any(
+                n.startswith("batch_id=") for n in os.listdir(bdir)):
+            compact_store(spark, store_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        # exclude THIS batch's own (possibly committed) dir from history:
-        # on re-delivery it would dedup the batch against itself to zero
-        # and the idempotent overwrite would erase the commit
-        history = read_full_history(spark, store_path,
-                                    before_batch_id=batch_id)
-        bstore = inc.signature_store(batch_df, id_col, text_col).persist()
-        buckets = inc.batch_bucket_list(bstore)
-        survivors, _near = inc.incremental_dedup(
-            batch_df, history, id_col=id_col, text_col=text_col,
-            est_threshold=est_threshold, prune_buckets=buckets,
-            batch_store=bstore)
-        # idempotent per-batch commit: overwrite, never append, so a
-        # re-delivered batch replaces its own output
-        (survivors.write.mode("overwrite")
-         .parquet(os.path.join(batches_dir(store_path),
-                               f"batch_id={batch_id}")))
-        bstore.unpersist()
+        process_dedup_batch(batch_df, batch_id, store_path,
+                            est_threshold=est_threshold,
+                            id_col=id_col, text_col=text_col)
 
     return (stream_docs.writeStream
             .option("checkpointLocation", checkpoint_dir)
             .foreachBatch(process)
             .trigger(availableNow=True)
             .start())
+
+
+def process_dedup_batch(batch_df: DataFrame, batch_id: int,
+                        store_path: str, est_threshold: float = 0.5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> None:
+    """One micro-batch of the stream — importable so tests can replay a
+    batch id directly (the web_ingest redelivery-idempotence probe
+    pattern; restarting a real checkpoint trips Spark's concurrent-
+    checkpoint guard in-process)."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    # exclude THIS batch's own (possibly committed) dir from history:
+    # on re-delivery it would dedup the batch against itself to zero
+    # and the idempotent overwrite would erase the commit
+    history = read_full_history(spark, store_path,
+                                before_batch_id=batch_id)
+    bstore = inc.signature_store(batch_df, id_col, text_col).persist()
+    buckets = inc.batch_bucket_list(bstore)
+    survivors, _near = inc.incremental_dedup(
+        batch_df, history, id_col=id_col, text_col=text_col,
+        est_threshold=est_threshold, prune_buckets=buckets,
+        batch_store=bstore)
+    # idempotent per-batch commit: overwrite, never append, so a
+    # re-delivered batch replaces its own output. Zero survivors (a
+    # fully-replayed drop) commit NOTHING: a parquet dir with zero
+    # part files would poison the basePath-glob history read (the
+    # web_ingest store-commit guard), and an absent dir is already
+    # the correct idempotent state for such a batch
+    survivors = survivors.persist()  # two consumers: isEmpty + write
+    if not survivors.isEmpty():
+        (survivors.write.mode("overwrite")
+         .parquet(os.path.join(batches_dir(store_path),
+                               f"batch_id={batch_id}")))
+    survivors.unpersist()
+    bstore.unpersist()
 
 
 def compact_store(spark: SparkSession, store_path: str,

@@ -83,7 +83,7 @@ def windowed_sink_counts(routed: DataFrame,
     """Per-sink tumbling-window counts with a watermark bounding state —
     the batch-timeout/flush-interval analog."""
     with_time = routed.withColumn(
-        "event_time", F.to_timestamp("ts_str", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        "event_time", parse_fns.event_time_expr())
     return (
         with_time.withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", window), "sink")
@@ -108,7 +108,7 @@ def sessionized_source_counts(routed: DataFrame, gap: str = "30 seconds",
     watermark horizon, and the sampler's row drops are what create gaps, so
     session count tracks routed traffic, not raw input."""
     with_time = routed.withColumn(
-        "event_time", F.to_timestamp("ts_str", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        "event_time", parse_fns.event_time_expr())
     return (
         with_time.withWatermark("event_time", watermark)
         .groupBy(F.session_window("event_time", gap), "source")
@@ -147,8 +147,7 @@ def parsed_span_times(spark: SparkSession, input_dir: str) -> DataFrame:
         read_payload_stream(spark, input_dir))
     return parsed.filter(F.col("valid")).select(
         "doc_id",
-        F.to_timestamp("ts_str", "yyyy-MM-dd'T'HH:mm:ss'Z'")
-        .alias("span_time"))
+        parse_fns.event_time_expr().alias("span_time"))
 
 
 def ack_stream(spark: SparkSession, input_dir: str) -> DataFrame:
@@ -160,7 +159,7 @@ def ack_stream(spark: SparkSession, input_dir: str) -> DataFrame:
         read_payload_stream(spark, input_dir))
     return parsed.filter(F.col("valid")).select(
         "doc_id",
-        (F.to_timestamp("ts_str", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        (parse_fns.event_time_expr()
          + F.make_interval(secs=F.pmod(F.xxhash64("doc_id"), F.lit(30)).cast("double")))
         .alias("ack_time"))
 

@@ -43,10 +43,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import web as wb
+from ..operators.incremental import hex_bucket_sql
 from ..operators.widen import materialize
 
-URL_UB_SQL = ("CAST(conv(substring(md5(canon_url), 1, 2), 16, 10) "
-              "AS INT)")
+# ub = first md5 hex byte of canon_url — the SAME 256-way derivation as
+# the signature store's fpb (one definition: incremental.hex_bucket_sql)
+URL_UB_SQL = hex_bucket_sql("md5(canon_url)")
 
 
 def url_store_rows(collapsed: DataFrame) -> DataFrame:
@@ -91,7 +93,11 @@ def process_web_batch(batch_df: DataFrame, batch_id: int, store_path: str,
     hist = read_url_history(spark, store_path, before_batch_id=batch_id)
     if buckets:
         hist = hist.filter(F.col("ub").isin(buckets))  # ≤256, pruned scan
-    new = collapsed.join(hist.select("canon_url"), "canon_url", "left_anti")
+    # `new` has THREE consumers (the strip stage below, new_keys.isEmpty,
+    # new_keys.write) and its lineage holds the pruned history scan + the
+    # anti-join — materialize once so the dominant per-batch I/O runs once
+    new = materialize(collapsed.join(hist.select("canon_url"),
+                                     "canon_url", "left_anti"))
 
     stripped, empty_pred = wb.strip_stage(new, id_col)
     stripped = materialize(stripped.filter(~empty_pred))
@@ -99,8 +105,12 @@ def process_web_batch(batch_df: DataFrame, batch_id: int, store_path: str,
     gated = cleaned.filter(~wb.doc_gate_pred(quality_min))
     out = wb.exact_collapse(gated, id_col)
 
-    (out.write.mode("overwrite")
-     .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
+    # same zero-part-file glob-poisoning guard as the store commit below:
+    # a batch whose docs are all gated/deduped away records nothing, which
+    # is already the correct idempotent state
+    if not out.isEmpty():
+        (out.write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
     new_keys = url_store_rows(new)
     # skip the store commit when the batch carries NO new url identities
     # (all NULL-url or all seen): a parquet dir with zero part files
@@ -111,7 +121,71 @@ def process_web_batch(batch_df: DataFrame, batch_id: int, store_path: str,
         (new_keys.write.mode("overwrite").partitionBy("ub")
          .parquet(os.path.join(store_path, f"batch_id={batch_id}")))
     collapsed.unpersist()
+    new.unpersist()
     stripped.unpersist()
+
+
+def recover_fold(root: str) -> None:
+    """Finish or roll back a crashed _fold_batch_dirs: if the trash
+    sibling exists, either promote the fully-written staging dir to
+    batch_id=-1 (crash after the old dirs moved to trash) or restore the
+    trash (staging missing — cannot happen in-order, but restoring is the
+    safe default), then clear the siblings."""
+    import shutil
+
+    trash = root.rstrip("/") + ".fold.trash"
+    staging = root.rstrip("/") + ".fold.staging"
+    if not os.path.isdir(trash):
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)  # pre-swap leftover
+        return
+    merged = os.path.join(root, "batch_id=-1")
+    if not os.path.isdir(merged):
+        if os.path.isdir(staging):
+            os.rename(staging, merged)
+        else:
+            for n in os.listdir(trash):
+                os.rename(os.path.join(trash, n), os.path.join(root, n))
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def _fold_batch_dirs(spark: SparkSession, root: str,
+                     partition_by: tuple[str, ...] = (),
+                     dedup_cols: tuple[str, ...] = ()) -> int:
+    """Fold every root/batch_id=* dir into ONE ``batch_id=-1`` dir — the
+    fresh-checkpoint generation guard: a new checkpoint restarts batch ids
+    at 0 and would OVERWRITE prior-generation committed dirs (losing
+    consumed identities / outputs forever). -1 sorts below every real id,
+    so the `batch_id < N` self-exclusion keeps the folded history visible
+    to every new batch. Crash contract mirrors compact_store: staging is
+    fully written before any rename; old dirs move to a trash sibling;
+    recover_fold (called first) finishes or rolls back a crashed run."""
+    import shutil
+
+    recover_fold(root)
+    if not os.path.isdir(root):
+        return 0
+    names = [n for n in os.listdir(root) if n.startswith("batch_id=")]
+    if not names or names == ["batch_id=-1"]:
+        return 0
+    df = (spark.read.option("basePath", root)
+          .parquet(os.path.join(root, "batch_id=*")).drop("batch_id"))
+    if dedup_cols:
+        df = df.dropDuplicates(list(dedup_cols))
+    staging = root.rstrip("/") + ".fold.staging"
+    trash = root.rstrip("/") + ".fold.trash"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    os.makedirs(trash, exist_ok=True)
+    for n in names:
+        os.rename(os.path.join(root, n), os.path.join(trash, n))
+    os.rename(staging, os.path.join(root, "batch_id=-1"))
+    shutil.rmtree(trash, ignore_errors=True)
+    spark.catalog.refreshByPath(root)
+    return len(names)
 
 
 def run_web_ingest_stream(stream_docs: DataFrame, store_path: str,
@@ -122,7 +196,20 @@ def run_web_ingest_stream(stream_docs: DataFrame, store_path: str,
                           id_col: str = "doc_id"):
     """Start the continuous web-ingest query; returns the StreamingQuery.
     availableNow so a drop-style replay drains and stops (the
-    run_dedup_stream trigger discipline)."""
+    run_dedup_stream trigger discipline).
+
+    Fresh-checkpoint guard: when checkpoint_dir carries no commits but the
+    URL store / out dir already hold batch_id dirs (a PRIOR stream
+    generation), those dirs are folded into batch_id=-1 first — batch ids
+    restarting at 0 would otherwise overwrite prior commits: consumed URL
+    identities would vanish (their duplicates re-admitted forever) and
+    delivered output docs would be destroyed. The folded URL history
+    stays visible to every new batch (-1 < N for all N ≥ 0)."""
+    spark = stream_docs.sparkSession
+    if not os.path.exists(os.path.join(checkpoint_dir, "commits")):
+        _fold_batch_dirs(spark, store_path, partition_by=("ub",),
+                         dedup_cols=("canon_url",))
+        _fold_batch_dirs(spark, out_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         process_web_batch(batch_df, batch_id, store_path, out_dir,

@@ -83,11 +83,15 @@ def test_redelivered_batch_preserves_its_commit(spark, tmp_path):
     drop = [(300, corpus[0][1]), (301, "redelivered fresh doc one"),
             (302, "redelivered fresh doc two")]
     _write_drop(spark, drop, in_dir, "d1")
-    _run_once(spark, in_dir, store, str(tmp_path / "ckpt1"))
+    ckpt = str(tmp_path / "ckpt1")
+    _run_once(spark, in_dir, store, ckpt)
     assert _kept_ids(spark, store) == [301, 302]
-    # a FRESH checkpoint replays the same input as batch 0 again — the
-    # exact state after a crash between commit and checkpoint advance
-    _run_once(spark, in_dir, store, str(tmp_path / "ckpt2"))
+    # crash redelivery: replay BATCH 0 itself with its committed dir on
+    # disk (the state after a crash between the sink commit and the
+    # checkpoint advance) — the before_batch_id exclusion must recompute
+    # the identical survivors, not dedup the batch against its own output
+    sinc.process_dedup_batch(spark.createDataFrame(drop, SCHEMA),
+                             batch_id=0, store_path=store)
     assert _kept_ids(spark, store) == [301, 302]  # not erased
     spark.catalog.clearCache()
 
@@ -131,4 +135,65 @@ def test_full_history_unions_base_and_batches(spark, tmp_path):
     hist = sinc.read_full_history(spark, store)
     assert hist.count() == 6
     assert hist.filter(F.col("id") == 50).count() == 1
+    spark.catalog.clearCache()
+
+
+@pytest.mark.slow
+def test_fresh_checkpoint_folds_prior_generation(spark, tmp_path):
+    """A NEW checkpoint restarts batch ids at 0 — without the start-time
+    compaction fold, batch 0 of generation 2 would overwrite generation
+    1's batch_id=0 survivors AND dedup against a history that excludes
+    every prior dir (batch_id < 0), re-admitting their duplicates."""
+    corpus = [(i, f"gen guard corpus doc {i}") for i in range(6)]
+    store = str(tmp_path / "store")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    inc.write_signature_store(
+        inc.signature_store(spark.createDataFrame(corpus, SCHEMA)), store)
+
+    # generation 1 (checkpoint c1): two fresh docs survive as batch dirs
+    drop1 = [(100, "generation one fresh doc A"),
+             (101, "generation one fresh doc B")]
+    _write_drop(spark, drop1, in_dir, "drop1")
+    _run_once(spark, in_dir, store, str(tmp_path / "c1"))
+    assert _kept_ids(spark, store) == [100, 101]
+
+    # generation 2 (FRESH checkpoint c2): re-sends gen-1's docs + one new.
+    # The start-time fold moves gen-1 survivors into the base store, so
+    # the re-sent docs dedup away and nothing is overwritten.
+    drop2 = [(200, "generation one fresh doc A"),
+             (201, "generation two brand new doc")]
+    in2 = str(tmp_path / "in2")
+    os.makedirs(in2)
+    _write_drop(spark, drop2, in2, "drop2")
+    _run_once(spark, in2, store, str(tmp_path / "c2"))
+
+    base_ids = {r.id for r in
+                inc.read_signature_store(spark, store).select("id").collect()}
+    assert {100, 101} <= base_ids, "gen-1 survivors folded into the base"
+    assert _kept_ids(spark, store) == [201]
+    spark.catalog.clearCache()
+
+
+@pytest.mark.slow
+def test_all_dup_batch_commits_no_dir(spark, tmp_path):
+    """A batch fully contained in the store commits NOTHING — an empty
+    parquet dir would poison the basePath-glob history read."""
+    corpus = [(i, f"noop batch corpus doc {i}") for i in range(4)]
+    store = str(tmp_path / "store")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    inc.write_signature_store(
+        inc.signature_store(spark.createDataFrame(corpus, SCHEMA)), store)
+    _write_drop(spark, [(300, corpus[0][1]), (301, corpus[1][1])],
+                in_dir, "dropA")
+    _run_once(spark, in_dir, store, str(tmp_path / "ck"))
+    bdir = sinc.batches_dir(store)
+    assert (not os.path.isdir(bdir)
+            or not any(n.startswith("batch_id=") for n in os.listdir(bdir)))
+    # and the NEXT drop still reads history fine (nothing poisoned)
+    _write_drop(spark, [(302, "post noop genuinely new doc")],
+                in_dir, "dropB")
+    _run_once(spark, in_dir, store, str(tmp_path / "ck"))
+    assert _kept_ids(spark, store) == [302]
     spark.catalog.clearCache()
