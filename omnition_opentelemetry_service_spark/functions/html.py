@@ -57,8 +57,15 @@ from pyspark.sql import functions as F
 # (the generic rules would eat '<script>' itself and leave its body
 # behind), block tags before the generic tag rule (which would turn them
 # into spaces).
-SCRIPT_RX = "(?is)<script[^>]*>.*?</script>"
-STYLE_RX = "(?is)<style[^>]*>.*?</style>"
+# The tag NAME must end after 'script'/'style': without the guard,
+# '<script-loader>' (custom elements always contain '-') would open a
+# script block that swallows all visible text up to the next REAL
+# </script> — silent page-body loss. \b is NOT enough ('-' is a
+# non-word char, so t|- IS a boundary) and RE2 (the DuckDB twin) has no
+# lookahead, so the portable spelling is an alternation: bare '>' or a
+# non-tag-name char then attributes.
+SCRIPT_RX = "(?is)<script(|[^a-z0-9>-][^>]*)>.*?</script>"
+STYLE_RX = "(?is)<style(|[^a-z0-9>-][^>]*)>.*?</style>"
 COMMENT_RX = "(?s)<!--.*?-->"
 # \b keeps '<p ...>' from also matching '<param ...>' (ASCII word
 # boundary — same semantics in java.util.regex and RE2; RE2 has no

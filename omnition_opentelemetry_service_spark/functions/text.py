@@ -41,17 +41,18 @@ ASTRAL_RX_DUCK = ASTRAL_RX
 
 # -- token counting ---------------------------------------------------------
 def token_count(col: str = "text") -> Column:
-    """Whitespace token count (0 for blank text)."""
-    t = F.trim(F.col(col))
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, WS))
-    )
+    """Whitespace token count: non-empty split elements, so blank and
+    whitespace-ONLY text (tabs/newlines included — trim strips only
+    0x20) count 0, and edge whitespace adds nothing. NULL text → NULL
+    (the quarantine convention; size(filter(NULL)) is NULL)."""
+    return F.size(F.filter(F.split(F.col(col), WS),
+                           lambda w: F.length(w) > 0))
 
 
 def token_count_sql_duck(col: str = "text") -> str:
     return (
-        f"CASE WHEN len(trim({col}, ' ')) = 0 THEN 0 "
-        f"ELSE len(string_split_regex(trim({col}, ' '), '{WS_SQL_DUCK}')) END"
+        f"len(list_filter(string_split_regex({col}, '{WS_SQL_DUCK}'), "
+        f"w -> len(w) > 0))"
     )
 
 
@@ -136,8 +137,11 @@ def lang_id(col: str = "text") -> Column:
     'und' (undetermined) when no stopwords hit."""
     c = {lang: stopword_count(col, lang) for lang in STOPWORDS}
     best = F.greatest(*c.values())
+    # NULL text first: every stopword count is NULL, so all whens skip
+    # and the bare .otherwise would label a fetch-failed doc 'de'
     return (
-        F.when(best == 0, F.lit("und"))
+        F.when(F.col(col).isNull(), F.lit(None).cast("string"))
+        .when(best == 0, F.lit("und"))
         .when(c["en"] == best, F.lit("en"))
         .when(c["es"] == best, F.lit("es"))
         .when(c["fr"] == best, F.lit("fr"))
@@ -148,7 +152,8 @@ def lang_id(col: str = "text") -> Column:
 def lang_id_sql_duck(col: str = "text") -> str:
     c = {lang: stopword_count_sql_duck(col, lang) for lang in STOPWORDS}
     return (
-        f"CASE WHEN greatest({c['en']}, {c['es']}, {c['fr']}, {c['de']}) = 0 THEN 'und' "
+        f"CASE WHEN {col} IS NULL THEN CAST(NULL AS VARCHAR) "
+        f"WHEN greatest({c['en']}, {c['es']}, {c['fr']}, {c['de']}) = 0 THEN 'und' "
         f"WHEN ({c['en']}) = greatest({c['en']}, {c['es']}, {c['fr']}, {c['de']}) THEN 'en' "
         f"WHEN ({c['es']}) = greatest({c['es']}, {c['fr']}, {c['de']}) THEN 'es' "
         f"WHEN ({c['fr']}) = greatest({c['fr']}, {c['de']}) THEN 'fr' "

@@ -71,14 +71,21 @@ _SYNTAX = {
 
 
 def _host_sql(col: str, engine: str) -> str:
-    """Canonical host: space-trimmed, lowercase authority, minus
-    userinfo/default port/www (regexp_extract/regexp_replace/lower agree
-    across engines; all replaces anchored single-match)."""
+    """Canonical host (the canon-URL component): space-trimmed, lowercase
+    authority, minus userinfo/default port/trailing DNS root dot/www
+    (regexp_extract/regexp_replace/lower agree across engines; all
+    replaces anchored single-match). Non-default ports are KEPT here —
+    a different port is a different resource in the canon identity."""
     t = _SYNTAX[engine]["trim"].format(x=col)
     auth = f"lower(regexp_extract({t}, '{URL_PAT}', 1))"
     no_user = f"regexp_replace({auth}, '^[^@]*@', '')"
     no_port = f"regexp_replace({no_user}, ':(80|443)$', '')"
-    return f"regexp_replace({no_port}, '^www[.]', '')"
+    # trailing DNS root dot, in both spellings (bare end / before a kept
+    # port) — TWO backref-free replaces: replacement backrefs are engine-
+    # divergent ($1 in Java, \\1 in DuckDB), so they are banned here
+    no_dot = (f"regexp_replace(regexp_replace({no_port}, '[.]+$', ''), "
+              f"'[.]+:', ':')")
+    return f"regexp_replace({no_dot}, '^www[.]', '')"
 
 
 def _canon_sql(col: str, engine: str) -> str:
@@ -117,15 +124,27 @@ def canonical_url_sql_duck(col: str = "url") -> str:
     return _canon_sql(col, "duck")
 
 
+def _bare_host_sql(col: str, engine: str) -> str:
+    """The HOST identity (blocklist / politeness / per-host grouping):
+    the canon host with ANY port stripped — a crawl source must not dodge
+    a host blocklist or its politeness budget by appending :8080 (ports
+    are also outside the blocklist charset, so a ported host could not
+    even be listed) — and '' collapsed to NULL: relative/junk URLs have
+    NO host, and an empty-string host would silently pool every such doc
+    into one phantom host group for line-dedup/quota stages."""
+    base = _host_sql(col, engine)
+    return f"nullif(regexp_replace({base}, ':[0-9]+$', ''), '')"
+
+
 def url_host(col: str = "url") -> Column:
-    """Spark column: canonical host only (blocklists key on this)."""
+    """Spark column: host identity only (blocklists key on this)."""
     return F.expr(f"CASE WHEN {col} IS NULL THEN CAST(NULL AS STRING) "
-                  f"ELSE {_host_sql(col, 'spark')} END")
+                  f"ELSE {_bare_host_sql(col, 'spark')} END")
 
 
 def url_host_sql_duck(col: str = "url") -> str:
     return (f"CASE WHEN {col} IS NULL THEN CAST(NULL AS VARCHAR) "
-            f"ELSE {_host_sql(col, 'duck')} END")
+            f"ELSE {_bare_host_sql(col, 'duck')} END")
 
 
 def url_dedup_groups(docs: DataFrame, url_col: str = "url",
@@ -159,6 +178,15 @@ def url_dedup_groups_sql_duck(docs_sql: str, url_col: str = "url",
 _HOST_CHARSET = set("abcdefghijklmnopqrstuvwxyz0123456789.-")
 
 
+def validate_blocklist(blocked_hosts: list[str]) -> list[str]:
+    """THE blocklist literal-safety gate (one definition; PARITY trap 24
+    — reject, don't escape): hosts inline into both engines' SQL."""
+    for h in blocked_hosts:
+        if not h or not set(h) <= _HOST_CHARSET:
+            raise ValueError(f"blocklist host not literal-safe: {h!r}")
+    return blocked_hosts
+
+
 def host_blocklist_filter(docs: DataFrame, blocked_hosts: list[str],
                           url_col: str = "url") -> DataFrame:
     """Drop docs whose canonical host is on the blocklist. Hosts are
@@ -169,9 +197,7 @@ def host_blocklist_filter(docs: DataFrame, blocked_hosts: list[str],
     a driver-side literal IN over a bounded blocklist — no join, no
     shuffle; a corpus-scale blocklist would become a broadcast anti-join
     instead, which this deliberately is not (blocklists are small)."""
-    for h in blocked_hosts:
-        if not h or not set(h) <= _HOST_CHARSET:
-            raise ValueError(f"blocklist host not literal-safe: {h!r}")
+    validate_blocklist(blocked_hosts)
     host = url_host(url_col)
     return docs.filter(host.isNull() | ~host.isin(blocked_hosts))
 
@@ -179,9 +205,7 @@ def host_blocklist_filter(docs: DataFrame, blocked_hosts: list[str],
 def host_blocklist_pred_duck(blocked_hosts: list[str],
                              url_col: str = "url") -> str:
     """DuckDB WHERE-clause twin of :func:`host_blocklist_filter`."""
-    for h in blocked_hosts:
-        if not h or not set(h) <= _HOST_CHARSET:
-            raise ValueError(f"blocklist host not literal-safe: {h!r}")
+    validate_blocklist(blocked_hosts)
     host = url_host_sql_duck(url_col)
     lits = ", ".join(f"'{h}'" for h in blocked_hosts)
     return f"(({host}) IS NULL OR ({host}) NOT IN ({lits}))"

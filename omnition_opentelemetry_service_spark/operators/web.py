@@ -36,9 +36,7 @@ def annotate_urls(docs: DataFrame, blocked_hosts: list[str] | None = None,
         ur.url_host("url").alias("host"))
     blocked = list(blocked_hosts or [])
     if blocked:
-        for h in blocked:
-            if not h or not set(h) <= ur._HOST_CHARSET:
-                raise ValueError(f"blocklist host not literal-safe: {h!r}")
+        ur.validate_blocklist(blocked)
         drop_pred = (F.col("host").isNotNull()
                      & F.col("host").isin(blocked))
     else:
@@ -95,10 +93,15 @@ def doc_gate_pred(quality_min: float = 0.5) -> "F.Column":
 
 def exact_collapse(gated: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact content dedup (fingerprint min_by — same-text-different-URL
-    pages), one exchange with map-side partials."""
+    pages), one exchange with map-side partials. NULL-text rows get a
+    per-row sentinel key (the incremental.signature_store rule): groupBy
+    treats NULL keys as EQUAL, so without it every quarantine row would
+    silently collapse into one survivor."""
     extra = [c for c in ("canon_url",) if c in gated.columns]
+    fp = F.coalesce(tx.fingerprint("text"),
+                    F.concat(F.lit("null:"), F.col(id_col).cast("string")))
     return (gated
-            .groupBy(tx.fingerprint("text").alias("_fp"))
+            .groupBy(fp.alias("_fp"))
             .agg(F.min_by(
                 F.struct(id_col, "url", "host", "source", *extra, "text"),
                 F.col(id_col)).alias("r"))

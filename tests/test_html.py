@@ -97,3 +97,16 @@ def test_plan_is_projection_only(spark):
     plan = (docs.select(hh.strip_html("text").alias("t"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_custom_element_named_like_script_not_swallowed(spark):
+    """<script-loader> must not open a script block that deletes the page
+    body up to the real </script> (the \\b tag-name guard)."""
+    from omnition_opentelemetry_service_spark.functions import html as hh
+
+    page = ('<script-loader src="x"></script-loader><p>Hello visible</p>'
+            '<script>var x=1;</script><p>After</p>')
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    out = df.select(hh.strip_html("html").alias("t")).collect()[0].t
+    assert "Hello visible" in out and "After" in out
+    assert "var x=1" not in out

@@ -131,3 +131,40 @@ def test_plan_shapes(spark):
     assert plan_g.count("Exchange") == 1
     for plan in (plan_p, plan_g):
         assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_host_identity_port_and_dot_bypass_closed(spark):
+    """A crawl source must not dodge the blocklist/politeness identity by
+    appending a non-default port or a DNS root dot; relative URLs have
+    NULL host (no phantom '' group)."""
+    from omnition_opentelemetry_service_spark.operators import urls as ur
+
+    df = spark.createDataFrame(
+        [(1, "http://evil.com:8080/x"), (2, "http://evil.com./x"),
+         (3, "http://evil.com.:8080/x"), (4, "foo/bar"), (5, "/a/b"),
+         (6, "https://ok.com:8443/y")],
+        "doc_id long, url string")
+    got = {r.doc_id: r.h for r in
+           df.select("doc_id", ur.url_host("url").alias("h")).collect()}
+    assert got[1] == got[2] == got[3] == "evil.com"
+    # schemeless 'foo/bar' is indistinguishable from 'example.com/page'
+    # and parses authority 'foo'; a rootless path has NO host
+    assert got[4] == "foo" and got[5] is None
+    assert got[6] == "ok.com"
+    # and the Spark/Duck twins agree on exactly these shapes
+    import duckdb
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, " + ur.url_host_sql_duck("url") + " AS h FROM "
+        "(VALUES (1, 'http://evil.com:8080/x'), (2, 'http://evil.com./x'),"
+        " (3, 'http://evil.com.:8080/x'), (4, 'foo/bar'), (5, '/a/b'),"
+        " (6, 'https://ok.com:8443/y')) t(doc_id, url)").fetchall()
+    assert {d: h for d, h in rows} == got
+    # the filter actually drops the ported/dotted spellings now
+    kept = {r.doc_id for r in
+            ur.host_blocklist_filter(df, ["evil.com"]).collect()}
+    assert kept == {4, 5, 6}
+    # canon identity still distinguishes ports (different resource)
+    canon = {r.doc_id: r.c for r in df.select(
+        "doc_id", ur.canonical_url("url").alias("c")).collect()}
+    assert canon[1] == "evil.com:8080/x" and canon[2] == "evil.com/x"
