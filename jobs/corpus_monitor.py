@@ -70,8 +70,14 @@ def snapshot_stats(docs: DataFrame) -> dict:
     scored = docs.select(
         F.coalesce(F.col("source").cast("string"),
                    F.lit("(null source)")).alias("source"),
-        (tx.quality_score("text") >= 0.5).cast("int").alias("q_ok"),
-        (tx.lang_id("text") != "und").cast("int").alias("lang_ok"),
+        # coalesce(0): NULL text scores NULL quality and NULL lang (the
+        # quarantine convention) — a fetch-failed doc counts as neither
+        # quality-passing nor language-identified, and an all-NULL source
+        # group must sum to 0, not NULL (int(None) would kill the monitor)
+        F.coalesce((tx.quality_score("text") >= 0.5).cast("int"),
+                   F.lit(0)).alias("q_ok"),
+        F.coalesce((tx.lang_id("text") != "und").cast("int"),
+                   F.lit(0)).alias("lang_ok"),
         F.coalesce(
             tx.fingerprint("text"),
             F.concat(F.lit("null:"), F.col("doc_id").cast("string")))
