@@ -240,7 +240,7 @@ def contamination_check_sql_duck(table: str = "documents",
     ), doc_grams AS (
       SELECT id, unnest(list_distinct({_grams_case_duck(n)})) AS gram FROM ws
     ), bench_grams AS (
-      SELECT DISTINCT gram FROM doc_grams WHERE {bench_pred.replace('doc_id', 'id')}
+      SELECT DISTINCT gram FROM doc_grams WHERE {bench_pred.replace(id_col, 'id')}
     )
     SELECT d.id AS {id_col},
            count(*) AS n_grams,
@@ -656,6 +656,12 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
     stratum's rate. Pure map-side filter — pushes past scans, no shuffle,
     and the same row set survives at any parallelism (the resume guarantee
     queued-retry needs: a re-run samples identically).
+
+    NULL strata/key rows are DROPPED in both engines (the quota_per_
+    stratum rule; PARITY trap 25): Spark's concat NULLs the hash and the
+    filter drops the row, while DuckDB's concat would silently IGNORE the
+    NULL arg and sample the row at its rate — the explicit guard pins the
+    Spark semantics in the twin.
     """
     bucket = F.expr(
         f"CAST(conv(substring(md5(concat({strata_col}, ':', "
@@ -668,7 +674,9 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
     # DuckDB's ROUNDS — a rate whose rate*1e6 has fractional part >= 0.5
     # would keep one extra bucket in the oracle. floor() on both sides
     # pins the same threshold in both engines.
-    return df.filter(bucket < F.floor(rate * 1_000_000).cast("bigint"))
+    return df.filter(F.col(strata_col).isNotNull()
+                     & F.col(key_col).isNotNull()
+                     & (bucket < F.floor(rate * 1_000_000).cast("bigint")))
 
 
 def stratified_sample_pred_duck(strata_col: str, rates: dict[str, float],
@@ -681,8 +689,11 @@ def stratified_sample_pred_duck(strata_col: str, rates: dict[str, float],
     bucket = (f"CAST(concat('0x', substr(md5(concat({strata_col}, ':', "
               f"CAST({key_col} AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000")
     # floor before CAST: DuckDB CAST(double AS BIGINT) rounds half-up while
-    # Spark's truncates — see stratified_sample.
-    return f"({bucket}) < CAST(floor(({rate}) * 1000000) AS BIGINT)"
+    # Spark's truncates — see stratified_sample. NULL guard: trap 25 (Duck
+    # concat ignores NULL args — without it a NULL-stratum row hashes the
+    # surviving ':key' and gets sampled where Spark drops it).
+    return (f"({strata_col} IS NOT NULL AND {key_col} IS NOT NULL AND "
+            f"({bucket}) < CAST(floor(({rate}) * 1000000) AS BIGINT))")
 
 
 # ---------------------------------------------------------------------------
@@ -841,6 +852,31 @@ def common_lines(docs: DataFrame, min_count: int = 2,
             .filter(F.col("n_occurrences") >= int(min_count)))
 
 
+def _rebuild_from_kept(base: DataFrame, kept: DataFrame,
+                       id_col: str, text_col: str) -> DataFrame:
+    """THE shared line-dedup reconstruction (one definition for the
+    global and grouped forms — a fix to the rebuild applied to one copy
+    would silently desynchronize the other): regroup kept lines by doc,
+    array_sort on (pos, raw) (pos unique per doc → deterministic under
+    any partitioning), rejoin with newlines; NULL text stays NULL,
+    everything-removed becomes ''."""
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "raw"))),
+                lambda s: s["raw"]), "\n").alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"))
+    return (base.join(agg, id_col, "left")
+            .select(
+                id_col,
+                F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+                .otherwise(F.coalesce("kept_text", F.lit("")))
+                .alias("clean_text"),
+                F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+                (F.coalesce("n_lines", F.lit(0))
+                 - F.coalesce("n_kept", F.lit(0))).alias("n_removed")))
+
+
 def line_dedup(docs: DataFrame, min_count: int = 2, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """(doc_id, clean_text, n_lines, n_removed): every doc with corpus-wide
@@ -862,21 +898,7 @@ def line_dedup(docs: DataFrame, min_count: int = 2, id_col: str = "doc_id",
         .withColumn("line", F.trim(F.col("raw"))))
     rm = common_lines(docs, min_count, text_col)
     kept = ex.join(rm.select("line"), "line", "left_anti")
-    agg = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "raw"))),
-                lambda s: s["raw"]), "\n").alias("kept_text"),
-        F.count(F.lit(1)).alias("n_kept"))
-    return (base.join(agg, id_col, "left")
-            .select(
-                id_col,
-                F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-                .otherwise(F.coalesce("kept_text", F.lit("")))
-                .alias("clean_text"),
-                F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-                (F.coalesce("n_lines", F.lit(0))
-                 - F.coalesce("n_kept", F.lit(0))).alias("n_removed")))
+    return _rebuild_from_kept(base, kept, id_col, text_col)
 
 
 def line_dedup_sql_duck(table: str = "documents", min_count: int = 2,
@@ -960,21 +982,7 @@ def line_dedup_grouped(docs: DataFrame, group_col: str, min_count: int = 2,
           .select(F.col(group_col).alias("_g"), "line"))
     kept = ex.join(rm, [ex["_g"].eqNullSafe(rm["_g"]),
                         ex["line"] == rm["line"]], "left_anti")
-    agg = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "raw"))),
-                lambda s: s["raw"]), "\n").alias("kept_text"),
-        F.count(F.lit(1)).alias("n_kept"))
-    return (base.join(agg, id_col, "left")
-            .select(
-                id_col,
-                F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-                .otherwise(F.coalesce("kept_text", F.lit("")))
-                .alias("clean_text"),
-                F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-                (F.coalesce("n_lines", F.lit(0))
-                 - F.coalesce("n_kept", F.lit(0))).alias("n_removed")))
+    return _rebuild_from_kept(base, kept, id_col, text_col)
 
 
 def line_dedup_grouped_sql_duck(table: str = "documents",
@@ -1233,8 +1241,13 @@ def remove_duplicated_token_spans_sql_duck(seqs_cte: str, k: int = 8,
     )
     SELECT g.id AS {id_col},
            CAST(len(g.toks) AS INTEGER) AS n_before,
-           CAST(coalesce(kp.n_kept, 0) AS INTEGER) AS n_kept,
-           coalesce(kp.kept_str, '') AS kept_str
+           -- NULL tokens stay NULL (the Spark side's quarantine
+           -- convention); the coalesce covers only the everything-cut
+           -- EMPTY case (trap 26)
+           CASE WHEN g.toks IS NULL THEN NULL
+                ELSE CAST(coalesce(kp.n_kept, 0) AS INTEGER) END AS n_kept,
+           CASE WHEN g.toks IS NULL THEN NULL
+                ELSE coalesce(kp.kept_str, '') END AS kept_str
     FROM gs g LEFT JOIN kept kp ON g.id = kp.id"""
 
 

@@ -51,7 +51,13 @@ _XH12_DUCK = "CAST(concat('0x', substr(md5({s}), 1, 12)) AS BIGINT)"
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Group by normalized fingerprint; keep the smallest id per group."""
+    """Group by normalized fingerprint; keep the smallest id per group.
+
+    Shape at scale: ONE exchange keyed on the fingerprint with map-side
+    partial min/count — the corpus never joins itself and no keeper join
+    exists (consumers semi-join the keep_id list, which is
+    group-bounded). Reference analog: none (the collector forwards spans;
+    dedup is the training-data layer's addition)."""
     return (
         docs.withColumn("fp", fingerprint(text_col))
         .groupBy("fp")
@@ -92,6 +98,9 @@ def minhash_signature_sql_duck(shingles_sql: str) -> str:
 
 
 def with_minhash(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Attach (shingles, minhash) — pure per-row projection: rides the
+    scan, zero shuffle; the downstream band explode + equi-join is where
+    the exchange happens (minhash_candidates)."""
     return (
         docs.withColumn("shingles", char_shingles(text_col, k))
         .withColumn("minhash", minhash_signature_expr("shingles"))
@@ -225,10 +234,16 @@ def jaccard_verify(candidates: DataFrame, docs_with_shingles: DataFrame,
                    id_col: str = "doc_id", threshold: float = 0.5) -> DataFrame:
     """Exact jaccard on candidate pairs only (the cheap post-LSH filter).
 
-    The shingle table joins twice (id_a side, id_b side) — persist it so the
-    shingling expression runs once, not once per side."""
-    sh = materialize(
-        docs_with_shingles.select(F.col(id_col).alias("id"), "shingles"))
+    The shingle table joins twice (id_a side, id_b side) — persist it so
+    the shingling expression runs once, not once per side. When the CALLER
+    already persisted the shingle frame (corpus_filter_full,
+    split_leakage_pairs, the capture curve), skip re-materializing: a
+    second block-manager copy of a corpus-sized table plus an extra eager
+    count buys nothing (the projection below is cheap atop the cached
+    parent)."""
+    proj = docs_with_shingles.select(F.col(id_col).alias("id"), "shingles")
+    sh = (proj if docs_with_shingles.storageLevel.useMemory
+          else materialize(proj))
     j = (
         candidates
         .join(sh.withColumnRenamed("shingles", "sh_a"), F.col("id_a") == F.col("id"))

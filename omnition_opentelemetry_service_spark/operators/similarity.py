@@ -323,9 +323,13 @@ def near_dup_pairs_lsh_banked(emb: DataFrame, threshold: float = 0.4,
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    # persisted like `keyed` (caller releases): the verify join consumes
+    # this table TWICE (id_a/id_b sides) — unpersisted, the dim-wide norm
+    # fold would run over the full corpus once per side per action
     e = emb.select(
         F.col("vec_id"), F.col("embedding"),
-        F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})").alias("nrm"))
+        F.expr(f"sqrt({_dot_expr('embedding', 'embedding')})").alias("nrm")
+    ).persist()
     return (
         cand.join(e.withColumnRenamed("embedding", "e_a")
                   .withColumnRenamed("nrm", "nrm_a"),
@@ -413,6 +417,10 @@ IVF_CENTROID_RESIDUE = 3
 
 
 def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic MOD-sample centroid stand-in (disclosed; the trained
+    alternative is kmeans.trained_centroids_df): a pure filter+projection
+    — no shuffle; the result is k-bounded and broadcast by every
+    consumer (ivf_assign / ivf_ann_topk)."""
     return emb.filter(
         F.col("vec_id") % IVF_CENTROID_MOD == IVF_CENTROID_RESIDUE
     ).select(F.col("vec_id").alias("centroid_id"),
