@@ -482,3 +482,28 @@ def test_token_contamination_plan_broadcasts_benchmark(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_null_strata_dropped_both_engines(spark):
+    """PARITY trap 25 regression: DuckDB's concat ignores NULL args, so a
+    NULL-stratum row would be sampled at its rate there while Spark drops
+    it — both engines must DROP (the quota_per_stratum rule)."""
+    import duckdb
+
+    rows = ([(i, None) for i in range(50)]
+            + [(50 + i, "web") for i in range(50)]
+            + [(999, None)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.stratified_sample(df, "source", {"web": 0.5},
+                                   default_rate=0.4)
+    got = {r.doc_id for r in out.collect()}
+    assert got and all(50 <= i < 100 for i in got), "NULL strata dropped"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, source VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    pred = corpus.stratified_sample_pred_duck("source", {"web": 0.5},
+                                              default_rate=0.4)
+    duck = {r[0] for r in con.execute(
+        f"SELECT doc_id FROM t WHERE {pred}").fetchall()}
+    assert duck == got
