@@ -14,6 +14,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _salt_expr(salt_col: str, salt_buckets: int) -> F.Column:
+    """THE salt derivation (one definition — batch_by_key and
+    salted_counts must stay bit-identical for their skew behavior and any
+    oracle twin to agree)."""
+    return F.pmod(F.xxhash64(salt_col), F.lit(salt_buckets)).cast("int")
+
+
 def batch_by_key(df: DataFrame, key: str = "source", num_partitions: int | None = None,
                  salt_buckets: int = 0, salt_col: str = "doc_id") -> DataFrame:
     """Repartition by key; with salt_buckets > 0 the hot key is spread over
@@ -22,8 +29,7 @@ def batch_by_key(df: DataFrame, key: str = "source", num_partitions: int | None 
     so the operator works on any table, not just ones carrying doc_id."""
     if salt_buckets > 0:
         salted = df.withColumn(
-            "_salt", F.pmod(F.xxhash64(salt_col), F.lit(salt_buckets)).cast("int")
-        )
+            "_salt", _salt_expr(salt_col, salt_buckets))
         out = (salted.repartition(num_partitions, key, "_salt")
                if num_partitions else salted.repartition(key, "_salt"))
         return out.drop("_salt")
@@ -116,8 +122,7 @@ def salted_counts(df: DataFrame, key: str = "source", salt_buckets: int = 32,
     additionally splits the *reduce* side of a hot key, which partials can't.)
     """
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(salt_col), F.lit(salt_buckets)).cast("int")
-    )
+        "_salt", _salt_expr(salt_col, salt_buckets))
     partial = salted.groupBy(key, "_salt").agg(
         F.count("*").alias("_c"), F.sum(sum_col).alias("_s")
     )

@@ -68,24 +68,25 @@ def carry_forward_scalable(
     local = sliced.withColumn(
         "_local_fill", F.last(value_col, ignorenulls=True).over(w_local))
 
-    bounds = (
-        sliced.filter(F.col(value_col).isNotNull())
-        .groupBy(stream_col, "_slice")
-        .agg(F.max_by(value_col, F.col(order_col)).alias("_last_val"))
+    # ONE aggregate yields the full slice grid AND each slice's boundary
+    # value: max_by's ordering key is NULL-masked, so all-null slices
+    # appear with a NULL boundary (max_by ignores NULL keys) — the
+    # separate filtered-bounds aggregate + distinct-grid + join shape
+    # scanned the unsliced input twice more for the same rows.
+    bounds_grid = (
+        sliced.groupBy(stream_col, "_slice")
+        .agg(F.max_by(
+            value_col,
+            F.when(F.col(value_col).isNotNull(), F.col(order_col)))
+            .alias("_last_val"))
     )
-    # slices with no non-null value still need a carry-in: full grid of
-    # slices present in the data, boundary filled forward over slice order.
-    grid = sliced.select(stream_col, "_slice").distinct()
     w_grid = (
         Window.partitionBy(stream_col).orderBy("_slice")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry = (
-        grid.join(bounds, [stream_col, "_slice"], "left")
-        .select(stream_col, "_slice",
-                F.last("_last_val", ignorenulls=True).over(w_grid)
-                .alias("_carry"))
-    )
+    carry = bounds_grid.select(
+        stream_col, "_slice",
+        F.last("_last_val", ignorenulls=True).over(w_grid).alias("_carry"))
 
     # No broadcast HINT: the carry table is rows/slice_rows — it grows
     # linearly with the data (at 10^12 rows it's ~1.5e7 entries), so forcing

@@ -46,6 +46,12 @@ def attrs_add(attrs_col: str | Column, kv: dict[str, str]) -> Column:
         for k, v in kv.items()
     ])
     keys = F.array(*[F.lit(k) for k in kv])
+    # NULL array (a left-enriched row whose source has no dim entry) must
+    # still GAIN the added keys — add-attributes runs "on every span";
+    # unguarded, filter(NULL) -> NULL and concat(NULL, added) -> NULL
+    # would silently drop the additions. The typed empty-array coalesce
+    # normalizes NULL attrs to [] first.
+    c = F.coalesce(c, F.array().cast("array<struct<key:string,value:string>>"))
     # coalesce: array_contains(keys, NULL) is NULL and a NULL predicate
     # DROPS the entry from F.filter — a null-keyed attribute must survive
     # (add/overwrite semantics never delete unrelated entries)

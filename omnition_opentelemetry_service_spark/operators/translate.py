@@ -40,6 +40,17 @@ PASSTHROUGH_COLS = [
 ]
 
 
+def operation_expr() -> F.Column:
+    """THE jaeger operation-name rule, shared by translate_jaeger and
+    encode_envelope: coalesce-to-'' per side makes NULL handling EXPLICIT
+    and engine-identical — concat_ws skips NULLs without the separator
+    (source NULL, lvl='info' → 'info') while DuckDB's concat keeps it
+    ('/info'); the twin (registry sink_translated) spells the identical
+    coalesce form."""
+    return F.concat(F.coalesce(F.col("source"), F.lit("")), F.lit("/"),
+                    F.coalesce(F.col("lvl"), F.lit("")))
+
+
 def translate_jaeger(routed: DataFrame) -> DataFrame:
     """OC → Jaeger-analog projection (exporter/kinesis/exporter.go:33-44):
     ids renamed/packed, operation name composed, per-span process filled from
@@ -49,7 +60,7 @@ def translate_jaeger(routed: DataFrame) -> DataFrame:
         "doc_id",
         F.col("trace_hex").alias("trace_id"),
         F.lpad(F.lower(F.hex(F.col("seq_no"))), 16, "0").alias("span_id"),
-        F.concat_ws("/", "source", "lvl").alias("operation"),
+        operation_expr().alias("operation"),
         "process",
         F.col("ts_str").alias("start_ts"),
         "n_tok",
@@ -97,11 +108,12 @@ def encode_envelope(routed: DataFrame) -> DataFrame:
     jaeger = F.to_json(F.struct(
         F.col("trace_hex").alias("trace_id"),
         F.lpad(F.lower(F.hex(F.col("seq_no"))), 16, "0").alias("span_id"),
-        F.concat_ws("/", "source", "lvl").alias("operation"),
+        operation_expr().alias("operation"),
         "process",
         F.col("ts_str").alias("start_ts"),
         "n_tok",
-    ))
+        "tenant",  # translate_for_sink emits it; the envelope must not
+    ))             # silently drop a field the typed wire schema carries
     metrics = F.to_json(F.struct("source", "tenant", "priority", "n_tok"))
     passthrough = F.to_json(F.struct(
         "seq_no", "source", "n_tok", "tokens", "tenant", "priority", "rule_id"))
@@ -118,13 +130,9 @@ def write_sinks_translated(routed: DataFrame, base_path: str,
     """Materialize every sink in its wire format in ONE job. Exchange keyed
     (sink, doc_id) — not sink alone, which would cap the write at
     #sinks tasks (see router.write_sinks)."""
-    spark = routed.sparkSession
-    (
-        encode_envelope(routed)
-        .repartition(spark.sparkContext.defaultParallelism,
-                     "sink", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("sink")
-        .format(fmt)
-        .save(base_path)
-    )
+    from .router import write_sinks
+
+    # ONE write recipe (router.write_sinks): the salted (sink, doc_id)
+    # exchange + partitionBy live in a single place — a fix to the write
+    # shape cannot diverge between the envelope and passthrough paths
+    write_sinks(encode_envelope(routed), base_path, fmt)

@@ -22,7 +22,7 @@ At scale the guard is false and the operator stays literally zero-shuffle.
 from __future__ import annotations
 
 import os
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 
@@ -50,7 +50,10 @@ def _input_bytes(df: DataFrame) -> int | None:
         if p.scheme not in ("", "file"):
             return None
         try:
-            total += os.path.getsize(p.path or f)
+            # inputFiles() returns URIs: percent-decode the path (a space
+            # or non-ASCII char would otherwise OSError and silently
+            # disable the byte cap, over-widening tiny inputs)
+            total += os.path.getsize(unquote(p.path) or f)
         except OSError:
             return None
     return total
@@ -80,7 +83,15 @@ def has_exchange(df: DataFrame) -> bool:
     running its shuffle map stages, and those stages are not reused by the
     later real action — so shuffled plans must be detected and left alone
     before any partition-count probe."""
-    return "Exchange" in df._jdf.queryExecution().sparkPlan().toString()
+    import re
+
+    # match the standalone shuffle operator only: 'BroadcastExchange' (a
+    # broadcast-join build side) and 'ReusedExchange' are NOT shuffles of
+    # this plan's main lineage — substring-matching 'Exchange' classified
+    # every broadcast-join plan as shuffled and silently disabled widening
+    # exactly where a narrow scan feeds an enrich join + Arrow kernel
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    return re.search(r"(?<![A-Za-z])Exchange", plan) is not None
 
 
 def num_partitions(df: DataFrame) -> int:

@@ -828,7 +828,7 @@ def _main_oracle_sql() -> dict[str, str]:
     o["sink_translated"] = f"""{pre}
     SELECT doc_id, trace_hex AS trace_id,
            lpad(lower(hex(seq_no)), 16, '0') AS span_id,
-           concat(source, '/', lvl) AS operation,
+           concat(coalesce(source, ''), '/', coalesce(lvl, '')) AS operation,
            coalesce(node_host_filled, host) AS process,
            ts_str AS start_ts, n_tok, tenant
     FROM routed WHERE sink = 'sink_kinesis'"""

@@ -62,3 +62,22 @@ def test_fill_process_coalesce(spark):
     got = [r.proc for r in
            fill_process(df, "span_proc", "batch_proc", "proc").collect()]
     assert sorted(got) == ["batch-p", "span-p"]
+
+
+def test_attrs_add_on_null_array_still_adds(spark):
+    """A left-enriched row with NO dim entry carries attrs = NULL; the
+    add-attributes processor runs 'on every span', so the added keys must
+    appear rather than the whole array going NULL."""
+    from omnition_opentelemetry_service_spark.operators.enrich import (
+        attrs_add, attrs_to_str,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", [("team", "core")])],
+        "source string, attrs array<struct<key:string,value:string>>")
+    got = {r.source: r.s for r in df.select(
+        "source",
+        attrs_to_str(attrs_add("attrs", {"env": "prod"})).alias("s"))
+        .collect()}
+    assert got["a"] == "env=prod"
+    assert "env=prod" in got["b"] and "team=core" in got["b"]

@@ -119,11 +119,11 @@ def test_envelope_payload_matches_typed_translation(spark):
 
     st = pl.build_routed(spark, pl.PipelineConfig(n_rows=400))
     typed = {r.doc_id: (r.trace_id, r.span_id, r.operation, r.process,
-                        r.start_ts, r.n_tok)
+                        r.start_ts, r.n_tok, r.tenant)
              for r in translate_for_sink(st["routed"], "sink_kinesis").collect()}
     env = encode_envelope(st["routed"]).filter(F.col("sink") == "sink_kinesis")
     got = {r.doc_id: (r.trace_id, r.span_id, r.operation, r.process,
-                      r.start_ts, int(r.n_tok))
+                      r.start_ts, int(r.n_tok), r.tenant)
            for r in env.select(
                "doc_id",
                F.get_json_object("payload", "$.trace_id").alias("trace_id"),
@@ -132,6 +132,10 @@ def test_envelope_payload_matches_typed_translation(spark):
                F.get_json_object("payload", "$.process").alias("process"),
                F.get_json_object("payload", "$.start_ts").alias("start_ts"),
                F.get_json_object("payload", "$.n_tok").alias("n_tok"),
+               # tenant included: EVERY typed field is compared — the r2
+               # review found the envelope silently dropping tenant while
+               # this guard compared everything except it
+               F.get_json_object("payload", "$.tenant").alias("tenant"),
            ).collect()}
     assert got == typed
 
