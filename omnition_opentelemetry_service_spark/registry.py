@@ -1132,9 +1132,32 @@ def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pk.pack_stats(packed)
 
 
+def _csv(col: str) -> F.Column:
+    """Driver-sortable scalar projection of an array column: CSV string.
+    The driver's gate canonicalizes by pandas-sorting result columns, which
+    raises TypeError on list-typed cells (CORRECTNESS_r03 assembled_packs/
+    fim_docs) — so driver slots project every array to a scalar here.
+    concat_ws on an empty array yields '' (DuckDB twin: coalesce(
+    array_to_string(..), '') — array_to_string alone returns NULL there)."""
+    return F.expr(f"concat_ws(',', CAST(`{col}` AS ARRAY<STRING>))")
+
+
+def _csv_duck(col: str) -> str:
+    return f"coalesce(array_to_string({col}, ','), '')"
+
+
 def q_assembled_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pk.with_pack_id(fx.sequences(spark, _n(sf_dir)), budget=2048)
-    return pk.assemble_packs(packed)
+    asm = pk.assemble_packs(packed)
+    # slot shape: arrays -> CSV scalars (see _csv); assemble_packs itself
+    # keeps the trainer-ready array form (value-verified in pytest).
+    return asm.select(
+        "source", "pack_id",
+        _csv("pack_tokens").alias("pack_tokens"),
+        _csv("doc_ids").alias("doc_ids"),
+        _csv("starts").alias("starts"),
+        _csv("lens").alias("lens"),
+        "n_docs", "pack_len")
 
 
 def q_finalized_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1147,7 +1170,10 @@ def q_finalized_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import augment
 
-    return augment.fim_transform(fx.sequences(spark, _n(sf_dir)), rate=0.4)
+    fim = augment.fim_transform(fx.sequences(spark, _n(sf_dir)), rate=0.4)
+    # slot shape: tokens array -> CSV scalar (see _csv) for the driver gate.
+    return fim.select("doc_id", "source", "seq_no", "fim_applied",
+                      _csv("tokens").alias("tokens"), "n_tok")
 
 
 def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1751,8 +1777,9 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
     FROM packed GROUP BY source, pack_id"""
 
     # assemble_packs twin: the same cumsum binning, then within-pack start
-    # offsets and ORDER BY seq_no list aggregation — boundary arrays are
-    # primitive so str(list) hashing is exact across engines.
+    # offsets and ORDER BY seq_no list aggregation; arrays projected to CSV
+    # scalars to match the driver-sortable slot shape (registry._csv —
+    # coalesce guards array_to_string's NULL-on-empty-list divergence).
     o["assembled_packs"] = f"""{pre},
     packed AS (
       SELECT source, pack_id, doc_id, tokens, n_tok, seq_no,
@@ -1765,10 +1792,10 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
                  CURRENT ROW) - n_tok) / 2048) AS BIGINT) AS pack_id
         FROM seq))
     SELECT source, pack_id,
-           flatten(list(tokens ORDER BY seq_no)) AS pack_tokens,
-           list(doc_id ORDER BY seq_no) AS doc_ids,
-           list(start ORDER BY seq_no) AS starts,
-           list(n_tok ORDER BY seq_no) AS lens,
+           {_csv_duck('flatten(list(tokens ORDER BY seq_no))')} AS pack_tokens,
+           {_csv_duck('list(doc_id ORDER BY seq_no)')} AS doc_ids,
+           {_csv_duck('list(start ORDER BY seq_no)')} AS starts,
+           {_csv_duck('list(n_tok ORDER BY seq_no)')} AS lens,
            CAST(count(*) AS INTEGER) AS n_docs,
            CAST(sum(n_tok) AS INTEGER) AS pack_len
     FROM packed GROUP BY source, pack_id"""
@@ -1806,8 +1833,11 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
     FROM packs"""
 
     from .operators import augment as _augment
-    o["fim_docs"] = f"""{pre}
-    {_augment.fim_sql_duck(rate=0.4)}"""
+    o["fim_docs"] = f"""{pre},
+    fimout AS ({_augment.fim_sql_duck(rate=0.4)})
+    SELECT doc_id, source, seq_no, fim_applied,
+           {_csv_duck('tokens')} AS tokens, n_tok
+    FROM fimout"""
 
     o["char_entropy_docs"] = f"""
     SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,

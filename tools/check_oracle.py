@@ -36,12 +36,26 @@ def table_hash(rows, cols) -> str:
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+def complex_cols(sdf) -> list[str]:
+    """Columns the DRIVER's canonicalization cannot sort (its pandas
+    sort_values raises TypeError on list/dict cells — CORRECTNESS_r03
+    assembled_packs/fim_docs). Driver slots must be scalar-only."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [f.name for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+
+
 def run_checks(spark, con, queries, oracles, sf_dir, only=None,
-               log=print) -> list[str]:
+               log=print, strict_names=frozenset()) -> list[str]:
     """The driver-identical gate over a (queries, oracles) pair: per query,
     row count + column names + order-insensitive value hash vs DuckDB.
-    Returns the failing names. Importable so pytest runs the SAME gate
-    (tests/test_consolidated_ops.py uses it for the rotated-out extras)."""
+    Queries in ``strict_names`` (the 50 driver slots) additionally FAIL if
+    their schema has array/map/struct columns — the driver's pandas-sort
+    canonicalization throws on those, so a non-scalar slot must never look
+    green locally (VERDICT r3 ask #2). Returns the failing names.
+    Importable so pytest runs the SAME gate (tests/test_consolidated_ops.py
+    uses it for the rotated-out extras)."""
     from omnition_opentelemetry_service_spark.registry import release_caches
 
     failures = []
@@ -52,6 +66,13 @@ def run_checks(spark, con, queries, oracles, sf_dir, only=None,
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            if name in strict_names:
+                bad = complex_cols(sdf)
+                if bad:
+                    log(f"FAIL  {name}: driver slot has non-scalar columns "
+                        f"{bad} — the driver's pandas sort would raise")
+                    failures.append(name)
+                    continue
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             log(f"FAIL  {name}: spark error: {e}")
@@ -110,6 +131,7 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    strict = frozenset(queries)  # the 50 driver slots: scalar-only schemas
     if extras:
         # the rotated-out twins ride the same gate (VERDICT r2 ask 2):
         # one command proves every twin, driver slots and extras alike
@@ -117,7 +139,8 @@ def main() -> int:
 
         queries = {**queries, **registry.build_extra_queries()}
         oracles = {**oracles, **registry.build_extra_oracle_sql()}
-    failures = run_checks(spark, con, queries, oracles, sf_dir, only=only)
+    failures = run_checks(spark, con, queries, oracles, sf_dir, only=only,
+                          strict_names=strict)
     print(f"\n{len(failures)} failures: {failures}")
     spark.stop()
     return 1 if failures else 0
