@@ -31,9 +31,14 @@ def with_pack_id(seqs: DataFrame, budget: int = 2048,
     # the 10^12-sequence design scale) — double promotion would then
     # misassign boundary rows by one pack. DIV equals floor() for all
     # non-negative values, so every floor-based twin stays identical.
+    # key/order are interpolated into SQL, so backtick-quote them: a
+    # caller's column name with spaces/dots must resolve as ONE identifier,
+    # not parse as arbitrary SQL (ADVICE r3).
+    kq = "`" + key.replace("`", "``") + "`"
+    oq = "`" + order.replace("`", "``") + "`"
     return seqs.withColumn(
         "pack_id", F.expr(
-            f"(sum(n_tok) OVER (PARTITION BY {key} ORDER BY {order} "
+            f"(sum(n_tok) OVER (PARTITION BY {kq} ORDER BY {oq} "
             f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) "
             f"DIV {int(budget)}").cast("long"))
 

@@ -37,8 +37,8 @@ Viterbi reference plus hypothesis properties (tests/test_unigram.py), the
 same verification tier as operators/bpe.py.
 
 Determinism: the pool is ordered (cnt desc, word asc), seeds are ordered
-(freq desc, piece asc), EM accumulates in pool order, prune ties break on
-(expected count asc, piece desc → drop later), and Viterbi ties prefer
+(freq desc, piece asc), EM accumulates in pool order, prune ties keep the
+lexicographically GREATER piece (sort (cnt, piece) desc), and Viterbi ties prefer
 the LONGER last piece — so the trained model and every encoding are pure
 functions of the corpus, invariant under partitioning and cluster size
 (pinned in tests)."""
@@ -181,8 +181,9 @@ def em_step(words: list[tuple[str, int]], logp: dict[str, float],
 def _prune(words: list[tuple[str, int]], logp: dict[str, float],
            max_len: int, keep: int) -> dict[str, float]:
     """Drop the lowest-expected-count multi-char pieces until ``keep``
-    remain (singles never drop). Tie-break (cnt asc, piece desc) so the
-    SURVIVOR set is deterministic. Counts are recomputed under the
+    remain (singles never drop). Deterministic tie-break: the single
+    (cnt, piece) descending sort means on equal expected counts the
+    lexicographically GREATER piece survives. Counts are recomputed under the
     CURRENT (post-EM) probs — ranking under stale pre-M-step counts would
     prune a different set."""
     exp_cnt = _expected_counts(words, logp, max_len)

@@ -82,9 +82,14 @@ def _host_sql(col: str, engine: str) -> str:
     no_port = f"regexp_replace({no_user}, ':(80|443)$', '')"
     # trailing DNS root dot, in both spellings (bare end / before a kept
     # port) — TWO backref-free replaces: replacement backrefs are engine-
-    # divergent ($1 in Java, \\1 in DuckDB), so they are banned here
+    # divergent ($1 in Java, \\1 in DuckDB), so they are banned here.
+    # The '[.]+:' pattern is UNANCHORED and can match more than once on
+    # junk authorities ('a.:b.:c'); Spark replaces every occurrence while
+    # DuckDB default-replaces only the first — trap 2's defense: pass 'g'
+    # in the DuckDB fragment so both engines replace globally.
+    g = ", 'g'" if engine == "duck" else ""
     no_dot = (f"regexp_replace(regexp_replace({no_port}, '[.]+$', ''), "
-              f"'[.]+:', ':')")
+              f"'[.]+:', ':'{g})")
     return f"regexp_replace({no_dot}, '^www[.]', '')"
 
 

@@ -55,16 +55,22 @@ class SnapshotTable:
         from read()/stage_manifest()/expire()). The read-compare-replace
         runs under a short O_EXCL lock; a lock left by a crashed writer is
         stolen after 60 s, so the worst case is a bounded publish delay,
-        never a lost commit."""
+        never a lost commit. The retry budget STRICTLY exceeds the steal
+        threshold (ADVICE r3: a 30 s budget vs a 60 s steal age meant a
+        lock from a writer crashed <60 s ago exhausted every waiter's
+        retries — RuntimeError after the snapshot data was already
+        committed), so a stale lock is always eventually stolen."""
         lock = self._current_path() + ".lock"
+        steal_age = 60.0
+        deadline = time.monotonic() + steal_age + 30.0
         fd = None
-        for _ in range(600):
+        while time.monotonic() < deadline:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(lock) > 60:
+                    if time.time() - os.path.getmtime(lock) > steal_age:
                         os.remove(lock)
                         continue
                 except OSError:

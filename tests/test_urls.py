@@ -30,6 +30,12 @@ CASES = [
     "http://a.com/p?x=%20&y=a+b",         # percent/plus NOT decoded
     "https://a.com/UPPER/Case?Key=Val",   # path/query case preserved
     "http://a.com:8080/p",                # non-default port preserved
+    "http://a.:b.:c/p",                   # junk authority, multiple '.:'
+                                          # runs — the root-dot strip must
+                                          # replace ALL of them in BOTH
+                                          # engines (ADVICE r3: DuckDB
+                                          # needs the 'g' option)
+    "http://x.example.com.:8080/q",       # root dot before a kept port
 ]
 
 EXPECT = {
@@ -39,6 +45,8 @@ EXPECT = {
     8: "a.com/p?a=1&a=1&z=9",
     10: "a.com/p", 11: "a.com", 12: "a.com/sp",
     15: "a.com:8080/p",
+    16: "a:b:c/p",                         # every '.:' run collapsed
+    17: "x.example.com:8080/q",
 }
 
 
