@@ -165,6 +165,20 @@ def _scale_probe(cores: int, input_dir: str, repeats: int = 2) -> dict:
     return json.loads(lines[-1])
 
 
+def _calibration_query(spark: SparkSession, sf_dir: str):
+    """The fixed box-calibration reference (VERDICT r3 ask #7): a plain
+    parquet scan + two aggregates over lineitem — no Python, no joins, no
+    operator under test — so its time moves ONLY with the box's scan-side
+    throughput in this window. Compared against the quiet-window value
+    pinned in BASELINE.md §"Box calibration", it turns "the whole headline
+    got slower" into a quantitative box-vs-plans attribution."""
+    from pyspark.sql import functions as F
+
+    return (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .groupBy().agg(F.sum("l_quantity").alias("sum_qty"),
+                           F.count(F.lit(1)).alias("n_rows")))
+
+
 def _burn(n: int) -> int:
     x = 0
     for i in range(n):
@@ -222,35 +236,84 @@ def _next_round() -> int:
                 if re.search(r"BENCH_r\d+\.json$", p)), default=0) + 1
 
 
-def _prev_bench_queries(before_round: int) -> dict[str, float]:
-    """Per-query times from the newest artifact of a round BEFORE
+def _artifact_queries(doc: dict) -> dict[str, float]:
+    return (doc.get("queries")
+            or (doc.get("parsed") or {}).get("queries") or {})
+
+
+def _artifact_deltas(doc: dict) -> dict[str, float] | None:
+    """This artifact's own per-query deltas, if recorded — including the
+    salvage path for a truncated raw-capture artifact (the r2 driver record
+    whose "parsed" is null but whose "tail" string still carries the whole
+    queries_delta_vs_prev object)."""
+    import re
+
+    d = (doc.get("queries_delta_vs_prev")
+         or (doc.get("parsed") or {}).get("queries_delta_vs_prev"))
+    if d:
+        return d
+    tail = doc.get("tail")
+    if isinstance(tail, str):
+        m = re.search(r'"queries_delta_vs_prev":\s*(\{[^{}]*\})', tail)
+        if m:
+            try:
+                return json.loads(m.group(1))
+            except json.JSONDecodeError:
+                pass
+    return None
+
+
+def _prev_bench_queries(before_round: int) -> tuple[int, dict[str, float]]:
+    """(base_round, per-query times) for the round IMMEDIATELY before
     ``before_round`` — deltas always compare round-to-round, never against
-    an earlier local run of the same round. Prefers the details sidecar
-    (always parseable); falls back to the driver record's "parsed" body
-    for pre-r3 rounds."""
-    best: tuple[int, dict] | None = None
-    for n, p in _round_numbers():
-        if n >= before_round:
-            continue
+    an earlier local run of the same round, and never silently skip a round
+    (VERDICT r3 "What's missing" #2: the r3 deltas labeled "vs prev" were
+    actually vs r1 because r2's record was unparseable). Resolution order
+    per round, walking down from before_round-1:
+      1. direct queries from any artifact of that round (details sidecar
+         preferred — it is always parseable);
+      2. RECONSTRUCTED queries: that round's own deltas applied on top of
+         the next-resolvable earlier round;
+      3. only then fall through to the earlier round itself.
+    The returned base_round is recorded in the details sidecar so the
+    artifact names what its deltas compare against."""
+    if before_round <= 1:
+        return 0, {}
+    docs_by_round: dict[int, list[dict]] = {}
+    for n, p in sorted(_round_numbers(),
+                       key=lambda t: (t[0], "details" in t[1])):
         try:
             with open(p) as f:
-                doc = json.load(f)
-            q = (doc.get("queries")
-                 or (doc.get("parsed") or {}).get("queries") or {})
-        except (OSError, json.JSONDecodeError, AttributeError):
+                docs_by_round.setdefault(n, []).append(json.load(f))
+        except (OSError, json.JSONDecodeError):
             continue
-        if q and (best is None or n >= best[0]):
-            best = (n, q)
-    return best[1] if best else {}
+    target = before_round - 1
+    for doc in reversed(docs_by_round.get(target, [])):  # details first
+        q = _artifact_queries(doc)
+        if q:
+            return target, q
+    for doc in reversed(docs_by_round.get(target, [])):
+        deltas = _artifact_deltas(doc)
+        if deltas:
+            base_round, base_q = _prev_bench_queries(target)
+            if base_q:
+                return target, {k: round(base_q[k] + dv, 3)
+                                for k, dv in deltas.items() if k in base_q}
+    return _prev_bench_queries(target)
 
 
 def measure_scaling(input_dir: str,
                     probe=None, ceiling_fn=None,
-                    max_attempts: int | None = None) -> dict:
+                    max_attempts: int | None = None,
+                    min_rounds: int | None = None) -> dict:
     """The N→4N scaling protocol, separated from main() so the pairing /
     conservative-denominator / early-stop logic is unit-testable with canned
     probes (tests/test_bench_protocol.py). ``probe`` and ``ceiling_fn``
-    default to the real subprocess probes."""
+    default to the real subprocess probes. At least ``min_rounds`` (default
+    2) full rounds run before ANY early stop: a one-round record's spread
+    is vacuous (VERDICT r3 ask #4 — r3's efficiency rested on a single
+    round with spread 0.0), so a clearing first attempt must still be
+    reproduced once before it ships."""
     probe = probe or _scale_probe
     ceiling_fn = ceiling_fn or _host_parallel_speedup
     if max_attempts is None:
@@ -258,6 +321,9 @@ def measure_scaling(input_dir: str,
     if max_attempts < 1:
         raise ValueError("measure_scaling needs max_attempts >= 1 "
                          "(BENCH_SCALE_ROUNDS must be a positive integer)")
+    if min_rounds is None:
+        min_rounds = int(os.environ.get("BENCH_SCALE_MIN_ROUNDS", "2"))
+    min_rounds = max(1, min(min_rounds, max_attempts))
     # The sandbox VM's effective PARALLEL capacity swings 2-10× with
     # outside-the-VM neighbor load (invisible to loadavg/top), while the
     # low-parallelism leg is stable: measured local[2] spread < 10% across
@@ -311,14 +377,15 @@ def measure_scaling(input_dir: str,
         # vs-ceiling-only clear already satisfies the criterion but buys
         # up to 2 MORE rounds hunting the stronger raw number (a raw pass
         # needs no ceiling-calibration argument to read).
-        if eff >= 0.805:
+        if eff >= 0.805 and len(rounds) >= min_rounds:
             break
         if eff_vs_ceiling >= 0.805 and bonus_left is None:
             bonus_left = 2
         if bonus_left is not None:
-            if bonus_left == 0:
+            if bonus_left == 0 and len(rounds) >= min_rounds:
                 break
-            bonus_left -= 1
+            if bonus_left > 0:
+                bonus_left -= 1
     # Final numbers all use the fastest low observed across the WHOLE run
     # (re-computing earlier rounds under a later, faster low can only lower
     # them — conservative by construction).
@@ -405,6 +472,11 @@ def main() -> None:
     fx.set_materialized_fixtures(fx.materialize_fixture_tables(
         spark, n_fix, f"/tmp/spark_graft_bench_fx_{n_fix}"))
 
+    # box calibration BEFORE and AFTER the headline window (same best-of-2
+    # harness as every headline query) — brackets the window the headline
+    # numbers were taken in
+    cal_pre, _ = _run_query(spark, _calibration_query, SF_DIR)
+
     for name in HEADLINE:
         # _run_query is best-of-2 and releases operator caches between reps
         dt, _ = _run_query(spark, queries[name], SF_DIR)
@@ -423,6 +495,14 @@ def main() -> None:
         dt, _ = _run_query(spark, queries[name], SF_DIR)
         extras_timed[name] = round(dt, 3)
     fx.set_materialized_fixtures(None)
+
+    cal_post, _ = _run_query(spark, _calibration_query, SF_DIR)
+    box_calibration = {
+        "query": "lineitem parquet scan + sum(l_quantity)/count(*)",
+        "pre_sec": round(cal_pre, 3),
+        "post_sec": round(cal_post, 3),
+        "best_sec": round(min(cal_pre, cal_post), 3),
+    }
 
     # ANN quality sidecar (VERDICT r2 ask 7): recall@k vs the exact scan on
     # this SF's embeddings — floors are pinned in tests/test_ann_recall.py;
@@ -449,12 +529,15 @@ def main() -> None:
         "ivf_nprobe2": _quality(
             sim.ivf_ann_topk(emb, 8, 5, nprobe=2),
             sim.ivf_candidate_fraction(emb, 8, nprobe=2)),
-        "lsh_single": _quality(
-            sim.lsh_ann_topk(emb, 8, 5),
-            sim.lsh_candidate_fraction(emb, 8, radius=0)),
-        "lsh_multiprobe_r2": _quality(
+        # multiprobe radius 2 is the SERVING DEFAULT (what q_ann_lsh_topk
+        # runs — VERDICT r3 ask #6); single-probe stays as the radius-0
+        # degenerate twin for the scan-cost floor.
+        "lsh_default_multiprobe_r2": _quality(
             sim.lsh_ann_topk_multiprobe(emb, 8, 5, radius=2),
             sim.lsh_candidate_fraction(emb, 8, radius=2)),
+        "lsh_single_probe_twin": _quality(
+            sim.lsh_ann_topk(emb, 8, 5),
+            sim.lsh_candidate_fraction(emb, 8, radius=0)),
     }
     # MinHash quality sidecar (the LSH mirror of ann_recall): measured
     # capture rate per exact-Jaccard decile on the bounded truth subset —
@@ -472,7 +555,7 @@ def main() -> None:
     spark.stop()
 
     cur_round = _next_round()
-    prev = _prev_bench_queries(cur_round)
+    delta_base_round, prev = _prev_bench_queries(cur_round)
     deltas = {q: round(t - prev[q], 3) for q, t in per_query.items()
               if q in prev}
 
@@ -487,6 +570,8 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "queries_delta_vs_prev": deltas,
+        "delta_base_round": delta_base_round,
+        "box_calibration": box_calibration,
         "sf": sf,
         "throughput": {
             "routed_rows": scaling["routed_rows"],
@@ -509,6 +594,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "box_calibration": box_calibration,
         "throughput": details["throughput"],
         "ann_recall": ann_recall,
         "scaling": {k: scaling[k] for k in (

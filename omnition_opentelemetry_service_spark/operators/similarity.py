@@ -752,6 +752,24 @@ def _lsh_probe_expr(n_planes: int, radius: int) -> str:
         _flip_bits_sql("bucket", n_planes, m) for m in masks) + "))"
 
 
+def lsh_probe_sql_duck(n_planes: int = LSH_PLANES, radius: int = 1,
+                       bucket_col: str = "bucket") -> str:
+    """DuckDB twin of :func:`_lsh_probe_expr`: unnest over the SAME
+    flip-bit strings (_flip_bits_sql's substring/CASE/concat parse
+    identically in both engines) — one probe-set definition per engine,
+    for the ann_lsh_topk oracle now that multiprobe is the serving
+    default."""
+    from itertools import combinations
+
+    if not 0 <= radius <= n_planes:
+        raise ValueError(f"radius must be in [0, {n_planes}]: got {radius}")
+    masks: list[tuple[int, ...]] = [()]
+    for r in range(1, radius + 1):
+        masks.extend(combinations(range(n_planes), r))
+    return "unnest([" + ", ".join(
+        _flip_bits_sql(bucket_col, n_planes, m) for m in masks) + "])"
+
+
 def _scanned_fraction(probes: DataFrame, corpus_keyed: DataFrame,
                       n_queries: int) -> float:
     """Mean over queries of |candidates scanned| / (N-1): the cost side of

@@ -23,11 +23,24 @@ def _probe_seq(lows, highs):
     return probe
 
 
-def test_early_stop_on_clearing_attempt():
-    """First attempt at efficiency 0.9 → exactly one round, one low."""
+def test_min_two_rounds_even_when_first_clears():
+    """A clearing first attempt must still be REPRODUCED once before the
+    early stop (VERDICT r3 ask #4: one round's spread is vacuous) — the
+    shipped record always carries >= 2 rounds."""
+    out = bench.measure_scaling(
+        "x", probe=_probe_seq([100.0, 100.0], [360.0, 360.0]),
+        ceiling_fn=lambda a, b: 3.8, max_attempts=8)
+    assert len(out["rounds"]) == 2
+    assert len(out["all_low_rows_per_sec"]) == 2
+    assert out["efficiency"] == 0.9
+
+
+def test_early_stop_after_min_rounds_on_clearing_attempt():
+    """With the minimum relaxed to 1 (unit knob), a clearing first attempt
+    stops immediately — the early-stop logic itself is unchanged."""
     out = bench.measure_scaling(
         "x", probe=_probe_seq([100.0], [360.0]),
-        ceiling_fn=lambda a, b: 3.8, max_attempts=8)
+        ceiling_fn=lambda a, b: 3.8, max_attempts=8, min_rounds=1)
     assert len(out["rounds"]) == 1
     assert out["all_low_rows_per_sec"] == [100.0]
     assert out["efficiency"] == 0.9
@@ -128,10 +141,30 @@ def test_prev_queries_compare_round_to_round(tmp_path, monkeypatch):
     (tmp_path / "BENCH_details_r03.json").write_text(json.dumps(
         {"queries": {"q": 1.0}}))
     assert bench._next_round() == 3
-    # current round 3: prev is the r02 driver record, not our own r03 run
-    assert bench._prev_bench_queries(3) == {"q": 2.0}
+    # current round 3: prev is the r02 driver record, not our own r03 run —
+    # and the artifact names its base round
+    assert bench._prev_bench_queries(3) == (2, {"q": 2.0})
     # next round sees the r03 sidecar (parseable) over the r02 fallback
-    assert bench._prev_bench_queries(4) == {"q": 1.0}
+    assert bench._prev_bench_queries(4) == (3, {"q": 1.0})
+
+
+def test_prev_queries_reconstructs_unparseable_round(tmp_path, monkeypatch):
+    """A round whose record lost its queries (r2: "parsed" null, truncated
+    raw tail) must be RECONSTRUCTED from its own deltas over the earlier
+    round — never silently skipped to r(N-2) while the deltas stay labeled
+    "vs prev" (VERDICT r3 "What's missing" #2)."""
+    import json
+
+    monkeypatch.setattr(bench, "HERE", str(tmp_path))
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(
+        {"parsed": {"queries": {"q": 3.0, "r": 1.0}}}))
+    # r2: unparseable body, but the raw capture tail still holds the deltas
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(
+        {"parsed": None,
+         "tail": 'junk "queries_delta_vs_prev": {"q": -1.0, "r": 0.5} more'}))
+    base, q = bench._prev_bench_queries(3)
+    assert base == 2
+    assert q == {"q": 2.0, "r": 1.5}
 
 
 def test_materialized_fixtures_roundtrip_exactly(spark, tmp_path):
