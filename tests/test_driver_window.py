@@ -41,6 +41,31 @@ def test_every_driver_slot_schema_is_scalar_only(spark):
         f"TypeError in its pandas sort): {offenders}")
 
 
+def test_driver_canonicalization_replica_sorts_every_slot(spark):
+    """REPLICATE the driver's canonicalization, not just its precondition:
+    collect each slot at the smoke sf and pandas-sort ALL columns exactly
+    as the driver's _canon does. The r3 failure was a TypeError inside
+    this sort; the schema gate above catches the list case, this catches
+    anything else pandas' lexsort chokes on (mixed-type object columns,
+    unhashable cells) that a schema check cannot see."""
+    import pandas as pd
+
+    queries = registry.build_queries()
+    failures = {}
+    for name, fn in queries.items():
+        pdf = pd.DataFrame([r.asDict() for r in
+                            fn(spark, "/root/testdata/sf0.001").collect()])
+        if pdf.empty:
+            continue
+        try:
+            pdf.sort_values(by=sorted(pdf.columns), inplace=True)
+        except TypeError as e:
+            failures[name] = str(e)
+    registry.release_caches(spark)
+    spark.catalog.clearCache()
+    assert not failures, f"driver canonicalization would raise: {failures}"
+
+
 def test_driver_slots_and_oracles_align():
     """Every driver slot has an oracle twin and vice versa — a slot without
     a twin silently downgrades to the driver's weaker rows-only check."""
