@@ -92,14 +92,18 @@ HEADLINE = [
 
 
 def _run_query(spark: SparkSession, fn, sf_dir: str,
-               reps: int = 2) -> tuple[float, int]:
+               reps: int = 3) -> tuple[float, int]:
     """Best-of-``reps`` full materializations. On this host, outside-the-VM
     neighbor load only ever ADDS time (measured: the same 1.3 s query read
-    13-33 s inside a bad minute), so the minimum over two runs is the
+    13-33 s inside a bad minute), so the minimum over the reps is the
     closest estimate of the machine-limited number — a single cold sample
-    confounds the query's cost with whatever minute it landed in. Each rep
-    rebuilds the DataFrame (fresh lineage, no shuffle reuse) and caches are
-    released between reps, so both reps execute the full job."""
+    confounds the query's cost with whatever minute it landed in. Three
+    reps since round 4: two adjacent same-code full runs measured headline
+    sums 30.3 s vs 17.3 s (box_calibration 0.363 vs 0.260 — the window,
+    not the plans), and a third rep narrows the min's exposure to a bad
+    minute at ~1 min of added wall across the whole set. Each rep rebuilds
+    the DataFrame (fresh lineage, no shuffle reuse) and caches are
+    released between reps, so every rep executes the full job."""
     best = float("inf")
     n = 0
     for _ in range(reps):
@@ -472,13 +476,13 @@ def main() -> None:
     fx.set_materialized_fixtures(fx.materialize_fixture_tables(
         spark, n_fix, f"/tmp/spark_graft_bench_fx_{n_fix}"))
 
-    # box calibration BEFORE and AFTER the headline window (same best-of-2
+    # box calibration BEFORE and AFTER the headline window (same best-of-3
     # harness as every headline query) — brackets the window the headline
     # numbers were taken in
     cal_pre, _ = _run_query(spark, _calibration_query, SF_DIR)
 
     for name in HEADLINE:
-        # _run_query is best-of-2 and releases operator caches between reps
+        # _run_query is best-of-3 and releases operator caches between reps
         dt, _ = _run_query(spark, queries[name], SF_DIR)
         per_query[name] = round(dt, 3)
 
