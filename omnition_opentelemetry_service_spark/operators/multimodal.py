@@ -4,18 +4,19 @@ with typed metadata, processed by Arrow-batched pandas UDFs.
 Two decode tiers:
 
 - **Real** (operators/media_codecs.py — pure stdlib/numpy): PPM, PNG
-  (8-bit non-interlaced), PCM16 WAV, and mp4/ISO-BMFF container METADATA
-  (moov/mvhd duration+timescale, tkhd display dims) decode FOR REAL;
+  (8-bit non-interlaced), baseline JPEG (full DCT/Huffman codec, JFIF
+  4:4:4), PCM16 WAV, and mp4/ISO-BMFF container METADATA (moov/mvhd
+  duration+timescale, tkhd display dims) decode FOR REAL;
   ``with_real_media`` synthesizes deterministic real buffers across all
-  four modalities, ``extract_real_media_features`` computes genuine
+  modalities, ``extract_real_media_features`` computes genuine
   per-modality features (dims + mean luminance; sample count/rate + RMS +
   zero crossings; video duration/timescale/dims) and ``resize_media_real``
   does an actual nearest-neighbor resample and re-encode.
 - **Stubbed**: only formats that genuinely need an external codec lib
-  (video FRAME decode, webm, jpeg) keep the honest NotImplementedError /
+  (video FRAME decode, webm) keep the honest NotImplementedError /
   deterministic-fake contract (``decode_image_batch(fake=True)``), which
   also remains the driver oracle's path (DuckDB can twin the fake's
-  codepoint arithmetic, not a PNG inflate).
+  codepoint arithmetic, not a PNG inflate or a JPEG IDCT).
 """
 
 from __future__ import annotations
@@ -194,8 +195,12 @@ def with_real_media(docs: DataFrame) -> DataFrame:
                            + np.arange(w)[None, :, None] * 5
                            + np.arange(3)[None, None, :] * 29
                            + did) % 256).astype(np.uint8)
-                    media.append(mc.encode_ppm(px))
-                    mtype.append("image/ppm")
+                    if did % 8 == 6:   # every other residue-2 doc: REAL jpeg
+                        media.append(mc.encode_jpeg(px, quality=90))
+                        mtype.append("image/jpeg")
+                    else:
+                        media.append(mc.encode_ppm(px))
+                        mtype.append("image/ppm")
                 else:
                     media.append(mc.encode_mp4_meta(
                         duration=int(600 + did % 9000),
@@ -235,11 +240,8 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
                         "n_samples": None, "sample_rate": None, "rms": None,
                         "zero_crossings": None, "duration_s": None,
                         "timescale": None}
-                if mt == "image/png":
-                    w, h, lum = mc.image_stats(mc.decode_png(b))
-                    base.update(width=w, height=h, mean_lum=lum)
-                elif mt == "image/ppm":
-                    w, h, lum = mc.image_stats(mc.decode_ppm(b))
+                if mt in ("image/png", "image/ppm", "image/jpeg"):
+                    w, h, lum = mc.image_stats(mc.decode_image(b, mt))
                     base.update(width=w, height=h, mean_lum=lum)
                 elif mt == "audio/wav":
                     n, rate, rms, zc = mc.audio_stats(*mc.decode_wav(b))
@@ -288,8 +290,7 @@ def resize_media_real(media: DataFrame, out_width: int = 8,
             for did, buf, mt in zip(pdf["doc_id"], pdf["media"],
                                     pdf["media_type"]):
                 b = bytes(buf)
-                arr = (mc.decode_png(b) if mt == "image/png"
-                       else mc.decode_ppm(b))
+                arr = mc.decode_image(b, mt)
                 if arr.shape[2] == 4:  # drop alpha for the PPM re-encode
                     arr = arr[:, :, :3]
                 elif arr.shape[2] == 1:  # gray PNG (color type 0) → RGB
@@ -387,11 +388,11 @@ def ahash_from_pixels(arr) -> int:
 
 
 def image_ahash(media: DataFrame) -> DataFrame:
-    """(doc_id, media_type, ahash) for image rows (image/png, image/ppm);
-    non-image rows are filtered out JVM-SIDE before the kernel (the decode
-    never sees audio/video buffers). mapInPandas Arrow batches — the
-    decode is inherently Python; everything downstream of this table is
-    pure JVM expressions."""
+    """(doc_id, media_type, ahash) for image rows (image/png, image/ppm,
+    image/jpeg); non-image rows are filtered out JVM-SIDE before the kernel
+    (the decode never sees audio/video buffers). mapInPandas Arrow batches
+    — the decode is inherently Python; everything downstream of this table
+    is pure JVM expressions."""
 
     def hashes(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -402,9 +403,7 @@ def image_ahash(media: DataFrame) -> DataFrame:
             rows = []
             for did, buf, mt in zip(pdf["doc_id"], pdf["media"],
                                     pdf["media_type"]):
-                b = bytes(buf)
-                arr = (mc.decode_png(b) if mt == "image/png"
-                       else mc.decode_ppm(b))
+                arr = mc.decode_image(bytes(buf), mt)
                 if arr.ndim == 3 and arr.shape[2] == 4:
                     arr = arr[:, :, :3]
                 if arr.ndim == 3 and arr.shape[2] == 1:
@@ -413,7 +412,8 @@ def image_ahash(media: DataFrame) -> DataFrame:
                              "ahash": ahash_from_pixels(arr)})
             yield pd.DataFrame(rows)
 
-    imgs = media.filter(F.col("media_type").isin("image/png", "image/ppm"))
+    imgs = media.filter(
+        F.col("media_type").isin("image/png", "image/ppm", "image/jpeg"))
     return widen_if_narrow(imgs).mapInPandas(hashes, schema=AHASH_SCHEMA)
 
 

@@ -55,14 +55,13 @@ def test_kernel_matches_loop_model_on_fixture(spark):
     docs = spark.range(0, 48).select(F.col("id").alias("doc_id"))
     media = mm.with_real_media(docs)
     got = {r.doc_id: r.ahash for r in mm.image_ahash(media).collect()}
-    # images only (doc_id % 4 in {0, 2}); audio/video rows filtered out
+    # images only (doc_id % 4 in {0, 2} — png/ppm/jpeg); audio/video rows
+    # filtered out
     assert set(got) == {i for i in range(48) if i % 4 in (0, 2)}
     for r in media.collect():
-        if r.media_type not in ("image/png", "image/ppm"):
+        if not r.media_type.startswith("image/"):
             continue
-        b = bytes(r.media)
-        arr = (mc.decode_png(b) if r.media_type == "image/png"
-               else mc.decode_ppm(b))
+        arr = mc.decode_image(bytes(r.media), r.media_type)
         assert got[r.doc_id] == _model_ahash(arr), r.doc_id
 
 
@@ -114,11 +113,9 @@ def test_pairs_match_duckdb_twin(spark):
     # model hashes (independent of the Spark kernel) feed the SQL twin
     model_rows = []
     for r in media.collect():
-        if r.media_type not in ("image/png", "image/ppm"):
+        if not r.media_type.startswith("image/"):
             continue
-        b = bytes(r.media)
-        arr = (mc.decode_png(b) if r.media_type == "image/png"
-               else mc.decode_ppm(b))
+        arr = mc.decode_image(bytes(r.media), r.media_type)
         model_rows.append((r.doc_id, _model_ahash(arr)))
     d = set(map(tuple, duckdb.connect().execute(
         mm.image_near_dup_pairs_sql_duck(model_rows, 3)).fetchall()))

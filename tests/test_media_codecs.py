@@ -58,6 +58,83 @@ def test_resize_nearest_known_case():
     assert s[:, :, 0].tolist() == [[0, 2], [8, 10]]
 
 
+def test_jpeg_roundtrip_error_bounded():
+    """Lossy, but bounded: at quality 95 the worst-case quantization error
+    per DCT coefficient is a few units, so even an adversarial modular-
+    noise image reconstructs within a small per-pixel bound — and a smooth
+    gradient (the realistic case) reconstructs much tighter."""
+    noise = _img(13, 17, 3, seed=5)
+    got = mc.decode_jpeg(mc.encode_jpeg(noise, quality=95))
+    assert got.shape == (13, 17, 3)
+    assert int(np.max(np.abs(got.astype(int) - noise.astype(int)))) <= 40
+    grad = np.stack([np.add.outer(np.arange(16) * 3, np.arange(24) * 2) % 200
+                     + c * 10 for c in range(3)], axis=2).astype(np.uint8)
+    got = mc.decode_jpeg(mc.encode_jpeg(grad, quality=95))
+    assert int(np.max(np.abs(got.astype(int) - grad.astype(int)))) <= 12
+
+
+def test_jpeg_grayscale_and_edge_sizes():
+    g = _img(9, 11, 1, seed=2)
+    got = mc.decode_jpeg(mc.encode_jpeg(g, quality=90))
+    assert got.shape == (9, 11, 1)
+    assert int(np.max(np.abs(got.astype(int) - g.astype(int)))) <= 24
+    # 1x1 and exact-block sizes survive the pad/unpad path
+    one = np.full((1, 1, 3), 77, np.uint8)
+    assert mc.decode_jpeg(mc.encode_jpeg(one, 95)).shape == (1, 1, 3)
+    sq = _img(8, 8, 3, seed=7)
+    assert mc.decode_jpeg(mc.encode_jpeg(sq, 95)).shape == (8, 8, 3)
+
+
+def test_jpeg_deterministic_and_quality_monotone():
+    a = _img(12, 12, 3, seed=4)
+    assert mc.encode_jpeg(a, 85) == mc.encode_jpeg(a, 85)
+    # harsher quantization at lower quality → no larger payload on this
+    # fixture and a looser reconstruction
+    hi, lo = mc.encode_jpeg(a, 95), mc.encode_jpeg(a, 30)
+    assert len(lo) <= len(hi)
+    err_hi = int(np.max(np.abs(
+        mc.decode_jpeg(hi).astype(int) - a.astype(int))))
+    err_lo = int(np.max(np.abs(
+        mc.decode_jpeg(lo).astype(int) - a.astype(int))))
+    assert err_hi <= err_lo
+
+
+def test_jpeg_rejects_malformed():
+    with pytest.raises(ValueError):
+        mc.decode_jpeg(b"not a jpeg at all")
+    good = mc.encode_jpeg(_img(10, 10, 3), 90)
+    with pytest.raises(ValueError):          # truncated entropy data
+        mc.decode_jpeg(good[:len(good) // 2])
+    # progressive (SOF2) is refused with a labelled error, not mis-decoded
+    prog = bytearray(good)
+    sof0 = bytes(good).find(b"\xff\xc0")
+    prog[sof0 + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF0|baseline"):
+        mc.decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError):
+        mc.encode_jpeg(_img(4, 4, 3), quality=0)
+
+
+def test_jpeg_mean_luminance_survives_roundtrip():
+    """The feature the pipeline actually reads (image_stats mean_lum) is
+    stable through the lossy roundtrip within ~1 gray level."""
+    a = _img(16, 16, 3, seed=6)
+    w0, h0, lum0 = mc.image_stats(a)
+    w1, h1, lum1 = mc.image_stats(mc.decode_jpeg(mc.encode_jpeg(a, 90)))
+    assert (w0, h0) == (w1, h1)
+    assert abs(lum0 - lum1) <= 1.5
+
+
+def test_decode_image_dispatch():
+    a = _img(6, 6, 3, seed=8)
+    assert (mc.decode_image(mc.encode_ppm(a), "image/ppm") == a).all()
+    assert (mc.decode_image(mc.encode_png(a), "image/png") == a).all()
+    assert mc.decode_image(
+        mc.encode_jpeg(a, 95), "image/jpeg").shape == (6, 6, 3)
+    with pytest.raises(ValueError):
+        mc.decode_image(b"x", "image/webp")
+
+
 def test_real_features_match_direct_decode(spark):
     docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
     media = mm.with_real_media(docs)
@@ -82,14 +159,14 @@ def test_real_features_match_direct_decode(spark):
             assert f.duration_s == mc.video_stats(dur, ts)
             assert f.duration_s > 0 and f.mean_lum is None
         else:
-            arr = (mc.decode_png(b) if r.media_type == "image/png"
-                   else mc.decode_ppm(b))
+            arr = mc.decode_image(b, r.media_type)
             w, h, lum = mc.image_stats(arr)
             assert (f.width, f.height, f.mean_lum) == (w, h, lum)
             assert f.n_samples is None and f.rms is None
-    # all four modalities present — the video tier is no longer a stub
+    # all five modalities present — neither video metadata nor jpeg is a
+    # stub anymore (range(24) includes doc_ids 6/14/22 → image/jpeg)
     assert {r.media_type for r in rows.values()} == {
-        "image/png", "audio/wav", "image/ppm", "video/mp4"}
+        "image/png", "audio/wav", "image/ppm", "image/jpeg", "video/mp4"}
 
 
 def test_real_resize_hashes_actual_resampled_buffer(spark):
@@ -103,8 +180,7 @@ def test_real_resize_hashes_actual_resampled_buffer(spark):
                         if r.media_type.startswith("image/")}
     for did, r in out.items():
         b = bytes(raw[did].media)
-        arr = (mc.decode_png(b) if raw[did].media_type == "image/png"
-               else mc.decode_ppm(b))
+        arr = mc.decode_image(b, raw[did].media_type)
         want = hashlib.md5(
             mc.encode_ppm(mc.resize_nearest(arr[:, :, :3], 5, 4))).hexdigest()
         assert r.resized_md5 == want
