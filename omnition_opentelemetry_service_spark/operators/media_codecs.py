@@ -16,12 +16,16 @@ formats are fully decodable with what IS here (zlib, struct, wave, numpy):
   the JPEG section below; quality-scaled Annex-K quantization, real
   entropy coding, 4:4:4 color and grayscale.
 
-So ``extract_media_features`` / ``resize_media`` run a genuine
-decode→feature/resample path for image/ppm, image/png, image/jpeg,
-audio/wav and video/mp4 metadata, and the NotImplementedError stub
-remains only for formats that truly need an external lib (video frames,
-webm). Encoders exist for every format so fixtures can synthesize REAL
-media deterministically and every codec is roundtrip-tested
+- **AVI / Motion-JPEG**: real video FRAME decode — a standards-shaped
+  RIFF writer/reader over per-frame JPEG; see the AVI section below.
+
+So ``extract_media_features`` / ``resize_media`` / ``video_frames`` run a
+genuine decode→feature/resample path for image/ppm, image/png,
+image/jpeg, audio/wav, video/x-msvideo frames and video/mp4 metadata, and
+the NotImplementedError stub remains only for formats that truly need an
+external codec lib (mp4/h264 frames, webm/VP8+). Encoders exist for every
+format so fixtures can synthesize REAL media deterministically and every
+codec is roundtrip-tested
 (tests/test_media_codecs.py), including PNG inputs written with each
 filter type and lossy-JPEG error bounds.
 
@@ -809,3 +813,134 @@ def decode_image(buf: bytes, media_type: str):
     if media_type == "image/jpeg":
         return decode_jpeg(buf)
     raise ValueError(f"no image decoder for {media_type}")
+
+
+# -- AVI / Motion-JPEG (real video FRAME decode) ------------------------------
+# With the JPEG codec above, video frame decode no longer needs an external
+# lib for the one interchange format that is just "JPEG per frame in a
+# RIFF container": AVI/MJPG. The writer emits a standards-shaped RIFF
+# (hdrl: avih + strl/strh/strf, movi: word-aligned 00dc chunks, idx1);
+# the reader walks the chunk tree generically (not fixed offsets), checks
+# the MJPG fourcc, and decodes every frame through decode_jpeg. webm/VP8+
+# remains the honest out-of-scope stub — that IS a codec library.
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
+    """list of uint8 (h, w, 3) frames (same dims) → AVI/MJPG bytes."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("avi encode needs at least one frame")
+    if not 1 <= fps <= 1000:
+        raise ValueError(f"avi fps out of range: {fps}")
+    f0 = np.asarray(frames[0])
+    h, w = f0.shape[0], f0.shape[1]
+    jpegs = []
+    for f in frames:
+        a = np.asarray(f)
+        if a.shape[0] != h or a.shape[1] != w:
+            raise ValueError("avi frames must share dimensions")
+        jpegs.append(encode_jpeg(a, quality=quality))
+    maxsz = max(len(j) for j in jpegs)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,          # dwMicroSecPerFrame
+        maxsz * fps,               # dwMaxBytesPerSec (upper bound)
+        0,                         # dwPaddingGranularity
+        0x10,                      # dwFlags: AVIF_HASINDEX
+        len(jpegs), 0, 1,          # frames, initial, streams
+        maxsz, w, h, 0, 0, 0, 0)   # buffer, dims, reserved
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0,
+                          1, fps,              # scale, rate → fps
+                          0, len(jpegs), maxsz, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi_body = b"".join(_riff_chunk(b"00dc", j) for j in jpegs)
+    movi = _riff_list(b"movi", movi_body)
+    idx, off = bytearray(), 4
+    for j in jpegs:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(j))
+        off += 8 + len(j) + (len(j) % 2)
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_children(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each chunk in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = buf[pos:pos + 4]
+        size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        b0 = pos + 8
+        b1 = b0 + size
+        if b1 > end:
+            raise ValueError(f"avi: chunk {fourcc!r} overruns its parent")
+        yield fourcc, b0, b1
+        pos = b1 + (size % 2)      # word alignment
+
+
+def decode_avi_mjpeg(buf: bytes):
+    """AVI/MJPG bytes → (frames, fps): every frame REALLY decoded via
+    decode_jpeg. Raises labelled errors on non-AVI, non-MJPG, or
+    malformed chunk trees."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an avi buffer (missing RIFF/AVI header)")
+    fps = None
+    frames = []
+    for fourcc, b0, b1 in _riff_children(buf, 12, len(buf)):
+        if fourcc != b"LIST":
+            continue
+        list_type = buf[b0:b0 + 4]
+        if list_type == b"hdrl":
+            for f2, c0, c1 in _riff_children(buf, b0 + 4, b1):
+                if f2 == b"LIST" and buf[c0:c0 + 4] == b"strl":
+                    for f3, d0, d1 in _riff_children(buf, c0 + 4, c1):
+                        if f3 == b"strh":
+                            if buf[d0:d0 + 4] != b"vids":
+                                continue
+                            if buf[d0 + 4:d0 + 8] != b"MJPG":
+                                raise ValueError(
+                                    "avi: only the MJPG video handler is "
+                                    "decodable without a codec lib")
+                            # strh layout: fccType(4) fccHandler(4)
+                            # flags(4) prio(2) lang(2) initial(4) →
+                            # dwScale at offset 20, dwRate at 24
+                            scale, rate = struct.unpack(
+                                "<II", buf[d0 + 20:d0 + 28])
+                            if scale == 0 or rate == 0:
+                                raise ValueError("avi: invalid strh timing")
+                            fps = rate // scale
+        elif list_type == b"movi":
+            for f2, c0, c1 in _riff_children(buf, b0 + 4, b1):
+                if f2[2:4] == b"dc":
+                    frames.append(decode_jpeg(buf[c0:c1]))
+    if fps is None:
+        raise ValueError("avi: no MJPG vids stream header found")
+    if not frames:
+        raise ValueError("avi: movi list carries no frames")
+    return frames, fps
+
+
+def avi_video_stats(frames, fps: int) -> tuple[int, int, int, int, float, float]:
+    """(n_frames, fps, width, height, duration_s, mean_lum over frames)."""
+    import numpy as np
+
+    n = len(frames)
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    lum = float(np.mean([np.mean(f[:, :, :3], dtype=np.float64)
+                         for f in frames]))
+    return n, fps, w, h, round(n / fps, 6), round(lum, 6)

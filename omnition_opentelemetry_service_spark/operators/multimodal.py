@@ -13,10 +13,12 @@ Two decode tiers:
   zero crossings; video duration/timescale/dims) and ``resize_media_real``
   does an actual nearest-neighbor resample and re-encode.
 - **Stubbed**: only formats that genuinely need an external codec lib
-  (video FRAME decode, webm) keep the honest NotImplementedError /
+  (mp4/h264 FRAME decode, webm/VP8+) keep the honest NotImplementedError /
   deterministic-fake contract (``decode_image_batch(fake=True)``), which
   also remains the driver oracle's path (DuckDB can twin the fake's
-  codepoint arithmetic, not a PNG inflate or a JPEG IDCT).
+  codepoint arithmetic, not a PNG inflate or a JPEG IDCT). Video FRAME
+  decode itself is REAL for AVI/MJPG (``video_frames`` — per-frame numpy
+  JPEG decode).
 """
 
 from __future__ import annotations
@@ -201,6 +203,17 @@ def with_real_media(docs: DataFrame) -> DataFrame:
                     else:
                         media.append(mc.encode_ppm(px))
                         mtype.append("image/ppm")
+                elif did % 8 == 7:   # every other residue-3 doc: REAL
+                    # multi-frame video (AVI/MJPG — full frame decode)
+                    nf = 3 + int(did % 4)
+                    frames = [((np.arange(h)[:, None, None] * 11
+                                + np.arange(w)[None, :, None] * 3
+                                + np.arange(3)[None, None, :] * 19
+                                + did + 41 * fi) % 256).astype(np.uint8)
+                              for fi in range(nf)]
+                    media.append(mc.encode_avi_mjpeg(
+                        frames, fps=int(4 + did % 9), quality=90))
+                    mtype.append("video/x-msvideo")
                 else:
                     media.append(mc.encode_mp4_meta(
                         duration=int(600 + did % 9000),
@@ -249,11 +262,18 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
                                 zero_crossings=zc)
                 elif mt == "video/mp4":
                     # real ISO-BMFF box parse (moov/mvhd + tkhd): container
-                    # metadata needs no codec lib (frame decode does, and
-                    # stays out of scope — see media_codecs.py)
+                    # metadata needs no codec lib (mp4 FRAME decode does —
+                    # the AVI/MJPG branch below decodes frames for real)
                     dur, ts, w, h = mc.decode_mp4_meta(b)
                     base.update(width=w, height=h, timescale=ts,
                                 duration_s=mc.video_stats(dur, ts))
+                elif mt == "video/x-msvideo":
+                    # REAL frame decode: every MJPG frame through the
+                    # numpy JPEG codec; timescale carries the fps
+                    frames, fps = mc.decode_avi_mjpeg(b)
+                    _, _, w, h, dur_s, lum = mc.avi_video_stats(frames, fps)
+                    base.update(width=w, height=h, timescale=fps,
+                                duration_s=dur_s, mean_lum=lum)
                 else:
                     raise NotImplementedError(
                         f"no stdlib decoder for {mt}; extend "
@@ -262,6 +282,52 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return widen_if_narrow(media).mapInPandas(feats, schema=REAL_MEDIA_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_id int, width int, height int, frame_md5 string"
+)
+
+
+def video_frames(media: DataFrame, every_k: int = 1,
+                 offset: int = 0) -> DataFrame:
+    """REAL video frame sampling: decode every MJPG frame of each
+    AVI buffer (media_codecs.decode_avi_mjpeg → per-frame numpy JPEG
+    decode) and keep frames with frame_id % every_k == offset — the
+    frame-extraction stage a video training pipeline runs before image
+    featurization. Output rows > input rows (the UDTF shape, like
+    media_chunks, but over genuinely decoded pixels: frame_md5 hashes the
+    PPM re-encode of the REAL frame). Non-AVI rows are filtered JVM-side;
+    frame_id is a per-buffer property, so the op is batch- and
+    partition-placement-invariant."""
+    if every_k < 1 or not 0 <= offset < every_k:
+        raise ValueError(
+            f"video_frames needs every_k >= 1 and offset in [0, every_k): "
+            f"got every_k={every_k}, offset={offset}")
+
+    def fr(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        from . import media_codecs as mc
+
+        for pdf in it:
+            rows = []
+            for did, buf in zip(pdf["doc_id"], pdf["media"]):
+                frames, _ = mc.decode_avi_mjpeg(bytes(buf))
+                for fi, f in enumerate(frames):
+                    if fi % every_k != offset:
+                        continue
+                    rows.append({
+                        "doc_id": int(did), "frame_id": fi,
+                        "width": f.shape[1], "height": f.shape[0],
+                        "frame_md5": hashlib.md5(
+                            mc.encode_ppm(f[:, :, :3])).hexdigest()})
+            yield pd.DataFrame(rows)
+
+    vids = media.filter(F.col("media_type") == "video/x-msvideo")
+    return widen_if_narrow(vids).mapInPandas(fr, schema=VIDEO_FRAME_SCHEMA)
 
 
 REAL_RESIZE_SCHEMA = (

@@ -9,6 +9,7 @@ import hashlib
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from omnition_opentelemetry_service_spark.operators import media_codecs as mc
 from omnition_opentelemetry_service_spark.operators import multimodal as mm
@@ -158,15 +159,22 @@ def test_real_features_match_direct_decode(spark):
             assert (f.width, f.height, f.timescale) == (w, h, ts)
             assert f.duration_s == mc.video_stats(dur, ts)
             assert f.duration_s > 0 and f.mean_lum is None
+        elif r.media_type == "video/x-msvideo":
+            frames, fps = mc.decode_avi_mjpeg(b)
+            n, fps2, w, h, dur_s, lum = mc.avi_video_stats(frames, fps)
+            assert (f.width, f.height, f.timescale) == (w, h, fps2)
+            assert (f.duration_s, f.mean_lum) == (dur_s, lum)
+            assert f.duration_s > 0 and f.mean_lum > 0  # real frame decode
         else:
             arr = mc.decode_image(b, r.media_type)
             w, h, lum = mc.image_stats(arr)
             assert (f.width, f.height, f.mean_lum) == (w, h, lum)
             assert f.n_samples is None and f.rms is None
-    # all five modalities present — neither video metadata nor jpeg is a
-    # stub anymore (range(24) includes doc_ids 6/14/22 → image/jpeg)
+    # all six modalities present — video metadata, jpeg AND real video
+    # frames are no longer stubs (range(24): 6/14/22 → jpeg, 7/15/23 → avi)
     assert {r.media_type for r in rows.values()} == {
-        "image/png", "audio/wav", "image/ppm", "image/jpeg", "video/mp4"}
+        "image/png", "audio/wav", "image/ppm", "image/jpeg",
+        "video/mp4", "video/x-msvideo"}
 
 
 def test_real_resize_hashes_actual_resampled_buffer(spark):
@@ -214,6 +222,59 @@ def test_mp4_meta_roundtrip_and_malformed():
         mc.decode_mp4_meta(b"garbage that is not bmff")
     with pytest.raises(ValueError):
         mc.video_stats(100, 0)
+
+
+def test_avi_mjpeg_roundtrip_and_malformed():
+    frames = [((np.arange(12 * 16 * 3).reshape(12, 16, 3) * 7 + i * 31)
+               % 256).astype(np.uint8) for i in range(4)]
+    b = mc.encode_avi_mjpeg(frames, fps=8, quality=95)
+    got, fps = mc.decode_avi_mjpeg(b)
+    assert fps == 8 and len(got) == 4
+    for g, f in zip(got, frames):
+        assert g.shape == f.shape
+        assert int(np.max(np.abs(g.astype(int) - f.astype(int)))) <= 40
+    assert mc.avi_video_stats(got, fps)[:5] == (4, 8, 16, 12, 0.5)
+    # determinism + failure modes
+    assert mc.encode_avi_mjpeg(frames, 8, 95) == b
+    with pytest.raises(ValueError):
+        mc.decode_avi_mjpeg(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        mc.decode_avi_mjpeg(b"definitely not riff")
+    with pytest.raises(ValueError):
+        mc.encode_avi_mjpeg([], fps=8)
+    with pytest.raises(ValueError):
+        mc.encode_avi_mjpeg([frames[0], frames[0][:6]], fps=8)
+    # a non-MJPG handler is refused, not mis-decoded
+    hacked = bytearray(b)
+    hpos = bytes(b).find(b"vidsMJPG")
+    hacked[hpos + 4:hpos + 8] = b"H264"
+    with pytest.raises(ValueError, match="MJPG"):
+        mc.decode_avi_mjpeg(bytes(hacked))
+
+
+def test_video_frames_real_sampling(spark):
+    """The frame-sample op decodes REAL frames: every sampled frame_md5
+    equals the md5 of the PPM re-encode of the locally decoded frame, and
+    every_k/offset select exactly the expected frame ids."""
+    import hashlib
+
+    docs = spark.range(0, 32).select(F.col("id").alias("doc_id"))
+    media = mm.with_real_media(docs)
+    raw = {r.doc_id: bytes(r.media) for r in media.collect()
+           if r.media_type == "video/x-msvideo"}
+    assert raw, "fixture must contain avi docs"
+    out = mm.video_frames(media, every_k=2, offset=1).collect()
+    got = {(r.doc_id, r.frame_id): r.frame_md5 for r in out}
+    want = {}
+    for did, b in raw.items():
+        frames, _ = mc.decode_avi_mjpeg(b)
+        for fi, f in enumerate(frames):
+            if fi % 2 == 1:
+                want[(did, fi)] = hashlib.md5(
+                    mc.encode_ppm(f[:, :, :3])).hexdigest()
+    assert got == want
+    with pytest.raises(ValueError):
+        mm.video_frames(media, every_k=2, offset=2)
 
 
 def test_real_resize_handles_gray_png(spark):
