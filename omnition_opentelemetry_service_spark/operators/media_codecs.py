@@ -944,3 +944,31 @@ def avi_video_stats(frames, fps: int) -> tuple[int, int, int, int, float, float]
     lum = float(np.mean([np.mean(f[:, :, :3], dtype=np.float64)
                          for f in frames]))
     return n, fps, w, h, round(n / fps, 6), round(lum, 6)
+
+
+def dct_mat(n: int):
+    """Orthonormal DCT-II matrix (n x n): A @ block @ A.T is the 2D DCT.
+    dct_mat(8) is exactly the JPEG codec's matrix; the perceptual pHash
+    (multimodal.phash_from_pixels) uses dct_mat(32)."""
+    import numpy as np
+
+    u = np.arange(n).reshape(n, 1)
+    x = np.arange(n).reshape(1, n)
+    a = np.sqrt(2.0 / n) * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    a[0] *= 1 / np.sqrt(2)
+    return a
+
+
+def dct_mat_q20(n: int):
+    """FIXED-POINT orthonormal DCT-II matrix: dct_mat(n) entries rounded
+    to 2^-20 and held as int64. An integer transform is EXACTLY
+    reproducible across implementations (numpy matmul vs explicit loops
+    vs any other engine) — float DCTs differ in last-ulp summation order,
+    which flips threshold bits on spectrally sparse images whose
+    coefficients sit at the median. The perceptual pHash is DEFINED over
+    this quantized transform (the integer-PageRank move applied to the
+    spectral hash); magnitudes stay far inside int64 (|entry| <= 2^18,
+    luminance <= 765, two 32-term contractions < 2^56)."""
+    import numpy as np
+
+    return np.round(dct_mat(n) * (1 << 20)).astype(np.int64)

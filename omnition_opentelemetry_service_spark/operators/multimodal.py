@@ -483,6 +483,76 @@ def image_ahash(media: DataFrame) -> DataFrame:
     return widen_if_narrow(imgs).mapInPandas(hashes, schema=AHASH_SCHEMA)
 
 
+PHASH_SCHEMA = "doc_id bigint, media_type string, phash bigint"
+_PHASH_SIDE = 32  # downsample side; DCT top-left 8x8 minus DC = 63 bits
+
+
+def phash_from_pixels(arr) -> int:
+    """The ONE pHash definition (tests recompute it with explicit-loop
+    integer sums): nearest-neighbor resample to 32x32 (same integer index
+    map as aHash), integer channel-sum luminance, EXACT fixed-point 2D
+    DCT (media_codecs.dct_mat_q20 — int64 transform, bitwise reproducible
+    across implementations; a float DCT flips near-median bits via
+    last-ulp summation order on sparse-spectrum images), keep the
+    top-left 8x8 LOW-FREQUENCY block minus the DC term (63 coefs),
+    threshold each against the EXACT integer MEDIAN (sorted index 31 of
+    63), bit i = row-major coef index. 63 bits → the value never reaches the sign bit; stored BIGINT
+    like aHash so the 4x16 banding/pairing plumbing is shared.
+
+    Complementarity (measured on dense-spectrum fixtures): pHash is the
+    RE-ENCODE identity — lossy JPEG q90 moves it 0-2 bits (unrelated
+    images ~40) because quantization barely shifts the coarse spectrum —
+    while small LOCAL edits move 8+ bits (they perturb many mid-frequency
+    signs); aHash is the local-edit-tolerant sibling (a 2x2-cell edit
+    flips ~0-2 spatial bits). Run both, union the pair sets. Caveat:
+    spectrally SPARSE synthetic images (pure gradients) leave most of the
+    63 coefficients near zero ≈ the median, so their pHash bits are
+    numerically unstable — a property of the hash family, not this
+    implementation; real photographs are dense-spectrum."""
+    import numpy as np
+
+    from . import media_codecs as mc
+
+    small = mc.resize_nearest(arr, _PHASH_SIDE, _PHASH_SIDE)
+    lum = small.astype(np.int64).sum(axis=2)        # channel sums 0..765
+    a = mc.dct_mat_q20(_PHASH_SIDE)                 # int64 fixed-point DCT
+    coef = (a @ lum @ a.T)[:8, :8].reshape(64)[1:]  # drop DC; exact ints
+    med = int(np.sort(coef)[31])
+    bits = 0
+    for i, v in enumerate(coef):
+        if int(v) > med:
+            bits |= 1 << i
+    return bits
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """(doc_id, media_type, phash) for image rows — the DCT perceptual
+    hash sibling of image_ahash; identical JVM-side filter + Arrow batch
+    shape, and the SAME banded pairing serves both (hash_col='phash')."""
+
+    def hashes(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from . import media_codecs as mc
+
+        for pdf in it:
+            rows = []
+            for did, buf, mt in zip(pdf["doc_id"], pdf["media"],
+                                    pdf["media_type"]):
+                arr = mc.decode_image(bytes(buf), mt)
+                if arr.ndim == 3 and arr.shape[2] == 4:
+                    arr = arr[:, :, :3]
+                if arr.ndim == 3 and arr.shape[2] == 1:
+                    arr = arr.repeat(3, axis=2)
+                rows.append({"doc_id": int(did), "media_type": mt,
+                             "phash": phash_from_pixels(arr)})
+            yield pd.DataFrame(rows)
+
+    imgs = media.filter(
+        F.col("media_type").isin("image/png", "image/ppm", "image/jpeg"))
+    return widen_if_narrow(imgs).mapInPandas(hashes, schema=PHASH_SCHEMA)
+
+
 def image_hash_bands(df: DataFrame, hash_col: str = "ahash",
                      n_bands: int = 4) -> DataFrame:
     """Explode each hash into (band_id, band_key) rows: 4 bands x 16 bits.

@@ -190,3 +190,87 @@ def test_audio_planted_near_dup(spark):
 def test_audio_empty_clip_raises():
     with pytest.raises(ValueError):
         mm.audio_ahash_from_samples([])
+
+
+# --- pHash (the DCT / re-encode identity; aHash's spectral sibling) -------
+
+def _model_phash(arr) -> int:
+    """Independent explicit-loop reference over the EXACT integer hash
+    definition: nearest indices, channel sums, the 2^-20 fixed-point DCT
+    matrix recomputed from math.cos + python round, four-nested-loop
+    INTEGER transform sums, exact integer median — no numpy matmul, no
+    calls into the kernel under test. Integer arithmetic is why kernel
+    and model can agree bitwise: a float DCT differs in last-ulp
+    summation order, which flips bits on sparse-spectrum images whose
+    coefficients tie the median (observed on the gradient fixtures)."""
+    import math
+
+    q = [[round(math.sqrt(2.0 / 32)
+                * (1 / math.sqrt(2) if u == 0 else 1.0)
+                * math.cos((2 * x + 1) * u * math.pi / 64) * (1 << 20))
+          for x in range(32)] for u in range(32)]
+    h, w = arr.shape[0], arr.shape[1]
+    lum = [[0] * 32 for _ in range(32)]
+    for r in range(32):
+        for c in range(32):
+            y, x = (r * h) // 32, (c * w) // 32
+            lum[r][c] = (int(arr[y][x][0]) + int(arr[y][x][1])
+                         + int(arr[y][x][2]))
+    coefs = []
+    for u in range(8):
+        for v in range(8):
+            s = 0
+            for r in range(32):
+                for c in range(32):
+                    s += q[u][r] * lum[r][c] * q[v][c]
+            coefs.append(s)
+    block = coefs[1:]
+    med = sorted(block)[31]
+    bits = 0
+    for i, vv in enumerate(block):
+        if vv > med:
+            bits |= 1 << i
+    return bits
+
+
+def _dense(seed, h=24, w=30):
+    return ((np.arange(h * w * 3).reshape(h, w, 3) * 37 + seed) % 256
+            ).astype(np.uint8)
+
+
+def test_phash_kernel_matches_loop_model(spark):
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    media = mm.with_real_media(docs)
+    got = {r.doc_id: r.phash for r in mm.image_phash(media).collect()}
+    assert set(got) == {i for i in range(24) if i % 4 in (0, 2)}
+    for r in media.collect():
+        if not r.media_type.startswith("image/"):
+            continue
+        arr = mc.decode_image(bytes(r.media), r.media_type)
+        if arr.shape[2] == 1:
+            arr = arr.repeat(3, axis=2)
+        assert got[r.doc_id] == _model_phash(arr), r.doc_id
+
+
+def test_phash_reencode_identity_and_separation(spark):
+    """The measured contract: lossy JPEG re-encode of the same dense-
+    spectrum pixels lands within the banded pairing's hamming-3 guarantee;
+    unrelated images land far away — so the SHARED banded pair join
+    (hash_col='phash') finds exactly the re-encode pairs."""
+    a, b_img = _dense(3), _dense(104)
+    rows = [(1, mc.encode_png(a), "image/png"),
+            (2, mc.encode_jpeg(a, 90), "image/jpeg"),
+            (3, mc.encode_ppm(a), "image/ppm"),
+            (4, mc.encode_png(b_img), "image/png")]
+    hashes = mm.image_phash(_media_df(spark, rows))
+    hs = {r.doc_id: r.phash for r in hashes.collect()}
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hs[1], hs[2]) <= 3          # png vs jpeg of SAME pixels
+    assert hs[1] == hs[3]                  # png vs ppm: identical pixels
+    assert ham(hs[1], hs[4]) > 20          # unrelated image
+    pairs = {(r.id_a, r.id_b) for r in mm.image_near_dup_pairs(
+        hashes, max_hamming=3, hash_col="phash").collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
