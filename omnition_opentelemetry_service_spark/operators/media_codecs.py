@@ -854,7 +854,10 @@ def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         1_000_000 // fps,          # dwMicroSecPerFrame
-        maxsz * fps,               # dwMaxBytesPerSec (upper bound)
+        # dwMaxBytesPerSec is documented as an upper bound, so saturating
+        # at the field width is safe — huge frames at high fps would
+        # otherwise overflow '<I' and die in struct.error
+        min(maxsz * fps, 0xFFFFFFFF),
         0,                         # dwPaddingGranularity
         0x10,                      # dwFlags: AVIF_HASINDEX
         len(jpegs), 0, 1,          # frames, initial, streams
@@ -896,18 +899,32 @@ def _riff_children(buf: bytes, start: int, end: int):
 def decode_avi_mjpeg(buf: bytes):
     """AVI/MJPG bytes → (frames, fps): every frame REALLY decoded via
     decode_jpeg. Raises labelled errors on non-AVI, non-MJPG, or
-    malformed chunk trees."""
+    malformed chunk trees.
+
+    fps is exact: an int when dwScale divides dwRate (all own-encoder
+    output uses scale=1), else the float dwRate/dwScale — NTSC-style
+    30000/1001 decodes as 29.97..., not a truncated 29. Multi-stream
+    AVIs are handled by recording the MJPG stream's index (its strl
+    position in hdrl) and decoding only the 'NNdc' movi chunks whose
+    two-digit stream prefix matches — an interleaved audio/second-video
+    stream no longer leaks frames into the result."""
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not an avi buffer (missing RIFF/AVI header)")
     fps = None
+    vid_prefix = None
     frames = []
     for fourcc, b0, b1 in _riff_children(buf, 12, len(buf)):
         if fourcc != b"LIST":
             continue
         list_type = buf[b0:b0 + 4]
         if list_type == b"hdrl":
+            stream_idx = -1
             for f2, c0, c1 in _riff_children(buf, b0 + 4, b1):
                 if f2 == b"LIST" and buf[c0:c0 + 4] == b"strl":
+                    # stream ids are positional: the Nth strl in hdrl owns
+                    # the 'NNxx' movi chunks, so count EVERY strl (audio
+                    # included), not just the vids ones
+                    stream_idx += 1
                     for f3, d0, d1 in _riff_children(buf, c0 + 4, c1):
                         if f3 == b"strh":
                             if buf[d0:d0 + 4] != b"vids":
@@ -916,6 +933,8 @@ def decode_avi_mjpeg(buf: bytes):
                                 raise ValueError(
                                     "avi: only the MJPG video handler is "
                                     "decodable without a codec lib")
+                            if fps is not None:
+                                continue  # first MJPG stream wins
                             # strh layout: fccType(4) fccHandler(4)
                             # flags(4) prio(2) lang(2) initial(4) →
                             # dwScale at offset 20, dwRate at 24
@@ -923,10 +942,13 @@ def decode_avi_mjpeg(buf: bytes):
                                 "<II", buf[d0 + 20:d0 + 28])
                             if scale == 0 or rate == 0:
                                 raise ValueError("avi: invalid strh timing")
-                            fps = rate // scale
+                            fps = (rate // scale if rate % scale == 0
+                                   else rate / scale)
+                            vid_prefix = b"%02d" % stream_idx
         elif list_type == b"movi":
             for f2, c0, c1 in _riff_children(buf, b0 + 4, b1):
-                if f2[2:4] == b"dc":
+                if f2[2:4] == b"dc" and (vid_prefix is None
+                                         or f2[:2] == vid_prefix):
                     frames.append(decode_jpeg(buf[c0:c1]))
     if fps is None:
         raise ValueError("avi: no MJPG vids stream header found")
@@ -935,8 +957,10 @@ def decode_avi_mjpeg(buf: bytes):
     return frames, fps
 
 
-def avi_video_stats(frames, fps: int) -> tuple[int, int, int, int, float, float]:
-    """(n_frames, fps, width, height, duration_s, mean_lum over frames)."""
+def avi_video_stats(frames, fps) -> tuple:
+    """(n_frames, fps, width, height, duration_s, mean_lum over frames).
+    fps may be the exact float decode_avi_mjpeg returns for rational
+    frame rates (duration_s = n/fps stays exact either way)."""
     import numpy as np
 
     n = len(frames)

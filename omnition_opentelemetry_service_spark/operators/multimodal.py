@@ -272,7 +272,10 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
                     # numpy JPEG codec; timescale carries the fps
                     frames, fps = mc.decode_avi_mjpeg(b)
                     _, _, w, h, dur_s, lum = mc.avi_video_stats(frames, fps)
-                    base.update(width=w, height=h, timescale=fps,
+                    # timescale is an int column; fps can be a rational
+                    # float for external AVIs (30000/1001) — duration_s
+                    # above already carries the exact value
+                    base.update(width=w, height=h, timescale=int(round(fps)),
                                 duration_s=dur_s, mean_lum=lum)
                 else:
                     raise NotImplementedError(

@@ -252,6 +252,66 @@ def test_avi_mjpeg_roundtrip_and_malformed():
         mc.decode_avi_mjpeg(bytes(hacked))
 
 
+def test_avi_rational_fps_multistream_and_maxbps_clamp():
+    """ADVICE r4 closures: (1) non-integer frame rates decode exactly
+    (NTSC 30000/1001 → 29.97..., not a truncated 29); (2) only the MJPG
+    stream's 'NNdc' chunks decode in a multi-stream AVI; (3) huge
+    maxsz*fps saturates dwMaxBytesPerSec instead of struct.error."""
+    import struct
+
+    frames = [((np.arange(12 * 16 * 3).reshape(12, 16, 3) * 7 + i * 31)
+               % 256).astype(np.uint8) for i in range(3)]
+    b = mc.encode_avi_mjpeg(frames, fps=30, quality=95)
+
+    # (1) patch strh timing to the NTSC rational: dwScale=1001 dwRate=30000
+    pos = b.find(b"vidsMJPG")
+    patched = bytearray(b)
+    patched[pos + 20:pos + 28] = struct.pack("<II", 1001, 30000)
+    got, fps = mc.decode_avi_mjpeg(bytes(patched))
+    assert abs(fps - 30000 / 1001) < 1e-12 and len(got) == 3
+    stats = mc.avi_video_stats(got, fps)
+    assert stats[4] == round(3 * 1001 / 30000, 6)  # exact duration, not 3/29
+
+    # (2) rebuild the same AVI with a leading non-video stream (strl #0)
+    # so MJPG becomes stream 01: '00dc' junk chunks must NOT be decoded
+    jpegs = []
+    hdrl_children = []
+    for fourcc, b0, b1 in mc._riff_children(b, 12, len(b)):
+        if fourcc == b"LIST" and b[b0:b0 + 4] == b"hdrl":
+            for f2, c0, c1 in mc._riff_children(b, b0 + 4, b1):
+                hdrl_children.append((f2, b[c0 - 8:c1]))
+        elif fourcc == b"LIST" and b[b0:b0 + 4] == b"movi":
+            jpegs = [b[c0:c1] for f2, c0, c1
+                     in mc._riff_children(b, b0 + 4, b1)]
+    auds_strh = (b"auds" + b"\x00" * 4
+                 + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 8000,
+                               0, 8000, 1024, 0, 0) + struct.pack("<4H", 0, 0, 0, 0))
+    auds_strl = mc._riff_list(b"strl", mc._riff_chunk(b"strh", auds_strh))
+    avih = next(body for f, body in hdrl_children if f == b"avih")
+    vid_strl = next(body for f, body in hdrl_children
+                    if f == b"LIST" and body[8:12] == b"strl")
+    hdrl2 = mc._riff_list(b"hdrl", avih + auds_strl + vid_strl)
+    movi2 = mc._riff_list(b"movi", mc._riff_chunk(b"00dc", b"\x01\x02junk")
+                          + b"".join(mc._riff_chunk(b"01dc", j) for j in jpegs))
+    body2 = b"AVI " + hdrl2 + movi2
+    multi = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    got2, fps2 = mc.decode_avi_mjpeg(multi)
+    assert fps2 == 30 and len(got2) == 3  # junk 00dc skipped, not "decoded"
+    assert all(np.array_equal(a, c) for a, c in zip(got2, got))
+
+    # (3) dwMaxBytesPerSec saturates at field width (documented upper bound)
+    import types  # noqa: F401 — monkeypatch-free: swap and restore
+
+    real_encode = mc.encode_jpeg
+    mc.encode_jpeg = lambda a, quality=90: b"\xff" * (5 * 1024 * 1024)
+    try:
+        big = mc.encode_avi_mjpeg([frames[0]], fps=1000, quality=95)
+    finally:
+        mc.encode_jpeg = real_encode
+    avih_pos = big.find(b"avih") + 8
+    assert struct.unpack("<I", big[avih_pos + 4:avih_pos + 8])[0] == 0xFFFFFFFF
+
+
 def test_video_frames_real_sampling(spark):
     """The frame-sample op decodes REAL frames: every sampled frame_md5
     equals the md5 of the PPM re-encode of the locally decoded frame, and
