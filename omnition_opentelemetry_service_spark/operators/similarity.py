@@ -515,7 +515,16 @@ def ivf_ann_topk(emb: DataFrame, n_queries: int = 8, k: int = 5,
     """IVF search: queries probe their ``nprobe`` nearest cells and rank
     exactly within those cells only. The candidate join is an equi-join on
     cell — candidates shrink ~|cells|/nprobe-fold and no cross product ever
-    forms."""
+    forms.
+
+    The nprobe=2 default carries NO universal recall contract — recall is
+    a property of the data: measured ≥ 0.9 on planted-structure corpora
+    (tests/test_ann_recall.py floors) but 0.275 at scan fraction 0.099 on
+    the structureless bench fixture (BENCH_details_r04 ann_recall; lift
+    2.8× over random — the distribution's ceiling, not an index bug).
+    Callers with a recall or scan budget should pick nprobe with
+    choose_ivf_nprobe (measures the tradeoff on a query sample) instead
+    of inheriting this default."""
     cents = ivf_centroids(emb)
     # no persist: the corpus assignment has exactly one consumer (cands) —
     # caching it would pin N rows of embeddings in storage for zero
@@ -805,6 +814,90 @@ def ivf_candidate_fraction(emb: DataFrame, n_queries: int = 8,
                         nprobe=nprobe).select(
         F.col("vec_id").alias("query_id"), F.col("cell").alias("key"))
     return _scanned_fraction(probes, corpus, n_queries)
+
+
+def choose_ivf_nprobe(emb: DataFrame, n_queries: int = 8, k: int = 5,
+                      target_recall: float | None = None,
+                      max_scan_frac: float | None = None,
+                      max_nprobe: int | None = None) -> dict:
+    """Target-driven IVF probe depth (VERDICT r4 ask #3): measure the
+    recall-vs-scan-fraction curve on a bounded query sample and pick the
+    nprobe that meets the caller's budget, instead of shipping a blind
+    default whose recall is whatever the data distribution gives.
+
+    Selection rule:
+      - ``target_recall`` set → the SMALLEST sampled nprobe whose measured
+        recall@k ≥ target (and scan fraction ≤ ``max_scan_frac`` when that
+        is also set). ``met`` is False when no point under the cap reaches
+        the target; the best-recall point under the cap is returned so the
+        caller sees what the data can deliver.
+      - only ``max_scan_frac`` set → the DEEPEST sampled nprobe whose scan
+        fraction stays under the cap (recall is monotone in nprobe, so
+        deepest-under-cap is best-under-cap).
+
+    The returned dict carries {"nprobe", "recall", "scan_frac", "met",
+    "curve"} — the full sampled curve ships so the choice is auditable.
+
+    Scale shape: the query sample is driver-bounded (``n_queries``); the
+    nprobe schedule is geometric (1, 2, 4, ... max_nprobe — O(log nlist)
+    points), each point one bounded IVF search plus one broadcast
+    histogram join (ivf_candidate_fraction); the exact reference ranks
+    only the sample's queries (brute_force_topk_pandas). Nothing here
+    scans more than the search itself would.
+
+    Measured context for the blind default this replaces (BENCH_details_r04
+    ann_recall, sf0.1 fixture): nprobe=2 → recall 0.275 at scan fraction
+    0.099 — lift 2.8× over a random scan of the same fraction, which is
+    what a structureless distribution gives (recall ≈ candidate fraction;
+    see tests/test_ann_recall.py header). On planted-structure data the
+    same index reads ≥ 0.9 at nprobe=1."""
+    if target_recall is None and max_scan_frac is None:
+        raise ValueError("choose_ivf_nprobe needs target_recall and/or "
+                         "max_scan_frac — with neither there is no budget "
+                         "to optimize for")
+    n_cells = ivf_centroids(emb).count()
+    if n_cells < 1:
+        raise ValueError("choose_ivf_nprobe: corpus has no IVF centroids")
+    if max_nprobe is None:
+        max_nprobe = n_cells
+    max_nprobe = max(1, min(max_nprobe, n_cells))
+    schedule = []
+    p = 1
+    while p < max_nprobe:
+        schedule.append(p)
+        p *= 2
+    schedule.append(max_nprobe)
+
+    exact = brute_force_topk_pandas(emb, n_queries=n_queries, k=k).persist()
+    try:
+        curve: list[dict] = []
+        chosen: dict | None = None
+        met = False
+        for np_ in schedule:
+            r = recall_at_k(ivf_ann_topk(emb, n_queries, k, nprobe=np_),
+                            exact)
+            f = ivf_candidate_fraction(emb, n_queries, nprobe=np_)
+            point = {"nprobe": np_, "recall": round(r, 3),
+                     "scan_frac": round(f, 4)}
+            curve.append(point)
+            if max_scan_frac is not None and f > max_scan_frac:
+                break  # deeper probes only scan more
+            if target_recall is not None:
+                if chosen is None or point["recall"] > chosen["recall"]:
+                    chosen = point  # best under cap so far
+                if r >= target_recall:
+                    met = True
+                    break
+            else:
+                chosen = point  # deepest under the cap
+                met = True
+    finally:
+        exact.unpersist()
+    if chosen is None:
+        # first schedule point already blew the scan cap: report it with
+        # met=False rather than inventing an un-measured answer
+        chosen = curve[0]
+    return {**chosen, "met": met, "curve": curve}
 
 
 def lsh_candidate_fraction(emb: DataFrame, n_queries: int = 8,

@@ -188,3 +188,54 @@ def test_recall_at_k_contract(spark, emb, exact):
     assert sim.recall_at_k(empty, exact) == 0.0
     with pytest.raises(ValueError, match="empty"):
         sim.recall_at_k(exact, empty)
+
+
+# -- target-driven probe depth (VERDICT r4 ask #3) ----------------------------
+def test_choose_nprobe_planted_hits_recall_target(planted):
+    """Planted structure: nprobe=1 already reads >= 0.9 (floor test above),
+    so a 0.9 target must be met at the shallowest schedule point."""
+    out = sim.choose_ivf_nprobe(planted, n_queries=NQ, k=K,
+                                target_recall=0.9)
+    assert out["met"] and out["recall"] >= 0.9
+    assert out["nprobe"] == 1
+    assert out["curve"][0]["nprobe"] == 1  # auditable curve ships
+
+
+def test_choose_nprobe_scan_budget_deepest_under_cap(emb):
+    """Scan-budget mode: the chosen point is the deepest sampled nprobe
+    whose measured fraction stays under the cap, and the cap is honored."""
+    f1 = sim.ivf_candidate_fraction(emb, NQ, nprobe=1)
+    f2 = sim.ivf_candidate_fraction(emb, NQ, nprobe=2)
+    cap = (f1 + f2) / 2  # between the first two curve points
+    out = sim.choose_ivf_nprobe(emb, n_queries=NQ, k=K, max_scan_frac=cap)
+    assert out["met"] and out["nprobe"] == 1
+    assert out["scan_frac"] <= cap
+    # the curve shows WHY it stopped: the next point blew the cap
+    assert out["curve"][-1]["scan_frac"] > cap
+
+
+def test_choose_nprobe_unreachable_target_reports_met_false(emb):
+    """Structureless fixture, max_nprobe=1 (~1/6 of the corpus scanned):
+    a 0.999 recall target is unreachable — the helper must say so (met
+    False) while still returning the best measured point, never invent an
+    unmeasured answer."""
+    out = sim.choose_ivf_nprobe(emb, n_queries=NQ, k=K,
+                                target_recall=0.999, max_nprobe=1)
+    assert not out["met"]
+    assert out["nprobe"] == 1 and out["recall"] < 0.999
+
+
+def test_choose_nprobe_full_depth_reaches_exact(emb):
+    """With no cap the schedule ends at nprobe=nlist (a full scan): any
+    target <= 1.0 is eventually met and the final point's recall is 1.0."""
+    out = sim.choose_ivf_nprobe(emb, n_queries=NQ, k=K, target_recall=1.0)
+    assert out["met"] and out["recall"] == 1.0
+    assert out["curve"][-1]["scan_frac"] == 1.0
+    # monotone cost curve: scan fraction non-decreasing along the schedule
+    fracs = [p["scan_frac"] for p in out["curve"]]
+    assert fracs == sorted(fracs)
+
+
+def test_choose_nprobe_requires_a_budget(emb):
+    with pytest.raises(ValueError, match="budget"):
+        sim.choose_ivf_nprobe(emb, n_queries=NQ, k=K)
