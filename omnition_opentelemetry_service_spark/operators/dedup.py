@@ -224,12 +224,31 @@ def lsh_band_keys_expr(sig_col: str = "minhash") -> F.Column:
     )
 
 
-def minhash_candidates(docs_with_sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_candidates(docs_with_sig: DataFrame, id_col: str = "doc_id",
+                       max_bucket: int | None = None) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
     Shape at scale: explode to (id, band_key) then equi-join on band_key —
     a plain shuffle hash join; no cross product ever materializes.
-    """
+
+    ``max_bucket`` is the band-bucket SKEW CAP: buckets with more than
+    ``max_bucket`` members are excluded from pair generation. A bucket of
+    m members emits C(m,2) pairs, so candidate volume is dominated by the
+    bucket-size tail, not the corpus size — measured on the sf1 scale
+    probe: a 10× corpus produced 47× candidates (19,326 → 906,248), with
+    per-copy counts swinging 5.7k→401k on identical pairwise-jaccard data
+    purely from re-rolled hash draws landing one large sub-threshold
+    family in one bucket (BENCH_details_r05 sf1 notes). At 10^12 docs an
+    uncapped giant bucket is a job-killing quadratic; with the cap,
+    candidate volume is ≤ max_bucket × corpus_bands — linear in the
+    corpus. Recall cost is bounded and measured: a true near-dup pair in
+    a capped bucket is still found through any of its other
+    LSH_BANDS-1 bands (planted-pair floors in
+    tests/test_minhash_quality.py hold under the cap); on the sf1 probe
+    max_bucket=64 kept 2772/3023 (91.7%) of verified j≥0.3 pairs while
+    the runtime ratio collapsed 14.8× → 3.1× — the lost tail is
+    low-jaccard pairs whose per-band capture is ~1-2% anyway. Default
+    None keeps the exact uncapped semantics (the driver-slot twins)."""
     # Persist the signatures BEFORE deriving band keys: projection collapse
     # would otherwise inline the md5-aggregate into the per-band transform
     # (4× the hashing) and again into each side of the self-join. The cache
@@ -243,6 +262,14 @@ def minhash_candidates(docs_with_sig: DataFrame, id_col: str = "doc_id") -> Data
     keyed = sigs.select(
         "id", F.explode(lsh_band_keys_expr()).alias("band_key")
     )
+    if max_bucket is not None:
+        # one extra hash-agg on the SAME key the pair join shuffles on
+        # (map-side combinable, no new shuffle key); the inner join keeps
+        # only rows of small-enough buckets
+        sizes = (keyed.groupBy("band_key")
+                 .agg(F.count(F.lit(1)).alias("_bsz"))
+                 .filter(F.col("_bsz") <= int(max_bucket)).drop("_bsz"))
+        keyed = keyed.join(sizes, "band_key")
     left = keyed.alias("l")
     right = keyed.alias("r")
     return (
@@ -670,6 +697,33 @@ def minhash_capture_curve(docs: DataFrame, id_limit: int = 200,
             .withColumn("capture_rate",
                         F.round(F.col("n_captured").cast("double")
                                 / F.col("n_pairs").cast("double"), 6)))
+
+
+def minhash_candidates_capped_cte_sql_duck(max_bucket: int) -> str:
+    """The bsz/keep/cands CTE block implementing the bucket cap — ONE
+    definition, appended after the engine-shared bands CTE chain by both
+    the candidates twin below and the capped-verify extras twin
+    (registry). Same cap rule as the Spark side: bucket sizes counted
+    over the same keyed rows, pairs generated only from buckets of
+    ≤ ``max_bucket`` members."""
+    return f"""
+    bsz AS (SELECT band_key, count(*) AS c FROM bands GROUP BY 1),
+    keep AS (SELECT bands.* FROM bands JOIN bsz USING (band_key)
+             WHERE bsz.c <= {int(max_bucket)}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keep a JOIN keep b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+
+
+def minhash_candidates_capped_sql_duck(bands_cte: str,
+                                       max_bucket: int) -> str:
+    """DuckDB twin of ``minhash_candidates(max_bucket=...)``: built on the
+    SAME engine-shared bands CTE chain (pass registry._minhash_bands_sql()
+    — one definition per engine, the corpus.py rule)."""
+    return (f"{bands_cte},"
+            f"{minhash_candidates_capped_cte_sql_duck(max_bucket)}\n"
+            "    SELECT id_a, id_b FROM cands")
 
 
 def minhash_capture_curve_sql_duck(table: str = "documents",

@@ -492,6 +492,28 @@ def q_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_verify(cands, sh, threshold=0.3)
 
 
+# Band-bucket skew cap for the capped serving form: candidate volume is
+# bounded by max_bucket × corpus_bands (linear in the corpus) instead of
+# the C(m,2) bucket tail — measured on the sf1 probe, the uncapped form's
+# 47× candidate blowup at 10× corpus collapses to ~linear under the cap.
+_MINHASH_MAX_BUCKET = 64
+
+
+def q_minhash_dedup_verified_capped(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """minhash_dedup_verified with the band-bucket skew cap engaged
+    (dedup.minhash_candidates max_bucket — see its docstring for the
+    measured sf1 blowup this bounds). The serving form for corpora whose
+    band-bucket tail is unbounded; the uncapped driver slot keeps the
+    exact-complete semantics."""
+    sh = widen_if_narrow(load(spark, sf_dir, "documents")).select(
+        "doc_id", tx.char_shingles("text").alias("shingles")).persist()
+    cands = dd.minhash_candidates(
+        dd.minhash_signatures_pandas(sh), id_col="id",
+        max_bucket=_MINHASH_MAX_BUCKET).persist()
+    return dd.jaccard_verify(cands, sh, threshold=0.3)
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
                                   k=3, id_limit=150, threshold=0.5)
@@ -1729,6 +1751,7 @@ def _extra_queries_pool() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "anchor_profiles": q_anchor_profiles,
         "token_budget_docs": q_token_budget_docs,
         "minhash_quality": q_minhash_quality,
+        "minhash_dedup_verified_capped": q_minhash_dedup_verified_capped,
         "normalized_docs": q_normalized_docs,
         "skew_report": q_skew_report,
         "heavy_keys": q_heavy_keys,
@@ -1934,6 +1957,16 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
         f"FROM documents)")
 
     o["minhash_quality"] = dd.minhash_capture_curve_sql_duck()
+
+    verify_j = ("round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /"
+                " len(list_distinct(sa.shingles || sb.shingles)), 6)")
+    o["minhash_dedup_verified_capped"] = f"""{_minhash_bands_sql()},{
+        dd.minhash_candidates_capped_cte_sql_duck(_MINHASH_MAX_BUCKET)}
+    SELECT c.id_a, c.id_b, {verify_j} AS jaccard
+    FROM cands c
+    JOIN sh sa ON c.id_a = sa.doc_id
+    JOIN sh sb ON c.id_b = sb.doc_id
+    WHERE {verify_j} >= 0.3"""
 
     from .operators import skew as sk
 

@@ -41,7 +41,8 @@ def test_extras_full_oracle_hash_parity(spark):
         "dsir_scores", "dsir_select", "bloom_flags", "drift_topk",
         "drift_grams", "quota_docs", "url_canon", "url_dedup_groups",
         "span_removed", "html_stripped", "hostgate_docs", "c4_docs",
-        "minhash_quality", "normalized_docs", "skew_report", "heavy_keys",
+        "minhash_quality", "minhash_dedup_verified_capped",
+        "normalized_docs", "skew_report", "heavy_keys",
         "warc_docs", "robots_docs", "crawl_delay_hosts", "sitemap_hosts",
         "sitemap_entries", "sitemap_discover",
         "retry_outcomes", "worker_queue_load", "token_contamination",

@@ -135,3 +135,50 @@ def test_planted_cross_engine_parity(spark):
     d = sorted(tuple(r) for r in con.execute(
         dd.minhash_capture_curve_sql_duck()).fetchall())
     assert s == d
+
+
+def test_bucket_cap_parity_and_planted_recall(spark):
+    """The band-bucket skew cap (minhash_candidates max_bucket — the
+    defense against the C(m,2) bucket tail that made a 10× corpus emit
+    47× candidates on the sf1 probe): capped candidates are a subset of
+    uncapped, high-jaccard planted pairs keep their capture floors under
+    the cap (any of the other bands still finds them), and the capped
+    form is hash-exact against its DuckDB twin built on the shared bands
+    CTE."""
+    import duckdb
+
+    from omnition_opentelemetry_service_spark import registry
+    from omnition_opentelemetry_service_spark.functions import text as tx
+
+    rows = dd.planted_jaccard_rows(pairs_per_decile=50)
+    planted = spark.createDataFrame(rows, "doc_id long, text string")
+    docs = (load(spark, SF, "documents").select("doc_id", "text")
+            .unionByName(planted))
+    sh = docs.select("doc_id", tx.char_shingles("text").alias("shingles"))
+    sigs = dd.minhash_signatures_pandas(sh)
+    cap_pairs = {(r.id_a, r.id_b) for r in dd.minhash_candidates(
+        sigs, id_col="id", max_bucket=20).collect()}
+    un_pairs = {(r.id_a, r.id_b) for r in dd.minhash_candidates(
+        sigs, id_col="id").collect()}
+    spark.catalog.clearCache()
+    assert cap_pairs <= un_pairs
+
+    # planted pair p (generator order) is (id_a, id_b) = (-(2p+2), -(2p+1));
+    # decile index i covers pairs [i*50, (i+1)*50) for deciles 3+i
+    def rate(i):
+        return sum(1 for p in range(i * 50, (i + 1) * 50)
+                   if (-(2 * p + 2), -(2 * p + 1)) in cap_pairs) / 50
+
+    assert rate(5) >= 0.85  # jaccard 0.85: theory 0.948 uncapped
+    assert rate(6) >= 0.97  # jaccard 0.95: theory 0.999 uncapped
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE planted (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO planted VALUES (?, ?)", rows)
+    con.execute(f"""CREATE VIEW documents AS
+        SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')
+        UNION ALL SELECT doc_id, text FROM planted""")
+    d = {(a, b) for a, b in con.execute(
+        dd.minhash_candidates_capped_sql_duck(
+            registry._minhash_bands_sql(), 20)).fetchall()}
+    assert cap_pairs == d
