@@ -1177,6 +1177,19 @@ def _csv_duck(col: str) -> str:
     return f"coalesce(array_to_string({col}, ','), '')"
 
 
+def _csv_md5(col: str) -> F.Column:
+    """Fixed-width diff localizer next to each CSV projection (VERDICT r4
+    ask #5): when the driver's value hash mismatches, the md5 columns name
+    WHICH array diverged even where the long CSV strings are truncated in
+    the artifact. md5, not xxhash64: both engines implement md5 over the
+    identical CSV string (DuckDB has no xxhash64)."""
+    return F.md5(_csv(col))
+
+
+def _csv_md5_duck(col: str) -> str:
+    return f"md5({_csv_duck(col)})"
+
+
 def q_assembled_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pk.with_pack_id(fx.sequences(spark, _n(sf_dir)), budget=2048)
     asm = pk.assemble_packs(packed)
@@ -1188,6 +1201,10 @@ def q_assembled_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _csv("doc_ids").alias("doc_ids"),
         _csv("starts").alias("starts"),
         _csv("lens").alias("lens"),
+        _csv_md5("pack_tokens").alias("pack_tokens_md5"),
+        _csv_md5("doc_ids").alias("doc_ids_md5"),
+        _csv_md5("starts").alias("starts_md5"),
+        _csv_md5("lens").alias("lens_md5"),
         "n_docs", "pack_len")
 
 
@@ -1204,7 +1221,8 @@ def q_fim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fim = augment.fim_transform(fx.sequences(spark, _n(sf_dir)), rate=0.4)
     # slot shape: tokens array -> CSV scalar (see _csv) for the driver gate.
     return fim.select("doc_id", "source", "seq_no", "fim_applied",
-                      _csv("tokens").alias("tokens"), "n_tok")
+                      _csv("tokens").alias("tokens"),
+                      _csv_md5("tokens").alias("tokens_md5"), "n_tok")
 
 
 def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1828,6 +1846,11 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
            {_csv_duck('list(doc_id ORDER BY seq_no)')} AS doc_ids,
            {_csv_duck('list(start ORDER BY seq_no)')} AS starts,
            {_csv_duck('list(n_tok ORDER BY seq_no)')} AS lens,
+           {_csv_md5_duck('flatten(list(tokens ORDER BY seq_no))')}
+             AS pack_tokens_md5,
+           {_csv_md5_duck('list(doc_id ORDER BY seq_no)')} AS doc_ids_md5,
+           {_csv_md5_duck('list(start ORDER BY seq_no)')} AS starts_md5,
+           {_csv_md5_duck('list(n_tok ORDER BY seq_no)')} AS lens_md5,
            CAST(count(*) AS INTEGER) AS n_docs,
            CAST(sum(n_tok) AS INTEGER) AS pack_len
     FROM packed GROUP BY source, pack_id"""
@@ -1868,7 +1891,8 @@ def _extra_oracle_sql_pool() -> dict[str, str]:
     o["fim_docs"] = f"""{pre},
     fimout AS ({_augment.fim_sql_duck(rate=0.4)})
     SELECT doc_id, source, seq_no, fim_applied,
-           {_csv_duck('tokens')} AS tokens, n_tok
+           {_csv_duck('tokens')} AS tokens,
+           {_csv_md5_duck('tokens')} AS tokens_md5, n_tok
     FROM fimout"""
 
     o["char_entropy_docs"] = f"""
