@@ -457,6 +457,67 @@ def measure_scaling(input_dir: str,
     }
 
 
+def _sf1_section(spark: SparkSession, queries: dict,
+                 per_query: dict[str, float]) -> dict:
+    """The 10× scale point (VERDICT r4 ask #2): the same headline queries
+    at a deterministically derived sf1 (tools/gen_sf.py — replication with
+    key remapping + per-copy text/vector transforms; its docstring
+    explains why naive replication would corrupt the dedup/ANN ratios).
+    Runs OUTSIDE the box-calibration bracket (it measures ratios, not the
+    sf0.1 window), reps=2: the 10×-longer runtimes set the noise floor,
+    not scheduler jitter. Ratio 10 = perfectly linear; < 10 = fixed costs
+    still amortizing; > 13 = super-linear, flagged (ask #2's bar)."""
+    from tools import gen_sf
+
+    sf1_dir = gen_sf.ensure_sf1(spark)
+    n_sf1 = fx.n_rows_for_sf_dir(sf1_dir)
+    fx.set_materialized_fixtures(fx.materialize_fixture_tables(
+        spark, n_sf1, f"/tmp/spark_graft_bench_fx_{n_sf1}"))
+    sf1_queries: dict[str, float] = {}
+    for name in HEADLINE:
+        dt, _ = _run_query(spark, queries[name], sf1_dir, reps=2)
+        sf1_queries[name] = round(dt, 3)
+    # Attribution + defense for the one measured super-linear ratio:
+    # minhash_dedup_verified's blowup is CANDIDATE-VOLUME-driven, not
+    # plan-driven (measured on this probe: 19,326 → 906,248 candidates
+    # at 10× — the LSH band-bucket C(m,2) tail; every extra candidate
+    # is same-copy, and verified pairs scale 11× ≈ linear). The
+    # max_bucket=64 serving form (dedup.minhash_candidates docstring)
+    # bounds candidate volume linearly; its ratio ships alongside.
+    capped01, _ = _run_query(
+        spark, queries["minhash_dedup_verified_capped"], SF_DIR, reps=2)
+    capped1, _ = _run_query(
+        spark, queries["minhash_dedup_verified_capped"], sf1_dir, reps=2)
+    fx.set_materialized_fixtures(None)
+    ratios = {q: round(sf1_queries[q] / per_query[q], 2)
+              for q in sf1_queries if per_query.get(q)}
+    return {
+        "dir": sf1_dir, "factor_vs_headline_sf": 10,
+        "queries": sf1_queries,
+        "ratio_vs_sf0_1": ratios,
+        "superlinear_flagged_over_13x": {
+            q: r for q, r in ratios.items() if r > 13.0},
+        "notes": [
+            "ivf_ann_topk's ratio includes a data-config effect: the "
+            "fixture's MOD-sampled centroid count grows with the "
+            "corpus (nlist 21 -> 206 at 10x), so assign cost is "
+            "corpus x nlist here; real IVF bounds nlist (trained "
+            "k-means centroids) and the assign stays linear — "
+            "similarity.ivf_assign docstring",
+        ],
+        "minhash_bucket_cap": {
+            "sf0_1_sec": round(capped01, 3),
+            "sf1_sec": round(capped1, 3),
+            "ratio": (round(capped1 / capped01, 2) if capped01 else None),
+            "note": "uncapped minhash ratio is candidate-volume-driven "
+                    "(band-bucket C(m,2) tail, 47x candidates at 10x "
+                    "corpus, verified pairs ~linear at 11x); "
+                    "max_bucket=64 bounds candidates linearly, keeping "
+                    "91.7% of verified j>=0.3 pairs at sf1 (measured)",
+        },
+    }
+
+
 def main() -> None:
     # --scaling accepted for compatibility: scaling evidence always runs.
     sf_name = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
@@ -535,57 +596,19 @@ def main() -> None:
     # sf0.1 window), reps=2: the 10×-longer runtimes set the noise floor,
     # not scheduler jitter. Ratio 10 = perfectly linear; < 10 = fixed
     # costs still amortizing; > 13 = super-linear, flagged (ask #2's bar).
+    # Sidecar discipline for everything below the calibration bracket: the
+    # sf1 ratios and quality sidecars are evidence around the record, not
+    # its spine — a generation/IO failure there must degrade to an "error"
+    # entry in the json, never kill the run (this process is the driver's
+    # only source of BENCH_r{N}).
     sf1_section = None
     if os.environ.get("BENCH_SF1", "1") == "1":
-        from tools import gen_sf
-
-        sf1_dir = gen_sf.ensure_sf1(spark)
-        n_sf1 = fx.n_rows_for_sf_dir(sf1_dir)
-        fx.set_materialized_fixtures(fx.materialize_fixture_tables(
-            spark, n_sf1, f"/tmp/spark_graft_bench_fx_{n_sf1}"))
-        sf1_queries: dict[str, float] = {}
-        for name in HEADLINE:
-            dt, _ = _run_query(spark, queries[name], sf1_dir, reps=2)
-            sf1_queries[name] = round(dt, 3)
-        # Attribution + defense for the one measured super-linear ratio:
-        # minhash_dedup_verified's blowup is CANDIDATE-VOLUME-driven, not
-        # plan-driven (measured on this probe: 19,326 → 906,248 candidates
-        # at 10× — the LSH band-bucket C(m,2) tail; every extra candidate
-        # is same-copy, and verified pairs scale 11× ≈ linear). The
-        # max_bucket=64 serving form (dedup.minhash_candidates docstring)
-        # bounds candidate volume linearly; its ratio ships alongside.
-        capped01, _ = _run_query(
-            spark, queries["minhash_dedup_verified_capped"], SF_DIR, reps=2)
-        capped1, _ = _run_query(
-            spark, queries["minhash_dedup_verified_capped"], sf1_dir, reps=2)
-        fx.set_materialized_fixtures(None)
-        ratios = {q: round(sf1_queries[q] / per_query[q], 2)
-                  for q in sf1_queries if per_query.get(q)}
-        sf1_section = {
-            "dir": sf1_dir, "factor_vs_headline_sf": 10,
-            "queries": sf1_queries,
-            "ratio_vs_sf0_1": ratios,
-            "superlinear_flagged_over_13x": {
-                q: r for q, r in ratios.items() if r > 13.0},
-            "notes": [
-                "ivf_ann_topk's ratio includes a data-config effect: the "
-                "fixture's MOD-sampled centroid count grows with the "
-                "corpus (nlist 21 -> 206 at 10x), so assign cost is "
-                "corpus x nlist here; real IVF bounds nlist (trained "
-                "k-means centroids) and the assign stays linear — "
-                "similarity.ivf_assign docstring",
-            ],
-            "minhash_bucket_cap": {
-                "sf0_1_sec": round(capped01, 3),
-                "sf1_sec": round(capped1, 3),
-                "ratio": (round(capped1 / capped01, 2) if capped01 else None),
-                "note": "uncapped minhash ratio is candidate-volume-driven "
-                        "(band-bucket C(m,2) tail, 47x candidates at 10x "
-                        "corpus, verified pairs ~linear at 11x); "
-                        "max_bucket=64 bounds candidates linearly, keeping "
-                        "91.7% of verified j>=0.3 pairs at sf1 (measured)",
-            },
-        }
+        try:
+            sf1_section = _sf1_section(spark, queries, per_query)
+        except Exception as e:
+            sf1_section = {"error": f"{type(e).__name__}: {e}"}
+        finally:
+            fx.set_materialized_fixtures(None)
 
     # ANN quality sidecar (VERDICT r2 ask 7): recall@k vs the exact scan on
     # this SF's embeddings — floors are pinned in tests/test_ann_recall.py;
@@ -627,24 +650,29 @@ def main() -> None:
     # fixture data — planted proves the selector finds the cheap answer
     # when structure exists; the fixture proves the scan budget is honored
     # when it doesn't.
-    planted_rows = [
-        (c * 40 + i,
-         [(1.0 + 0.01 * ((i * 7 + d) % 5)) if c * 16 <= d < (c + 1) * 16
-          else 0.0 for d in range(64)])
-        for c in range(4) for i in range(40)]
-    planted_emb = spark.createDataFrame(
-        planted_rows, "vec_id long, embedding array<double>").persist()
-    ch_planted = sim.choose_ivf_nprobe(planted_emb, 8, 5, target_recall=0.9)
-    ch_fixture = sim.choose_ivf_nprobe(emb, 8, 5, max_scan_frac=0.2)
-    planted_emb.unpersist()
-    ann_recall["ivf_target_driven"] = {
-        "planted_target_recall_0.9": {
-            k: ch_planted[k] for k in ("nprobe", "recall", "scan_frac",
-                                       "met")},
-        "fixture_scan_budget_0.2": {
-            k: ch_fixture[k] for k in ("nprobe", "recall", "scan_frac",
-                                       "met")},
-    }
+    try:
+        planted_rows = [
+            (c * 40 + i,
+             [(1.0 + 0.01 * ((i * 7 + d) % 5)) if c * 16 <= d < (c + 1) * 16
+              else 0.0 for d in range(64)])
+            for c in range(4) for i in range(40)]
+        planted_emb = spark.createDataFrame(
+            planted_rows, "vec_id long, embedding array<double>").persist()
+        ch_planted = sim.choose_ivf_nprobe(planted_emb, 8, 5,
+                                           target_recall=0.9)
+        ch_fixture = sim.choose_ivf_nprobe(emb, 8, 5, max_scan_frac=0.2)
+        planted_emb.unpersist()
+        ann_recall["ivf_target_driven"] = {
+            "planted_target_recall_0.9": {
+                k: ch_planted[k] for k in ("nprobe", "recall", "scan_frac",
+                                           "met")},
+            "fixture_scan_budget_0.2": {
+                k: ch_fixture[k] for k in ("nprobe", "recall", "scan_frac",
+                                           "met")},
+        }
+    except Exception as e:  # sidecar — degrade, don't kill the record
+        ann_recall["ivf_target_driven"] = {
+            "error": f"{type(e).__name__}: {e}"}
     # MinHash quality sidecar (the LSH mirror of ann_recall): measured
     # capture rate per exact-Jaccard decile on the bounded truth subset —
     # floors pinned in tests/test_minhash_quality.py.
@@ -656,18 +684,22 @@ def main() -> None:
     # nothing): the organic fixture tops out at jaccard 0.3 with n=2
     # pairs, statistically vacuous for the deciles LSH exists for
     # (VERDICT r4 ask #4). Floors pinned in tests/test_minhash_quality.py.
-    planted_docs = spark.createDataFrame(
-        dd.planted_jaccard_rows(pairs_per_decile=50),
-        "doc_id long, text string")
-    curve_docs = docs.select("doc_id", "text").unionByName(planted_docs)
-    minhash_quality = {
-        f"jaccard_{r['bucket']/10:.1f}": {
-            "n_pairs": int(r["n_pairs"]),
-            "capture_rate": float(r["capture_rate"])}
-        for r in dd.minhash_capture_curve(curve_docs).collect()}
-    minhash_quality["note"] = (
-        "deciles 0.3-0.9 carry >=50 planted pairs each "
-        "(dedup.planted_jaccard_rows) on top of the organic fixture pairs")
+    try:
+        planted_docs = spark.createDataFrame(
+            dd.planted_jaccard_rows(pairs_per_decile=50),
+            "doc_id long, text string")
+        curve_docs = docs.select("doc_id", "text").unionByName(planted_docs)
+        minhash_quality = {
+            f"jaccard_{r['bucket']/10:.1f}": {
+                "n_pairs": int(r["n_pairs"]),
+                "capture_rate": float(r["capture_rate"])}
+            for r in dd.minhash_capture_curve(curve_docs).collect()}
+        minhash_quality["note"] = (
+            "deciles 0.3-0.9 carry >=50 planted pairs each "
+            "(dedup.planted_jaccard_rows) on top of the organic fixture "
+            "pairs")
+    except Exception as e:  # sidecar — degrade, don't kill the record
+        minhash_quality = {"error": f"{type(e).__name__}: {e}"}
 
     registry.release_caches(spark)
     spark.stop()
