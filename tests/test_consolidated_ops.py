@@ -26,11 +26,9 @@ N = 400
 
 def test_extras_full_oracle_hash_parity(spark):
     """Every rotated-out slot keeps driver-grade verification: the same
-    gate the driver runs, over all 20 extras (9 rotated-out slots + the
-    2 DSIR e2e twins + bloom membership + the two drift views + the
-    per-source quota cap + the two URL-identity views + the
-    ExactSubstr-cut + the HTML strip + the host-reputation gate) at the
-    oracle's pinned sf."""
+    gate the driver runs, over the full extras pool (rotated-out slots,
+    the e2e twins, and every post-rotation addition — 52 entries as of
+    round 5) at the oracle's pinned sf."""
     extras = registry.build_extra_queries()
     oracles = registry.build_extra_oracle_sql()
     assert set(extras) == set(oracles) == {
