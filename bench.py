@@ -387,8 +387,11 @@ def measure_scaling(input_dir: str,
             "efficiency": eff,
             "efficiency_vs_host_ceiling": eff_vs_ceiling,
         }
-        if eff < 0.8 and (eff_vs_ceiling or 0) < 0.8 and high.get("stages"):
-            # weak on BOTH paired readings → ship the named per-stage cause
+        if (eff < 0.805 and (eff_vs_ceiling or 0) < 0.805
+                and high.get("stages")):
+            # weak on BOTH paired readings (same 0.805 constant the stop
+            # gates on — a 0.80x round drags the median and must carry its
+            # cause too) → ship the named per-stage breakdown
             rec["high_stages"] = high["stages"]
         rounds.append(rec)
         if len(rounds) >= min_rounds:

@@ -912,7 +912,8 @@ def decode_avi_mjpeg(buf: bytes):
         raise ValueError("not an avi buffer (missing RIFF/AVI header)")
     fps = None
     vid_prefix = None
-    frames = []
+    saw_other_vids = False
+    chunks: list = []
     for fourcc, b0, b1 in _riff_children(buf, 12, len(buf)):
         if fourcc != b"LIST":
             continue
@@ -930,9 +931,13 @@ def decode_avi_mjpeg(buf: bytes):
                             if buf[d0:d0 + 4] != b"vids":
                                 continue
                             if buf[d0 + 4:d0 + 8] != b"MJPG":
-                                raise ValueError(
-                                    "avi: only the MJPG video handler is "
-                                    "decodable without a codec lib")
+                                # a non-MJPG video TRACK is skippable as
+                                # long as an MJPG one exists (its 'NNdc'
+                                # chunks are prefix-filtered out below);
+                                # only a file with NO MJPG track at all
+                                # is undecodable — raised after the scan
+                                saw_other_vids = True
+                                continue
                             if fps is not None:
                                 continue  # first MJPG stream wins
                             # strh layout: fccType(4) fccHandler(4)
@@ -946,12 +951,19 @@ def decode_avi_mjpeg(buf: bytes):
                                    else rate / scale)
                             vid_prefix = b"%02d" % stream_idx
         elif list_type == b"movi":
+            # collect ranges only — decode AFTER the scan, once the MJPG
+            # track (and its chunk prefix) is known, so a foreign track's
+            # chunks are never fed to the JPEG decoder
             for f2, c0, c1 in _riff_children(buf, b0 + 4, b1):
-                if f2[2:4] == b"dc" and (vid_prefix is None
-                                         or f2[:2] == vid_prefix):
-                    frames.append(decode_jpeg(buf[c0:c1]))
+                if f2[2:4] == b"dc":
+                    chunks.append((f2[:2], c0, c1))
     if fps is None:
+        if saw_other_vids:
+            raise ValueError("avi: only the MJPG video handler is "
+                             "decodable without a codec lib")
         raise ValueError("avi: no MJPG vids stream header found")
+    frames = [decode_jpeg(buf[c0:c1]) for pfx, c0, c1 in chunks
+              if vid_prefix is None or pfx == vid_prefix]
     if not frames:
         raise ValueError("avi: movi list carries no frames")
     return frames, fps

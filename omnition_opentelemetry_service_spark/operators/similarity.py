@@ -840,10 +840,15 @@ def choose_ivf_nprobe(emb: DataFrame, n_queries: int = 8, k: int = 5,
 
     Scale shape: the query sample is driver-bounded (``n_queries``); the
     nprobe schedule is geometric (1, 2, 4, ... max_nprobe — O(log nlist)
-    points), each point one bounded IVF search plus one broadcast
-    histogram join (ivf_candidate_fraction); the exact reference ranks
-    only the sample's queries (brute_force_topk_pandas). Nothing here
-    scans more than the search itself would.
+    points). Each point deliberately calls the REAL serving functions
+    (ivf_ann_topk + ivf_candidate_fraction) rather than a restructured
+    shared-assignment sweep: the measurement must characterize exactly
+    the path a caller will serve with, and the cost of that fidelity —
+    roughly two corpus assignment passes per curve point over a persisted
+    corpus — is an offline tuning pass, not a serving cost. The corpus is
+    persisted for the sweep (released on exit unless the caller already
+    persisted it); the exact reference ranks only the sample's queries
+    (brute_force_topk_pandas).
 
     Measured context for the blind default this replaces (BENCH_details_r04
     ann_recall, sf0.1 fixture): nprobe=2 → recall 0.275 at scan fraction
@@ -855,6 +860,9 @@ def choose_ivf_nprobe(emb: DataFrame, n_queries: int = 8, k: int = 5,
         raise ValueError("choose_ivf_nprobe needs target_recall and/or "
                          "max_scan_frac — with neither there is no budget "
                          "to optimize for")
+    we_persisted = not emb.storageLevel.useMemory
+    if we_persisted:
+        emb = emb.persist()
     n_cells = ivf_centroids(emb).count()
     if n_cells < 1:
         raise ValueError("choose_ivf_nprobe: corpus has no IVF centroids")
@@ -893,6 +901,8 @@ def choose_ivf_nprobe(emb: DataFrame, n_queries: int = 8, k: int = 5,
                 met = True
     finally:
         exact.unpersist()
+        if we_persisted:
+            emb.unpersist()
     if chosen is None:
         # first schedule point already blew the scan cap: report it with
         # met=False rather than inventing an un-measured answer

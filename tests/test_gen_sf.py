@@ -76,8 +76,30 @@ def test_document_rotation_preserves_structure_and_decorrelates(spark, dst):
             diff += 1
         else:
             same += 1
-            assert not any("a" <= ch <= "z" for ch in text)
+            # identical across copies only when NOTHING rotatable exists
+            assert not any(ch.isalnum() and ch.isascii() for ch in text)
     assert diff > same  # rotation actually decorrelates the corpus
+
+
+def test_factor_guard_and_marker_staleness(spark, dst, tmp_path):
+    """factor outside the rotations' injective range is rejected; a stale
+    or mismatched _GENERATED marker forces regeneration (ensure_sf1 must
+    never serve a dir produced by different parameters or an older
+    generator as if it were the current derivation)."""
+    with pytest.raises(ValueError, match="factor"):
+        gen_sf.generate(spark, SRC, str(tmp_path / "x"), factor=11)
+    with pytest.raises(ValueError, match="factor"):
+        gen_sf.generate(spark, SRC, str(tmp_path / "x"), factor=1)
+    out = str(tmp_path / "sf1")
+    os.makedirs(out)
+    with open(os.path.join(out, "_GENERATED"), "w") as f:
+        f.write("src=somewhere-else factor=3 gen_md5=stale\n")
+    got = gen_sf.ensure_sf1(spark, src=SRC, dst=out)
+    assert got == out
+    with open(os.path.join(out, "_GENERATED")) as f:
+        assert f.read() == gen_sf._marker(SRC, 10)  # regenerated
+    n0 = spark.read.parquet(f"{SRC}/documents.parquet").count()
+    assert spark.read.parquet(f"{out}/documents.parquet").count() == 10 * n0
 
 
 def test_embedding_rotation_is_orthogonal(spark, dst):

@@ -299,6 +299,24 @@ def test_avi_rational_fps_multistream_and_maxbps_clamp():
     assert fps2 == 30 and len(got2) == 3  # junk 00dc skipped, not "decoded"
     assert all(np.array_equal(a, c) for a, c in zip(got2, got))
 
+    # a SECOND vids stream with a foreign handler is skipped (its track's
+    # chunks prefix-filtered), as long as an MJPG track exists — only a
+    # file with NO MJPG track raises
+    dib_strh = (b"vids" + b"DIB "
+                + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 10,
+                              0, 3, 64, 0, 0) + struct.pack("<4H", 0, 0, 4, 4))
+    dib_strl = mc._riff_list(b"strl", mc._riff_chunk(b"strh", dib_strh))
+    hdrl3 = mc._riff_list(b"hdrl", avih + dib_strl + vid_strl)
+    body3 = b"AVI " + hdrl3 + movi2  # movi2 already keys MJPG as stream 01
+    got3, fps3 = mc.decode_avi_mjpeg(
+        b"RIFF" + struct.pack("<I", len(body3)) + body3)
+    assert fps3 == 30 and len(got3) == 3
+    # no MJPG track anywhere → the labelled handler error, post-scan
+    hdrl4 = mc._riff_list(b"hdrl", avih + dib_strl)
+    body4 = b"AVI " + hdrl4 + movi2
+    with pytest.raises(ValueError, match="MJPG"):
+        mc.decode_avi_mjpeg(b"RIFF" + struct.pack("<I", len(body4)) + body4)
+
     # (3) dwMaxBytesPerSec saturates at field width (documented upper bound)
     import types  # noqa: F401 — monkeypatch-free: swap and restore
 

@@ -14,13 +14,16 @@ key-range) while scaling row counts exactly 10×:
   every entity key by c × OFF(table) where OFF is a round number above the
   table's max key, so FK joins stay 1:N with the same fan-out (copy 0 is
   the identity — sf0.1 is a strict subset of sf1).
-- documents: doc_id offset; text passes through a per-copy lowercase
-  Caesar rotation (copy 0 identity). Rotation preserves length, word
-  structure and within-copy similarity EXACTLY while making cross-copy
-  shingle sets disjoint — naive text replication would give every doc 9
-  spurious near-duplicates and inflate MinHash/SimHash candidate pairs
-  ~100×, turning the sf1 ratio into a data artifact instead of a plan
-  measurement. n_chars is preserved by construction.
+- documents: doc_id offset; text passes through a per-copy Caesar
+  rotation over lowercase, uppercase and digits (copy 0 identity).
+  Rotation preserves length, word structure and within-copy similarity
+  EXACTLY while decorrelating cross-copy shingles (punctuation/
+  whitespace is the only residual invariant class — on the fixture
+  corpus, measured zero cross-copy MinHash candidates) — naive text
+  replication would give every doc 9 spurious near-duplicates and
+  inflate MinHash/SimHash candidate pairs ~100×, turning the sf1 ratio
+  into a data artifact instead of a plan measurement. n_chars is
+  preserved by construction.
 - embeddings: vec_id offset; the vector is cyclically rotated by c
   positions — a permutation (orthogonal) transform, so norms and ALL
   within-copy pairwise dot products are preserved exactly while cross-copy
@@ -87,12 +90,23 @@ def _offsets(spark: SparkSession, src: str) -> dict[str, int]:
 
 
 def _rot_text(col: F.Column, c: int) -> F.Column:
-    """Per-copy lowercase Caesar rotation (copy 0 = identity)."""
+    """Per-copy Caesar rotation over lowercase, uppercase AND digits
+    (copy 0 = identity). All three classes rotate because char_shingles
+    lowercases AFTER this transform — un-rotated uppercase or digit runs
+    would survive normalization identical across copies and hand
+    digit-heavy docs spurious cross-copy near-duplicates (the data
+    artifact this module exists to avoid; punctuation/whitespace is the
+    only residual invariant class). Digit rotation has period 10, hence
+    the factor <= 10 guard in generate()."""
     if c == 0:
         return col
     low = string.ascii_lowercase
-    rot = low[c:] + low[:c]
-    return F.translate(col, low, rot)
+    up = string.ascii_uppercase
+    dig = string.digits
+    src = low + up + dig
+    rot = (low[c:] + low[:c] + up[c:] + up[:c]
+           + dig[c % 10:] + dig[:c % 10])
+    return F.translate(col, src, rot)
 
 
 def _one_copy(df: DataFrame, table: str, c: int,
@@ -114,6 +128,13 @@ def _one_copy(df: DataFrame, table: str, c: int,
 
 def generate(spark: SparkSession, src: str, dst: str,
              factor: int = 10) -> None:
+    if not 2 <= factor <= 10:
+        # the per-copy rotations are injective only up to their period:
+        # digits rotate with period 10 (copy 10 would be a digit-identity
+        # copy → spurious cross-copy near-dups) and the embedding roll
+        # must stay below the vector dim — 10 is also all the bench's
+        # ratio measurement ever needs
+        raise ValueError(f"gen_sf factor must be in [2, 10], got {factor}")
     os.makedirs(dst, exist_ok=True)
     offs = _offsets(spark, src)
     for table in DIMS + list(KEYED):
@@ -134,15 +155,36 @@ def generate(spark: SparkSession, src: str, dst: str,
         n_parts = max(8, factor) if table not in DIMS else 1
         scaled.repartition(n_parts).write.mode("overwrite").parquet(out)
     with open(os.path.join(dst, "_GENERATED"), "w") as f:
-        f.write(f"src={src} factor={factor}\n")
+        f.write(_marker(src, factor))
+
+
+def _marker(src: str, factor: int) -> str:
+    """Marker content = parameters + an md5 of this module's source: a
+    stale /tmp dir (generated by an older gen_sf, a different source SF,
+    or a different factor) must never silently feed the bench's sf1 ratio
+    section as if it were the current 10× derivation — the same staleness
+    defense fixtures._source_fingerprint gives the fixture cache."""
+    import hashlib
+
+    with open(os.path.abspath(__file__), "rb") as f:
+        fp = hashlib.md5(f.read()).hexdigest()
+    return f"src={src} factor={factor} gen_md5={fp}\n"
 
 
 def ensure_sf1(spark: SparkSession,
                src: str = "/root/testdata/sf0.1",
                dst: str = "/tmp/spark_graft_testdata/sf1") -> str:
-    """Generate once per machine; marker-gated. Returns the sf1 dir (its
-    basename 'sf1' is what n_rows_for_sf_dir keys fixture scale off)."""
-    if not os.path.exists(os.path.join(dst, "_GENERATED")):
+    """Generate once per machine; marker-gated WITH content validation
+    (src + factor + generator fingerprint — regenerates on any mismatch).
+    Returns the sf1 dir (its basename 'sf1' is what n_rows_for_sf_dir
+    keys fixture scale off)."""
+    marker_path = os.path.join(dst, "_GENERATED")
+    want = _marker(src, 10)
+    have = None
+    if os.path.exists(marker_path):
+        with open(marker_path) as f:
+            have = f.read()
+    if have != want:
         generate(spark, src, dst, factor=10)
     return dst
 
